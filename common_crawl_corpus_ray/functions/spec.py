@@ -122,6 +122,7 @@ def scrub_steps(flavor: str) -> list[tuple[str, str, str]]:
         ("alnum1", r"([a-zA-Z]+)([0-9]+)", r"\1 \2"),
         ("alnum2", r"([0-9]+)([a-zA-Z]+)", r"\1 \2"),
         ("ws", WS_CLASS + "+", " "),
+        ("trim", "^ +| +$", ""),
     ]
 
 

@@ -95,9 +95,13 @@ def _transcript(i: int, n_dup_groups: int) -> tuple[str, str, str]:
         pos = int(rng.integers(0, len(base)))
         return base[:pos] + ch + base[pos:], stratum, lang
     if stratum == "numeric":
-        digits = " ".join(str(int(rng.integers(10**6, 10**9))) for _ in range(6))
-        alpha = "".join(corpus.vocab(lang)[0][:1] * int(rng.integers(2, 9)))
-        return digits + " " + alpha, stratum, lang
+        # digit/punct-heavy with a tiny alpha tail straddling the
+        # alpha-content boundary (cc_corpus.py:272-273); avoids 9+ char
+        # digit runs so the phone scrub doesn't fire first
+        punct = "!?;:," * int(rng.integers(4, 9))
+        num = str(int(rng.integers(10**3, 10**6)))
+        alpha = "".join("ab"[int(j)] for j in rng.integers(0, 2, size=int(rng.integers(2, 15))))
+        return punct + " " + num + " " + alpha, stratum, lang
     if stratum == "punctcaps":
         base = corpus.gen_text(lang, rng, 160)
         char, cap = [("-", 4), ("(", 4), (")", 4), ("=", 2), ("_", 2),
