@@ -1,0 +1,74 @@
+"""FastLid — a from-scratch fastText-architecture language identifier.
+
+Same architecture family as the reference's lidNet / fastText lid.176 usage
+(cc_corpus.py:147-148,176; README.md:28): hashed character n-gram features
+into a fixed bucket table feeding a linear (log-)model. Here the linear
+weights come from multinomial Naive Bayes counts (closed-form, deterministic
+— no SGD, no external data): ``score(lang) = sum_g W[lang, h(g)]`` which is
+exactly a linear classifier over hashed n-gram counts.
+
+Feature extraction is fully numpy-vectorized over the utf-8 *bytes* of the
+text (1/2/3-byte grams, multiplicative hashing) — no Python loop over grams,
+which is what makes the actor-pool scoring stage cheap per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_B = 1 << 16          # hash buckets
+_MULT = np.int64(2654435761)
+_OFF2 = np.int64(1 << 40)
+_OFF3 = np.int64(1 << 41)
+
+
+def _gram_ids(text: str) -> np.ndarray:
+    a = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    if a.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    parts = [a]
+    if a.size >= 2:
+        parts.append(a[:-1] * 256 + a[1:] + _OFF2)
+    if a.size >= 3:
+        parts.append(a[:-2] * 65536 + a[1:-1] * 256 + a[2:] + _OFF3)
+    ids = np.concatenate(parts)
+    return ((ids * _MULT) >> 13) & (_B - 1)
+
+
+class FastLid:
+    def __init__(self, labels: list[str], weights: np.ndarray):
+        self.labels = list(labels)
+        self.W = weights          # [n_langs, _B] log-probabilities
+
+    @classmethod
+    def train(cls, corpus_by_lang: dict[str, list[str]], alpha: float = 0.5) -> "FastLid":
+        labels = sorted(corpus_by_lang)
+        counts = np.zeros((len(labels), _B), dtype=np.float64)
+        for li, lang in enumerate(labels):
+            for sent in corpus_by_lang[lang]:
+                h = _gram_ids(sent)
+                if h.size:
+                    counts[li] += np.bincount(h, minlength=_B)
+        W = np.log(counts + alpha)
+        W -= np.log(counts.sum(axis=1, keepdims=True) + alpha * _B)
+        return cls(labels, W.astype(np.float32))
+
+    def predict(self, texts: list[str]) -> list[str]:
+        out = []
+        W = self.W
+        labels = self.labels
+        for t in texts:
+            h = _gram_ids(t)
+            if h.size == 0:
+                out.append(labels[0])
+                continue
+            out.append(labels[int(np.argmax(W[:, h].sum(axis=1)))])
+        return out
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, labels=np.array(self.labels), W=self.W)
+
+    @classmethod
+    def load(cls, path: str) -> "FastLid":
+        z = np.load(path, allow_pickle=False)
+        return cls([str(x) for x in z["labels"]], z["W"])
