@@ -17,9 +17,13 @@ import numpy as np
 import pyarrow as pa
 
 
-def md5_u64(text: str) -> int:
-    """First 8 bytes of MD5(utf-8 text), big-endian uint64."""
-    return int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:8], "big")
+def md5_i64(text: str) -> int:
+    """First 15 hex chars (60 bits) of MD5(utf-8 text) as a non-negative
+    int64. 60 bits keeps the value inside int64 range: uint64 values above
+    2^63 make Ray Data's shuffle fall back to pickled-object columns (Arrow
+    conversion OverflowError), which silently de-vectorizes the dedup path.
+    """
+    return int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def sha1_u64(text: str) -> int:
@@ -27,29 +31,28 @@ def sha1_u64(text: str) -> int:
     return int.from_bytes(hashlib.sha1(text.encode("utf-8")).digest()[:8], "big")
 
 
-SQL_MD5_U64 = "CAST(CONCAT('0x', SUBSTRING(md5({col}), 1, 16)) AS UBIGINT)"
+SQL_MD5_I64 = "CAST(CONCAT('0x', SUBSTRING(md5({col}), 1, 15)) AS BIGINT)"
 
 
-def sql_md5_u64(col: str) -> str:
-    """DuckDB expression computing the same uint64 as :func:`md5_u64`."""
-    return SQL_MD5_U64.format(col=col)
+def sql_md5_i64(col: str) -> str:
+    """DuckDB expression computing the same int64 as :func:`md5_i64`."""
+    return SQL_MD5_I64.format(col=col)
 
 
-def md5_u64_array(texts) -> pa.Array:
-    """Vectorized-enough md5->uint64 over an Arrow/py sequence of strings.
+def md5_i64_array(texts) -> pa.Array:
+    """Vectorized-enough md5->int64 over an Arrow/py sequence of strings.
 
     hashlib's C core dominates; the Python loop is ~1 microsecond/row, which
     is far below the regex scrub cost per row in the same stage.
     """
     md5 = hashlib.md5
-    fb = int.from_bytes
     out = np.fromiter(
-        (fb(md5(t.encode("utf-8")).digest()[:8], "big") for t in
+        (int(md5(t.encode("utf-8")).hexdigest()[:15], 16) for t in
          (texts.to_pylist() if isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts)),
-        dtype=np.uint64,
+        dtype=np.int64,
         count=len(texts),
     )
-    return pa.array(out, type=pa.uint64())
+    return pa.array(out, type=pa.int64())
 
 
 def fnv1a_u32(data: bytes) -> int:

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions import spec
-from ..functions.hashing import md5_u64
+from ..functions.hashing import md5_i64
 
 _PY_STEPS = [(name, re.compile(pat), rep.replace("\\1", "\\g<1>").replace("\\2", "\\g<2>"))
              for name, pat, rep in spec.scrub_steps("python")]
@@ -64,7 +64,7 @@ def scrub_rules_frame(transcripts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({
         "transcript_scrubbed": scrubbed,
         "n_words": scrubbed.map(n_words).astype("int32"),
-        "text_hash": scrubbed.map(md5_u64).astype("uint64"),
+        "text_hash": scrubbed.map(md5_i64).astype("int64"),
         "rule_reason": [rule_reason(r, s) for r, s in zip(transcripts, scrubbed)],
     }, index=transcripts.index)
 

@@ -1,0 +1,471 @@
+"""Operator-level queries over the driver's test tables (documents/events/
+embeddings), each with a matching DuckDB oracle-SQL builder.
+
+These are the SURVEY.md section-2 operators re-expressed over the provided
+parquet tables so the graft driver can verify them against ANSI SQL:
+scrub (M8/M9/M16 + PII), heuristic rules (M7/M11-M14), word count (M18),
+content hash (D1), exact dedup keep-first/keep-none (D2/D3), page grouping
+(G1), language rollups (G2/G5), distinct-count filter building (G6),
+median/MAD + modified-Z cut (G4/O4/J5), sort/top-k (O1), broadcast
+semi/anti joins (M3/M4/J1-J4), domain sample chunking (G3), and the
+stream-shaped windowed/session aggregates.
+
+Every Ray implementation is a streaming Dataset pipeline; every SQL string
+is generated from the same spec constants so the two engines cannot drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import spec
+from ..functions.hashing import md5_i64_array, sql_md5_i64
+
+WS_RE = spec.WS_CLASS + "+"
+
+STOPWORDS = ["the", "data", "join", "row", "fast"]
+_STOP_PAT = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+SEMI_LANGS = ["en", "fr"]
+ANTI_SOURCES = ["src0", "src3"]
+
+CHUNK_WORDS = 500          # domain sample target (deduplication.py:19-85 uses 5000)
+SESSION_GAP_S = 1800
+ANN_K = 10
+ANN_NUM_QUERIES = 10
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- shared scalar expressions (Ray + SQL built from one spec) -------------
+
+def _collapse_ws(col):
+    out = pc.replace_substring_regex(col, pattern=WS_RE, replacement=" ")
+    return pc.utf8_trim(out, " ")
+
+
+def nwords_arrow(col) -> pa.Array:
+    t = _collapse_ws(col)
+    n = pc.add(pc.count_substring(t, " "), 1)
+    return pc.cast(pc.if_else(pc.equal(pc.utf8_length(t), 0), 0, n), pa.int64())
+
+
+def sql_nwords(col: str) -> str:
+    t = (f"trim(regexp_replace({col}, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' ')")
+    return (f"CASE WHEN {t} = '' THEN 0 ELSE "
+            f"length({t}) - length(replace({t}, ' ', '')) + 1 END")
+
+
+def _q(pat: str) -> str:
+    return pat.replace("'", "''")
+
+
+def sql_rule_reason(text_col: str, scrubbed_col: str) -> str:
+    alpha = (f"regexp_replace(regexp_replace({scrubbed_col}, '{_q(spec.NUMERIC_PATTERN)}', '', 'g'), "
+             f"'{_q(spec.PUNCT_PATTERN)}', ' ', 'g')")
+    cjk = spec.render_class(spec.CJK_RANGES, "re2")
+    caps = " OR ".join(
+        f"length({scrubbed_col}) - length(replace({scrubbed_col}, '{_q(ch)}', '')) >= {cap}"
+        for ch, cap in spec.PUNCT_CAPS)
+    return f"""CASE
+      WHEN length({text_col}) <= {spec.PRE_MIN_LEN} THEN 'pre_short'
+      WHEN length({scrubbed_col}) <= {spec.POST_MIN_LEN} THEN 'post_short'
+      WHEN regexp_matches({scrubbed_col}, '{_q(spec.ILLEGAL_CLASS)}') THEN 'illegal_char'
+      WHEN length({alpha}) <= {spec.ALPHA_MIN_LEN} THEN 'alpha_short'
+      WHEN length({scrubbed_col}) <
+           CASE WHEN regexp_matches({scrubbed_col}, '{_q(cjk)}') THEN {spec.CJK_MIN_LEN}
+                ELSE {spec.LATIN_MIN_LEN} END THEN 'min_len'
+      WHEN {caps} THEN 'punct_caps'
+      ELSE '' END"""
+
+
+# --- queries ---------------------------------------------------------------
+
+def scrub_docs(sf_dir: str):
+    """M8/M9/M16 + PII/toxicity scrub over documents.text."""
+    from ..stages.scrub_rules import scrub_array
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "scrubbed": scrub_array(b["text"])})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def scrub_docs_sql() -> str:
+    return f"SELECT doc_id, {spec.sql_scrub_expr('text')} AS scrubbed FROM documents"
+
+
+def heuristic_rules(sf_dir: str):
+    """M7/M11-M14 first-failing rule id per document."""
+    from ..stages.scrub_rules import rule_reason_array, scrub_array
+
+    def f(b: pa.Table) -> pa.Table:
+        scrubbed = scrub_array(b["text"])
+        return pa.table({"doc_id": b["doc_id"],
+                         "rule_reason": rule_reason_array(b["text"], scrubbed)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def heuristic_rules_sql() -> str:
+    return (f"WITH s AS (SELECT doc_id, text, {spec.sql_scrub_expr('text')} AS scrubbed "
+            f"FROM documents) "
+            f"SELECT doc_id, {sql_rule_reason('text', 'scrubbed')} AS rule_reason FROM s")
+
+
+def token_count(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "n_words": nwords_arrow(b["text"])})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def token_count_sql() -> str:
+    return f"SELECT doc_id, {sql_nwords('text')} AS n_words FROM documents"
+
+
+def text_hash(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "text_hash": md5_i64_array(b["text"])})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def text_hash_sql() -> str:
+    return f"SELECT doc_id, {sql_md5_i64('text')} AS text_hash FROM documents"
+
+
+def _hash_partials(b: pa.Table) -> pa.Table:
+    """Per-batch partial aggregate: one row per distinct hash per batch, so
+    the dedup shuffle moves partials, not documents (pre-aggregation)."""
+    t = pa.table({"text_hash": md5_i64_array(b["text"]), "doc_id": b["doc_id"]})
+    g = t.group_by("text_hash").aggregate([("doc_id", "min"), ("doc_id", "count")])
+    return g.rename_columns(["text_hash", "min_id", "n"])
+
+
+def exact_dedup_first(sf_dir: str):
+    """D2: keep-first (min doc_id) representative per distinct text."""
+    from ray.data.aggregate import Count, Min
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _hash_partials, batch_format="pyarrow")
+    out = ds.groupby("text_hash").aggregate(Min("min_id", alias_name="doc_id"))
+    return out
+
+
+def exact_dedup_first_sql() -> str:
+    return (f"SELECT {sql_md5_i64('text')} AS text_hash, min(doc_id) AS doc_id "
+            f"FROM documents GROUP BY text")
+
+
+def exact_dedup_none(sf_dir: str):
+    """D3: keep-none — ids of texts that appear exactly once."""
+    from ray.data.aggregate import Min, Sum
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _hash_partials, batch_format="pyarrow")
+    agg = ds.groupby("text_hash").aggregate(Min("min_id", alias_name="doc_id"),
+                                            Sum("n", alias_name="n"))
+
+    def only_singletons(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["n"], 1)).select(["doc_id"])
+
+    return agg.map_batches(only_singletons, batch_format="pyarrow")
+
+
+def exact_dedup_none_sql() -> str:
+    return ("SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY text HAVING count(*) = 1")
+
+
+def pages_group(sf_dir: str):
+    """G1: join docs per source into one page (ordered by doc_id)."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        text = "\n".join(g["text"])
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "page_text": [text],
+                             "n_docs": [len(g)]})
+
+    return (_read(sf_dir, "documents", ["doc_id", "source", "text"])
+            .groupby("source").map_groups(f, batch_format="pandas"))
+
+
+def pages_group_sql() -> str:
+    return ("SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS page_text, "
+            "count(*) AS n_docs FROM documents GROUP BY source")
+
+
+def lang_rollup(sf_dir: str):
+    """G2/G5: per-language corpus rollup."""
+    from ray.data.aggregate import Count, Sum
+    return (_read(sf_dir, "documents", ["lang", "n_chars"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")))
+
+
+def lang_rollup_sql() -> str:
+    return ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang")
+
+
+def domain_stats(sf_dir: str):
+    """G6: distinct-language count per domain (url-filter building)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(["source", "lang"]).group_by(["source", "lang"]).aggregate(
+            [("lang", "count")])
+        return t.rename_columns(["source", "lang", "n"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n_langs": [g["lang"].nunique()],
+                             "n_docs": [int(g["n"].sum())]})
+
+    return (_read(sf_dir, "documents", ["source", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source").map_groups(merge, batch_format="pandas"))
+
+
+def domain_stats_sql() -> str:
+    return ("SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n_docs "
+            "FROM documents GROUP BY source")
+
+
+def median_mad(sf_dir: str):
+    """G4: exact per-language median + MAD of n_chars."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["n_chars"].to_numpy().astype(np.float64)
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "med_chars": [round(med, 6)], "mad_chars": [round(mad, 6)]})
+
+    return (_read(sf_dir, "documents", ["lang", "n_chars"])
+            .groupby("lang").map_groups(f, batch_format="pandas"))
+
+
+def median_mad_sql() -> str:
+    return ("SELECT lang, ROUND(median(CAST(n_chars AS DOUBLE)), 6) AS med_chars, "
+            "ROUND(mad(CAST(n_chars AS DOUBLE)), 6) AS mad_chars "
+            "FROM documents GROUP BY lang")
+
+
+def zscore_outliers(sf_dir: str):
+    """O4/J5: two-pass per-language modified-Z cut (groupby stats broadcast
+    back into a second map pass — no sort, no row shuffle)."""
+    stats_ds = median_mad(sf_dir)
+    stats = {r["lang"]: (r["med_chars"], r["mad_chars"]) for r in stats_ds.take_all()}
+
+    def f(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pylist()
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        med = np.array([stats[l][0] for l in langs])
+        mad = np.array([stats[l][1] for l in langs])
+        z = np.where(mad == 0.0, 0.0, spec.Z_SCALE * (x - med) / np.where(mad == 0, 1, mad))
+        z = np.round(z, 6)
+        bucket = np.where(z > spec.Z_CUT, "HIGH", np.where(z < -spec.Z_CUT, "LOW", "IN"))
+        return pa.table({"doc_id": b["doc_id"], "z_score": pa.array(z, pa.float64()),
+                         "bucket": pa.array([str(s) for s in bucket], pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def zscore_outliers_sql() -> str:
+    med, mad = "s.med_chars", "s.mad_chars"
+    z = (f"CASE WHEN {mad} = 0 THEN 0.0 ELSE "
+         f"ROUND({spec.Z_SCALE} * (CAST(d.n_chars AS DOUBLE) - {med}) / {mad}, 6) END")
+    return (f"WITH s AS (SELECT lang, median(CAST(n_chars AS DOUBLE)) AS med_chars, "
+            f"mad(CAST(n_chars AS DOUBLE)) AS mad_chars FROM documents GROUP BY lang) "
+            f"SELECT d.doc_id, {z} AS z_score, "
+            f"CASE WHEN {z} > {spec.Z_CUT} THEN 'HIGH' "
+            f"WHEN {z} < -{spec.Z_CUT} THEN 'LOW' ELSE 'IN' END AS bucket "
+            f"FROM documents d JOIN s USING (lang)")
+
+
+def top_longest(sf_dir: str):
+    """O1/O2: distributed sort + limit with deterministic tie-break."""
+    return (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+            .sort(["n_chars", "doc_id"], descending=[True, False])
+            .limit(20))
+
+
+def top_longest_sql() -> str:
+    return ("SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 20")
+
+
+def semi_anti_join(sf_dir: str):
+    """M3/M4/J1-J4: broadcast semi-join on lang, anti-join on source."""
+    semi = set(SEMI_LANGS)
+    anti = set(ANTI_SOURCES)
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(b["lang"], value_set=pa.array(sorted(semi))),
+                       pc.invert(pc.is_in(b["source"], value_set=pa.array(sorted(anti)))))
+        return b.filter(keep)
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "source"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def semi_anti_join_sql() -> str:
+    langs = ", ".join(f"'{x}'" for x in SEMI_LANGS)
+    srcs = ", ".join(f"'{x}'" for x in ANTI_SOURCES)
+    return (f"SELECT doc_id, lang, source FROM documents "
+            f"WHERE lang IN ({langs}) AND source NOT IN ({srcs})")
+
+
+def sample_chunks(sf_dir: str):
+    """G3: ~CHUNK_WORDS-word sample accumulation per domain, ordered by
+    doc_id (the reference sorts by URL then stream-accumulates,
+    deduplication.py:19-85)."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        nw = g["n_words"].to_numpy()
+        prev = np.cumsum(nw) - nw
+        chunk = (prev // CHUNK_WORDS).astype(np.int64)
+        out = (pd.DataFrame({"chunk_id": chunk, "nw": nw})
+               .groupby("chunk_id").agg(n_docs=("nw", "size"), chunk_words=("nw", "sum"))
+               .reset_index())
+        out.insert(0, "source", g["source"].iloc[0])
+        return out
+
+    def add_words(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"], "doc_id": b["doc_id"],
+                         "n_words": nwords_arrow(b["text"])})
+
+    return (_read(sf_dir, "documents", ["doc_id", "source", "text"])
+            .map_batches(add_words, batch_format="pyarrow")
+            .groupby("source").map_groups(f, batch_format="pandas"))
+
+
+def sample_chunks_sql() -> str:
+    nw = sql_nwords("text")
+    return (f"WITH w AS (SELECT source, doc_id, {nw} AS nw FROM documents), "
+            f"c AS (SELECT source, doc_id, nw, "
+            f"SUM(nw) OVER (PARTITION BY source ORDER BY doc_id "
+            f"ROWS UNBOUNDED PRECEDING) - nw AS prev FROM w) "
+            f"SELECT source, CAST(FLOOR(prev / {CHUNK_WORDS}.0) AS BIGINT) AS chunk_id, "
+            f"count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS chunk_words "
+            f"FROM c GROUP BY source, chunk_id")
+
+
+def events_window(sf_dir: str):
+    """Stream-shaped: tumbling 1-hour windowed aggregate per event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    def f(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table({"event_type": b["event_type"], "hour": hour,
+                         "value": b["value"]})
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        f, batch_format="pyarrow")
+    agg = ds.groupby(["event_type", "hour"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+
+    def rnd(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
+                            pc.round(b["sum_value"], ndigits=6))
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def events_window_sql() -> str:
+    return ("SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "count(*) AS n_events, ROUND(sum(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2")
+
+
+def sessionize(sf_dir: str):
+    """Stream-shaped: 30-min-gap sessionization per user
+    (groupby(key).map_groups over ts-sorted groups)."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds().fillna(np.inf)
+        n_sessions = int((gaps > SESSION_GAP_S).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts"])
+            .groupby("user_id").map_groups(f, batch_format="pandas"))
+
+
+def sessionize_sql() -> str:
+    return (f"WITH o AS (SELECT user_id, ts, "
+            f"CASE WHEN LAG(ts) OVER w IS NULL "
+            f"OR epoch(ts - LAG(ts) OVER w) > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_s "
+            f"FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            f"SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, "
+            f"count(*) AS n_events FROM o GROUP BY user_id")
+
+
+def quality_score(sf_dir: str):
+    """Text-quality features: punctuation/digit ratios + stopword hits."""
+
+    def f(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        ln = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        ln = np.maximum(ln, 1.0)
+        punct = pc.count_substring_regex(text, spec.PUNCT_CLASS).to_numpy(zero_copy_only=False)
+        digit = pc.count_substring_regex(text, "[0-9]").to_numpy(zero_copy_only=False)
+        stops = pc.count_substring_regex(text, _STOP_PAT).to_numpy(zero_copy_only=False)
+        nw = nwords_arrow(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "punct_ratio": pa.array(np.round(punct / ln, 6), pa.float64()),
+            "digit_ratio": pa.array(np.round(digit / ln, 6), pa.float64()),
+            "stop_ratio": pa.array(np.round(stops / np.maximum(nw, 1.0), 6), pa.float64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def quality_score_sql() -> str:
+    ln = "GREATEST(CAST(length(text) AS DOUBLE), 1.0)"
+    nw = f"GREATEST(CAST({sql_nwords('text')} AS DOUBLE), 1.0)"
+    return (f"SELECT doc_id, "
+            f"ROUND(len(regexp_extract_all(text, '{_q(spec.PUNCT_CLASS)}')) / {ln}, 6) AS punct_ratio, "
+            f"ROUND(len(regexp_extract_all(text, '[0-9]')) / {ln}, 6) AS digit_ratio, "
+            f"ROUND(len(regexp_extract_all(text, '{_q(_STOP_PAT)}')) / {nw}, 6) AS stop_ratio "
+            f"FROM documents")
+
+
+def fingerprint(sf_dir: str):
+    """Document fingerprint: md5->uint64 of the sorted distinct-word bag."""
+    import hashlib
+
+    def f(b: pa.Table) -> pa.Table:
+        import re as _re
+        out = []
+        for t in b["text"].to_pylist():
+            bag = " ".join(sorted(set(_re.split(" +", t.strip(" ")))))
+            out.append(int.from_bytes(hashlib.md5(bag.encode()).digest()[:8], "big"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "fingerprint": pa.array(out, pa.uint64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def fingerprint_sql() -> str:
+    bag = ("array_to_string(list_sort(list_distinct("
+           "string_split_regex(trim(text, ' '), ' +'))), ' ')")
+    return (f"SELECT doc_id, CAST(CONCAT('0x', SUBSTRING(md5({bag}), 1, 16)) AS UBIGINT) "
+            f"AS fingerprint FROM documents")

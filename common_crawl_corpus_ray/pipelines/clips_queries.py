@@ -1,0 +1,164 @@
+"""Clips-table queries: flagship pipeline + audio stages, parameterized by
+the driver's sf directory.
+
+The clips table is not part of the driver's testdata, so it is synthesized
+deterministically (seed-per-clip_id) at a size proportional to the sf and
+cached under /tmp — same content for a given size regardless of
+parallelism. Everything downstream is the real pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..audio import codecs
+from ..synth import clips
+
+_CACHE_ROOT = "/tmp/ccc_ray_cache"
+_CLIPS_PER_LINEITEM = 6    # lineitem is the only table that scales ~linearly
+                           # with sf (documents stays ~500); 1k/10k/100k clips
+                           # at sf 0.001/0.01/0.1
+
+
+def clips_count(sf_dir: str) -> int:
+    md = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata
+    return md.num_rows // _CLIPS_PER_LINEITEM
+
+
+def ensure_clips(sf_dir: str, with_audio: bool = True) -> str:
+    """Generate (once) and return the parquet dir of the synthetic clips
+    table for this sf. Generation itself is a Ray Data pipeline."""
+    import ray.data as rd
+    n = clips_count(sf_dir)
+    uri = os.path.join(_CACHE_ROOT, f"clips_{n}_{'a' if with_audio else 'na'}")
+    marker = os.path.join(uri, "_SUCCESS")
+    if os.path.exists(marker):
+        return uri
+
+    def gen(batch: pa.Table) -> pa.Table:
+        t = clips.gen_batch(batch["id"].to_numpy(), n, with_audio=with_audio)
+        return t.select(clips.CLIPS_COLUMNS)
+
+    tmp = uri + ".tmp"
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(uri, ignore_errors=True)
+    (rd.range(n)
+     .map_batches(gen, batch_format="pyarrow", batch_size=2048)
+     .write_parquet(tmp))
+    os.rename(tmp, uri)
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return uri
+
+
+SLIM_RESULT_COLUMNS = [
+    "clip_id", "transcript_scrubbed", "lang", "lang2", "lang_agree",
+    "n_words", "text_hash", "is_dup", "ppl", "z_score", "ppl_bucket",
+    "drop_reason", "keep",
+]
+
+
+def clips_pipeline(sf_dir: str, with_audio: bool = False):
+    """The flagship: full keep/drop + scrub decision table (slim columns)."""
+    import ray.data as rd
+    from . import quality_filter
+    uri = ensure_clips(sf_dir, with_audio=with_audio)
+    ds = rd.read_parquet(uri)
+    out = quality_filter.run(ds)
+    return out.select_columns(SLIM_RESULT_COLUMNS)
+
+
+def audio_decode_stats(sf_dir: str):
+    """Multimodal stage: decode every payload per codec, verify SNR vs the
+    per-clip ground truth, aggregate per codec (the audio-equivalent
+    invariant M19; audio libs are absent so codecs are our numpy G.711)."""
+    import ray.data as rd
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
+
+    def decode_check(b: pa.Table) -> pa.Table:
+        out_codec, out_snr, out_samples = [], [], []
+        for cid, payload, sr, codec in zip(b["clip_id"].to_pylist(),
+                                           b["bytes"].to_pylist(),
+                                           b["sr_hz"].to_pylist(),
+                                           b["codec"].to_pylist()):
+            i = int(cid.rsplit("-", 1)[1])
+            n = codecs.num_samples(len(payload), codec)
+            truth = clips.ground_truth_pcm(i, n, sr)
+            got = codecs.decode(payload, codec)
+            out_codec.append(codec)
+            out_snr.append(codecs.snr_db(truth, got))
+            out_samples.append(n)
+        return pa.table({"codec": pa.array(out_codec),
+                         "snr": pa.array(out_snr, pa.float64()),
+                         "n_samples": pa.array(out_samples, pa.int64())})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "codec": [g["codec"].iloc[0]],
+            "n_clips": [len(g)],
+            "min_snr_db": [round(float(g["snr"].min()), 2)],
+            "total_samples": [int(g["n_samples"].sum())],
+            "all_above_30db": [bool((g["snr"] >= 30.0).all())],
+        })
+
+    return (ds.map_batches(decode_check, batch_format="pyarrow", batch_size=256)
+            .groupby("codec").map_groups(agg, batch_format="pandas"))
+
+
+def lid_documents(sf_dir: str):
+    """LID over the documents table: deterministic NB model fit on the
+    table's own (text, lang) pairs, then an actor-pool scoring pass."""
+    import ray.data as rd
+    from ..models.fastlid import FastLid
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    by_lang: dict[str, list[str]] = {}
+    for text, lang in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        by_lang.setdefault(lang, []).append(text)
+    model = FastLid.train(by_lang)
+    import ray
+    model_ref = ray.put(model)
+
+    class Scorer:
+        def __init__(self):
+            self.model = ray.get(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            preds = self.model.predict(b["text"].to_pylist())
+            return pa.table({"doc_id": b["doc_id"],
+                             "lang_pred": pa.array(preds, pa.string())})
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]).map_batches(
+        Scorer, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
+        num_cpus=1)
+
+
+def mutated_docs(sf_dir: str, n_mutate: int = 50):
+    """documents UNION near-duplicate copies (one word swapped) of the
+    first n_mutate docs — fixture for the near-dup detectors."""
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def mutate(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = b.filter(pc.less(b["doc_id"], n_mutate))
+        ids, texts = [], []
+        for i, t in zip(m["doc_id"].to_pylist(), m["text"].to_pylist()):
+            words = t.split()
+            if len(words) > 4:
+                words[3] = "mutated"
+            ids.append(i + 1_000_000)
+            texts.append(" ".join(words))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))

@@ -1,0 +1,100 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and every batch does one numpy matmul against it; per-batch
+local top-k partials are merged on the driver (k * num_queries rows total,
+tiny). Scale path: ``lsh_topk`` buckets vectors by random-hyperplane
+signature so each query only scans its bucket (+ optional multiprobe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-30)
+
+
+def brute_force_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                     k: int = 10, round_to: int = 4):
+    """Exact cosine top-k of every query over the dataset (excluding self)."""
+    import ray
+    qn = _normalize(query_mat)
+    q_ref = ray.put((query_ids, qn))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(q_ref)
+        vids = b["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(b["embedding"]))
+        sims = qmat @ m.T                     # [n_q, n_batch]
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(len(qids)):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in idx:
+                if vids[j] != qids[qi]:
+                    out_q.append(qids[qi]); out_v.append(vids[j]); out_s.append(sims[qi, j])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = (partials.sort_values(["query_id", "sim", "neighbor_id"],
+                                ascending=[True, False, True])
+           .groupby("query_id").head(k).reset_index(drop=True))
+    out["sim"] = out["sim"].round(round_to)
+    return out[["query_id", "neighbor_id", "sim"]]
+
+
+def lsh_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+             k: int = 10, n_planes: int = 8, seed: int = 42):
+    """Approximate top-k: random-hyperplane bucket per vector; each query
+    scans only its bucket. Returns the same columns as brute_force_topk."""
+    import ray
+    dim = query_mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qn = _normalize(query_mat)
+    q_sig = (qn @ planes > 0) @ (1 << np.arange(n_planes))
+    q_ref = ray.put((query_ids, qn, q_sig, planes))
+
+    def partial(b: pa.Table) -> pa.Table:
+        qids, qmat, qsig, pl = ray.get(q_ref)
+        vids = b["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(b["embedding"]))
+        sig = (m @ pl > 0) @ (1 << np.arange(pl.shape[1]))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = sig == qsig[qi]
+            if not mask.any():
+                continue
+            sims = qmat[qi] @ m[mask].T
+            sub_ids = vids[mask]
+            kk = min(k + 1, sims.size)
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            for j in idx:
+                if sub_ids[j] != qids[qi]:
+                    out_q.append(qids[qi]); out_v.append(sub_ids[j]); out_s.append(sims[j])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+    out = (partials.sort_values(["query_id", "sim", "neighbor_id"],
+                                ascending=[True, False, True])
+           .groupby("query_id").head(k).reset_index(drop=True))
+    out["sim"] = out["sim"].round(4)
+    return out[["query_id", "neighbor_id", "sim"]]

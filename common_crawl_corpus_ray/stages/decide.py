@@ -35,7 +35,7 @@ def _rules_pass_pairs(batch: pa.Table) -> pa.Table:
     mask = pc.equal(batch["rule_reason"], spec.KEEP_REASON)
     slim = batch.filter(mask).select(["text_hash", "clip_id"])
     if slim.num_rows == 0:
-        return pa.table({"text_hash": pa.array([], pa.uint64()),
+        return pa.table({"text_hash": pa.array([], pa.int64()),
                          "min_id": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
     g = slim.group_by("text_hash").aggregate([("clip_id", "min"), ("clip_id", "count")])

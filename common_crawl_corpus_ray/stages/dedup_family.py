@@ -1,0 +1,184 @@
+"""Near-duplicate detection family: MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference only *planned* near-dup ("LSA-cluster" docstring,
+WET_processor.py:125-132); these are the standard scale designs:
+
+  * MinHash+LSH: char-shingle -> minhash signature per row (vectorized
+    numpy) -> explode to (band, band_hash, doc_id) rows -> groupby bands ->
+    candidate pairs -> exact-Jaccard verify. The only shuffle moves
+    (band_hash, doc_id) pairs — never documents.
+  * SimHash: 64-bit signature from hashed word features; banding on 4
+    16-bit chunks for candidates; Hamming-distance verify.
+
+Candidate sets are collected to the driver (they are pair lists, tiny at
+any realistic dup rate); the verify step re-reads only candidate rows via a
+broadcast id-set filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Rolling char-k-shingle hashes, vectorized over the utf-8 bytes."""
+    a = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    if a.size < k:
+        a = np.pad(a, (0, k - a.size), constant_values=32)
+    w = np.lib.stride_tricks.sliding_window_view(a, k)
+    mult = (257 ** np.arange(k, dtype=np.int64)) % _MERSENNE
+    return (w @ mult) % _MERSENNE
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np.ndarray:
+    h = _shingle_hashes(text, k)
+    # universal hash family: (a*h + b) mod p, min over shingles
+    return ((a[:, None] * h[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa = set(_shingle_hashes(text_a, k).tolist())
+    sb = set(_shingle_hashes(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_candidate_pairs(ds, id_col: str, text_col: str,
+                            num_perm: int = 64, bands: int = 16,
+                            seed: int = 42) -> set[tuple]:
+    """LSH banding: ids sharing any band bucket become candidate pairs."""
+    a, b = _perm_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = minhash_signature(t, a, b)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                ids.append(i)
+                band_ids.append(band)
+                band_hashes.append(int(chunk.sum() % _MERSENNE))
+        return pa.table({"id": pa.array(ids), "band": pa.array(band_ids, pa.int32()),
+                         "bh": pa.array(band_hashes, pa.int64())})
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        return pd.DataFrame(pairs, columns=["a", "b"])
+
+    pairs_ds = (ds.map_batches(to_bands, batch_format="pyarrow")
+                .groupby(["band", "bh"]).map_groups(emit_pairs, batch_format="pandas"))
+    out = set()
+    for row in pairs_ds.take_all():
+        out.add((row["a"], row["b"]))
+    return out
+
+
+def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
+                        num_perm: int = 64, bands: int = 16) -> pd.DataFrame:
+    """Full near-dup: LSH candidates, exact-Jaccard verified >= threshold."""
+    cands = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
+    if not cands:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    need = {i for p in cands for i in p}
+    texts = _collect_texts(ds, id_col, text_col, need)
+    rows = []
+    for x, y in sorted(cands):
+        j = jaccard(texts[x], texts[y])
+        if j >= threshold:
+            rows.append((x, y, round(j, 3)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def _collect_texts(ds, id_col: str, text_col: str, need: set) -> dict:
+    import ray
+    need_ref = ray.put(need)
+
+    def f(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
+        return batch.filter(mask).select([id_col, text_col])
+
+    t = {}
+    for b in ds.map_batches(f, batch_format="pyarrow").iter_batches(
+            batch_size=4096, batch_format="pyarrow"):
+        t.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+    return t
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word-unigram FNV-1a hashes."""
+    words = text.split()
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = 0xCBF29CE484222325
+        for ch in w.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        bits = ((np.uint64(h) >> _SHIFTS) & np.uint64(1)).astype(np.int64)
+        acc += 2 * bits - 1
+    return int(((acc > 0).astype(np.uint64) << _SHIFTS).sum())
+
+
+def hamming64(x: int, y: int) -> int:
+    return bin(x ^ y).count("1")
+
+
+def simhash_dedup_pairs(ds, id_col: str, text_col: str,
+                        max_hamming: int = 8) -> pd.DataFrame:
+    """Near-dup via SimHash banding (4 x 16-bit chunks) + Hamming verify."""
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        ids, chunk_ids, chunk_vals, sigs = [], [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            s = simhash64(t)
+            for c in range(4):
+                ids.append(i)
+                chunk_ids.append(c)
+                chunk_vals.append((s >> (16 * c)) & 0xFFFF)
+                sigs.append(s)
+        return pa.table({"id": pa.array(ids), "chunk": pa.array(chunk_ids, pa.int32()),
+                         "cv": pa.array(chunk_vals, pa.int64()),
+                         "sig": pa.array([int(x) for x in sigs], pa.uint64())})
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("id").sort_values("id")
+        ids = g["id"].tolist()
+        sigs = g["sig"].tolist()
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = hamming64(int(sigs[i]), int(sigs[j]))
+                if d <= max_hamming:
+                    rows.append((ids[i], ids[j], d))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+    pairs = (ds.map_batches(to_chunks, batch_format="pyarrow")
+             .groupby(["chunk", "cv"]).map_groups(emit_pairs, batch_format="pandas")
+             .to_pandas())
+    if pairs.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    return (pairs.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import spec
-from ..functions.hashing import md5_u64_array
+from ..functions.hashing import md5_i64_array
 
 _RE2_STEPS = spec.scrub_steps("re2")
 _CJK_CLASS_RE2 = spec.render_class(spec.CJK_RANGES, "re2")
@@ -93,6 +93,6 @@ def scrub_rules_batch(batch: pa.Table) -> pa.Table:
         scrubbed = scrubbed.combine_chunks()
     batch = batch.append_column("transcript_scrubbed", scrubbed)
     batch = batch.append_column("n_words", n_words_array(scrubbed))
-    batch = batch.append_column("text_hash", md5_u64_array(scrubbed))
+    batch = batch.append_column("text_hash", md5_i64_array(scrubbed))
     batch = batch.append_column("rule_reason", rule_reason_array(raw, scrubbed))
     return batch

@@ -50,7 +50,7 @@ def test_keep_f1_and_exact_match(golden, pipeline_out):
     assert (p["lang2"] == g["lang2"]).all()
     assert (p["is_dup"] == g["is_dup"]).all()
     assert (p["ppl_bucket"] == g["ppl_bucket"]).all()
-    assert (p["text_hash"].astype("uint64") == g["text_hash"]).all()
+    assert (p["text_hash"].astype("int64") == g["text_hash"]).all()
     assert np.allclose(p["z_score"], g["z_score"], atol=1e-9)
     assert np.allclose(p["ppl"], g["ppl"], atol=1e-12)
 

@@ -1,0 +1,100 @@
+"""Local replica of the graft driver's correctness gate: every queries()
+entry with an oracle_sql() runs side-by-side against DuckDB at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__
+    return __ray_entry__
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64") if df[c].dtype != np.uint64 else df[c]
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_QUERIES = [
+    "scrub_regex", "heuristic_rules", "token_count", "text_hash",
+    "quality_score", "fingerprint", "exact_dedup_first", "exact_dedup_none",
+    "pages_group", "lang_rollup", "domain_stats", "median_mad",
+    "sample_chunks", "zscore_outliers", "top_longest", "semi_anti_join",
+    "events_window", "sessionize", "ann_cosine_topk",
+]
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(entry_mod, con, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = canon(to_pandas(q(SF_DIR)))
+    want = canon(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(want[c]):
+            assert np.allclose(got[c].to_numpy(dtype=np.float64),
+                               want[c].to_numpy(dtype=np.float64),
+                               atol=1e-9, rtol=0, equal_nan=True), c
+        else:
+            mism = (got[c].astype(str) != want[c].astype(str))
+            assert not mism.any(), f"{c}: {got[c][mism].head(3)} vs {want[c][mism].head(3)}"
+
+
+ROWS_ONLY = ["minhash_dedup", "simhash_dedup", "ann_lsh_topk", "lid_documents"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(entry_mod, name):
+    res = to_pandas(entry_mod.queries()[name](SF_DIR))
+    assert res is not None
+    if name in ("minhash_dedup", "simhash_dedup"):
+        # the 50 planted near-dup pairs (id, id+1e6) must be recovered
+        # (plus any natural near-dups in the word-salad corpus)
+        planted = ((res.iloc[:, 1] - res.iloc[:, 0]) == 1_000_000).sum()
+        assert planted >= 45, f"{name} recovered only {planted}/50 planted pairs"
+    if name == "lid_documents":
+        assert len(res) == 500 and set(res.columns) == {"doc_id", "lang_pred"}
+    if name == "ann_lsh_topk":
+        assert set(res.columns) == {"query_id", "neighbor_id", "sim"}
+
+
+def test_entry_smoke(entry_mod):
+    out = to_pandas(entry_mod.entry())
+    assert len(out) > 0
+    assert "keep" in out.columns and "drop_reason" in out.columns
+    assert out["keep"].sum() > 0
