@@ -1,0 +1,130 @@
+"""Benchmark harness (the graft driver runs this per round).
+
+Default mode: one JSON line with the headline flagship-pipeline wall time
+plus per-query timings over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+--scaling: runs the headline pipeline in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 over the same (pre-generated, page-cache-warm)
+input and reports both throughputs + scaling efficiency (the sandbox
+substitute for the N vs 4N node criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+QUERY_NAMES = [
+    "scrub_regex", "heuristic_rules", "exact_dedup_first", "minhash_dedup",
+    "lang_rollup", "median_mad", "zscore_outliers", "sample_chunks",
+    "events_window", "sessionize", "ann_cosine_topk", "lid_documents",
+    "audio_decode_stats",
+]
+
+
+def _consume(res) -> int:
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import __ray_entry__
+    __ray_entry__._setup()
+    from common_crawl_corpus_ray.pipelines import clips_queries
+
+    # untimed: generate/cache the clips table and warm the page cache
+    uri = clips_queries.ensure_clips(SF_DIR, with_audio=True)
+    n_clips = clips_queries.clips_count(SF_DIR)
+    for f in os.listdir(uri):
+        if f.endswith(".parquet"):
+            with open(os.path.join(uri, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+    # headline: full keep/drop + scrub pipeline over audio clips, payload
+    # passthrough included, sunk to a lancelite table (the realistic sink)
+    import shutil
+    import ray.data as rd
+    from common_crawl_corpus_ray.pipelines import quality_filter
+    from common_crawl_corpus_ray.sources import lancelite
+    out_uri = f"/tmp/ccc_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_uri, ignore_errors=True)
+    t0 = time.perf_counter()
+    quality_filter.run(rd.read_parquet(uri), final_uri=out_uri,
+                       slim_ds=rd.read_parquet(uri, columns=["clip_id", "transcript"]),
+                       scorer_concurrency=(2, max(2, NUM_CPUS // 2)))
+    rows = lancelite.count_rows(out_uri)
+    headline = time.perf_counter() - t0
+
+    queries = {}
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") != "1":
+        qs = __ray_entry__.queries()
+        for name in QUERY_NAMES:
+            t0 = time.perf_counter()
+            _consume(qs[name](SF_DIR))
+            queries[f"{name}"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "flagship clips quality-filter pipeline wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_clips": n_clips,
+        "rows_out": rows,
+        "clips_per_sec": round(n_clips / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    one(8)                      # warm run: generates cache, warms page cache
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, fresh processes)",
+        "sec_8cpu": lo["value"], "sec_32cpu": hi["value"],
+        "clips_per_sec_8cpu": lo["clips_per_sec"],
+        "clips_per_sec_32cpu": hi["clips_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_clips": lo["n_clips"], "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

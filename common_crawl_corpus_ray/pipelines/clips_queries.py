@@ -69,8 +69,8 @@ def clips_pipeline(sf_dir: str, with_audio: bool = False):
     import ray.data as rd
     from . import quality_filter
     uri = ensure_clips(sf_dir, with_audio=with_audio)
-    ds = rd.read_parquet(uri)
-    out = quality_filter.run(ds)
+    ds = rd.read_parquet(uri, columns=["clip_id", "transcript"])
+    out = quality_filter.run(ds, attach_payload=False)
     return out.select_columns(SLIM_RESULT_COLUMNS)
 
 

@@ -1,25 +1,29 @@
 """The flagship pipeline: LID + quality-filter + scrub over a clips table.
 
-Ray Data shape (SURVEY.md section 3.1):
+Ray Data shape (SURVEY.md section 3.1), with the key scale decision that
+audio payloads NEVER enter a scoring stage or a shuffle:
 
-    lancelite.read(clips) ──────────────────────────────┐  narrow, streaming
-      map_batches(scrub_rules_batch)          [tasks]   │  phase A
-      map_batches(TranscriptScorer)           [actors]  │
-      checkpoint (lancelite write or materialize) ──────┘
-    dup_winner_map   : groupby(text_hash) on slim pairs ┐  wide, slim only
-    lang_stats       : groupby(lang) on (lang, ppl)     ┘  phase B
-    map_batches(DecideStage, broadcast dup map + stats) ─  narrow, phase C
-      lancelite.write(final)
+    clips.select(clip_id, transcript) ──────────────────┐ narrow, streaming
+      map_batches(scrub_rules_batch)          [tasks]   │ phase A
+      map_batches(TranscriptScorer)           [actors]  │ (transcripts only,
+      materialize / lancelite checkpoint ───────────────┘  ~1KB/row blocks)
+    dup_winner_map   : groupby(text_hash) partials       ┐ wide, slim only
+    lang_stats       : groupby(lang) on (lang, ppl)      ┘ phase B
+    map_batches(DecideStage)  → decision table (no bytes)  phase C
+    clips (full rows) + broadcast decisions ─ map-side join, one streaming
+      pass that re-reads payload columns exactly once      phase D
 
-Audio ``bytes`` flow through phases A and C untouched and never enter a
-shuffle. The checkpoint between A and B exists because B consumes the
-scored data twice (dedup + stats) and C needs it again — re-executing the
-scoring lineage three times would triple the model compute; the checkpoint
-also doubles as the resume point (state/manifest.py).
+Phase D is a broadcast hash-join on clip_id (decisions are ~50 bytes/row).
+At 10^12-clip scale the broadcast becomes per-partition: decisions are
+written range-partitioned by clip_id (same salted partitioning as the
+input, functions/hashing.salted_partition), and each phase-D task loads
+only its partition's decision fragment — same code shape, bounded memory.
 """
 
 from __future__ import annotations
 
+import pandas as pd
+import pyarrow as pa
 import ray
 
 from ..sources import lancelite
@@ -28,6 +32,12 @@ from ..stages.scoring import TranscriptScorer
 from ..stages.scrub_rules import scrub_rules_batch
 
 SLIM_COLUMNS = ["clip_id", "text_hash", "rule_reason", "lang", "lang_agree", "ppl"]
+
+DECISION_COLUMNS = [
+    "clip_id", "transcript_scrubbed", "lang", "lang2", "lang_agree",
+    "n_words", "text_hash", "is_dup", "log_prob", "ppl", "z_score",
+    "ppl_bucket", "drop_reason", "keep",
+]
 
 FINAL_COLUMNS = [
     "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
@@ -38,7 +48,7 @@ FINAL_COLUMNS = [
 
 
 def score(ds, scorer_concurrency=(2, 8), batch_size: int = 1024):
-    """Phase A: narrow scrub + rules + scoring over a clips Dataset."""
+    """Phase A: narrow scrub + rules + scoring over (clip_id, transcript)."""
     return (ds
             .map_batches(scrub_rules_batch, batch_format="pyarrow",
                          batch_size=batch_size)
@@ -55,10 +65,45 @@ def decide(scored_ds, dupmap: dict, stats: dict, batch_size: int = 1024):
         fn_constructor_args=(dupmap_ref, stats), concurrency=(1, 8), num_cpus=1)
 
 
-def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = None,
-        scorer_concurrency=(2, 8), batch_size: int = 1024):
-    """Run the full pipeline; returns the final Dataset (+ writes if uris given)."""
-    scored = score(clips_ds, scorer_concurrency, batch_size)
+class AttachDecisions:
+    """Phase D: broadcast map-join — attach decision columns to full clip
+    rows by clip_id. The decisions frame is fetched once per actor."""
+
+    def __init__(self, decisions_ref):
+        df = ray.get(decisions_ref) if not isinstance(decisions_ref, pd.DataFrame) \
+            else decisions_ref
+        self.df = df.set_index("clip_id")
+
+    _TYPES = {
+        "transcript_scrubbed": pa.string(), "lang": pa.string(),
+        "lang2": pa.string(), "lang_agree": pa.bool_(), "n_words": pa.int32(),
+        "text_hash": pa.int64(), "is_dup": pa.bool_(),
+        "log_prob": pa.float64(), "ppl": pa.float64(), "z_score": pa.float64(),
+        "ppl_bucket": pa.string(), "drop_reason": pa.string(), "keep": pa.bool_(),
+    }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        sub = self.df.loc[ids]
+        for col, typ in self._TYPES.items():
+            batch = batch.append_column(col, pa.array(sub[col].tolist(), typ))
+        return batch
+
+
+def decisions(clips_ds, checkpoint_uri: str | None = None,
+              scorer_concurrency=(2, 8), batch_size: int = 1024,
+              slim_ds=None):
+    """Phases A-C over the transcript projection; returns the decision
+    Dataset (all columns except the payload passthrough).
+
+    Pass ``slim_ds`` (a read with ``columns=["clip_id", "transcript"]``)
+    when the input comes from storage: Ray 2.49 does NOT push
+    ``select_columns`` down into ``read_parquet``, so without it phase A
+    would read and move the audio payload for nothing (measured 8x read
+    volume and ~2x phase wall time)."""
+    slim_in = slim_ds if slim_ds is not None \
+        else clips_ds.select_columns(["clip_id", "transcript"])
+    scored = score(slim_in, scorer_concurrency, batch_size)
 
     if checkpoint_uri is not None:
         lancelite.write_dataset(scored, checkpoint_uri)
@@ -71,8 +116,27 @@ def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = Non
     dupmap = dup_winner_map(slim)
     dupmap_ref = ray.put(dupmap)
     stats = lang_stats(slim, dupmap_ref)
+    dec = decide(scored, dupmap, stats, batch_size)
+    return dec.select_columns(DECISION_COLUMNS)
 
-    final = decide(scored, dupmap, stats, batch_size).select_columns(FINAL_COLUMNS)
+
+def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = None,
+        scorer_concurrency=(2, 8), batch_size: int = 1024,
+        attach_payload: bool = True, slim_ds=None):
+    """Full pipeline. With ``attach_payload`` the result carries the input
+    payload columns byte-identical (per-row invariant) next to the decision
+    columns; otherwise the slim decision table is returned."""
+    dec = decisions(clips_ds, checkpoint_uri, scorer_concurrency, batch_size,
+                    slim_ds=slim_ds)
+    if not attach_payload:
+        final = dec
+    else:
+        dec_df = dec.to_pandas()       # sandbox scale; see module docstring
+        dec_ref = ray.put(dec_df)
+        final = clips_ds.map_batches(
+            AttachDecisions, batch_format="pyarrow", batch_size=batch_size,
+            fn_constructor_args=(dec_ref,), concurrency=(1, 8), num_cpus=1,
+        ).select_columns(FINAL_COLUMNS)
     if final_uri is not None:
         lancelite.write_dataset(final, final_uri)
         final = lancelite.read(final_uri)
