@@ -35,7 +35,8 @@ def ensure_clips(sf_dir: str, with_audio: bool = True) -> str:
     table for this sf. Generation itself is a Ray Data pipeline."""
     import ray.data as rd
     n = clips_count(sf_dir)
-    uri = os.path.join(_CACHE_ROOT, f"clips_{n}_{'a' if with_audio else 'na'}")
+    # v2: multi-fragment layout (fixed rows per file)
+    uri = os.path.join(_CACHE_ROOT, f"clips_{n}_{'a' if with_audio else 'na'}_v2")
     marker = os.path.join(uri, "_SUCCESS")
     if os.path.exists(marker):
         return uri
@@ -48,9 +49,13 @@ def ensure_clips(sf_dir: str, with_audio: bool = True) -> str:
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(uri, ignore_errors=True)
+    # multiple fragments per table (the realistic shape — a big table is
+    # many fragments); also the planning unit for resumable partitioning
+    rows_per_file = max(256, n // 64)
     (rd.range(n)
      .map_batches(gen, batch_format="pyarrow", batch_size=2048)
-     .write_parquet(tmp))
+     .write_parquet(tmp, min_rows_per_file=rows_per_file,
+                    max_rows_per_file=rows_per_file))
     os.rename(tmp, uri)
     with open(marker, "w") as f:
         f.write(str(n))

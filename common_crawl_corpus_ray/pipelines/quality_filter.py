@@ -90,6 +90,18 @@ class AttachDecisions:
         return batch
 
 
+def decide_from_scored(scored_ds, slim_ds=None, batch_size: int = 1024):
+    """Phases B+C from an already-scored dataset (in-memory materialized or
+    a checkpoint read): dedup + per-lang stats shuffles over the slim
+    projection, then the broadcast decision pass."""
+    slim = slim_ds if slim_ds is not None else scored_ds.select_columns(SLIM_COLUMNS)
+    dupmap = dup_winner_map(slim)
+    dupmap_ref = ray.put(dupmap)
+    stats = lang_stats(slim, dupmap_ref)
+    dec = decide(scored_ds, dupmap, stats, batch_size)
+    return dec.select_columns(DECISION_COLUMNS)
+
+
 def decisions(clips_ds, checkpoint_uri: str | None = None,
               scorer_concurrency=(2, 8), batch_size: int = 1024,
               slim_ds=None):
@@ -113,11 +125,7 @@ def decisions(clips_ds, checkpoint_uri: str | None = None,
         scored = scored.materialize()
         slim = scored.select_columns(SLIM_COLUMNS)
 
-    dupmap = dup_winner_map(slim)
-    dupmap_ref = ray.put(dupmap)
-    stats = lang_stats(slim, dupmap_ref)
-    dec = decide(scored, dupmap, stats, batch_size)
-    return dec.select_columns(DECISION_COLUMNS)
+    return decide_from_scored(scored, slim, batch_size)
 
 
 def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = None,
