@@ -83,6 +83,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = C.mutated_docs(sf_dir)
         return dedup_family.simhash_dedup_pairs(ds, "doc_id", "text", max_hamming=8)
 
+    def ngram_jaccard(sf_dir: str):
+        ds = C.mutated_docs(sf_dir)
+        return dedup_family.ngram_jaccard_pairs(ds, "doc_id", "text",
+                                                n=3, threshold=0.5)
+
+    def embed_dup(sf_dir: str, lsh: bool = False):
+        ds = C.planted_embeddings(sf_dir)
+        fn = dedup_family.embedding_dup_pairs_lsh if lsh \
+            else dedup_family.embedding_dup_pairs
+        return fn(ds, "vec_id", "embedding", threshold=0.99)
+
+    def ivf(sf_dir: str):
+        import ray.data as rd
+        import pyarrow.compute as pc
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        q = t.filter(pc.less(t["vec_id"], A.ANN_NUM_QUERIES))
+        qids = q["vec_id"].to_numpy(zero_copy_only=False)
+        qmat = np.stack([np.asarray(e, dtype=np.float64)
+                         for e in q["embedding"].to_pylist()])
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        return ann.ivf_topk(ds, qids, qmat, k=A.ANN_K)
+
     return {
         # --- scrub / rules / scalar functions (M7-M18, SURVEY 2.2/2.8) ---
         "scrub_regex": A.scrub_docs,
@@ -96,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_none": A.exact_dedup_none,
         "minhash_dedup": minhash,
         "simhash_dedup": simhash,
+        "ngram_jaccard_dedup": ngram_jaccard,
+        "embedding_dup_exact": embed_dup,
+        "embedding_dup_lsh": lambda sf: embed_dup(sf, lsh=True),
         # --- aggregations / groupbys (G1-G6) ---
         "pages_group": A.pages_group,
         "lang_rollup": A.lang_rollup,
@@ -112,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine_topk": ann_query,
         "ann_lsh_topk": lambda sf: ann_query(sf, approximate=True),
+        "ann_ivf_topk": ivf,
         # --- models / multimodal / flagship ---
         "lid_documents": C.lid_documents,
         "audio_decode_stats": C.audio_decode_stats,
@@ -137,6 +165,51 @@ QUALIFY row_number() OVER (
     ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC, vec_id
 ) <= {A.ANN_K}"""
 
+    # mutated_docs fixture (clips_queries.mutated_docs) expressed in SQL:
+    # docs UNION near-dup copies of doc_id<50 with the 4th word replaced
+    ngram_jaccard_sql = r"""
+WITH mutsrc AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 50
+), mut AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN len(w) > 4
+              THEN array_to_string(w[1:3], ' ') || ' mutated ' || array_to_string(w[5:], ' ')
+              ELSE array_to_string(w, ' ') END AS text
+  FROM mutsrc
+), docs AS (
+  SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM mut
+), wt AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM docs
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+        FROM wt)
+), cnt AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, co * 1.0 / (ca.c + cb.c - co) AS jaccard
+FROM co JOIN cnt ca ON ca.doc_id = co.id_a JOIN cnt cb ON cb.doc_id = co.id_b
+WHERE co * 1.0 / (ca.c + cb.c - co) >= 0.5"""
+
+    # planted_embeddings fixture in SQL: exact copies of vec_id<20
+    embed_dup_sql = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id < 20
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.99"""
+
     return {
         "scrub_regex": A.scrub_docs_sql(),
         "heuristic_rules": A.heuristic_rules_sql(),
@@ -157,7 +230,10 @@ QUALIFY row_number() OVER (
         "events_window": A.events_window_sql(),
         "sessionize": A.sessionize_sql(),
         "ann_cosine_topk": ann_sql,
-        # minhash_dedup / simhash_dedup / ann_lsh_topk / lid_documents /
-        # audio_decode_stats / clips_pipeline: not SQL-expressible
-        # (models, LSH, audio) -> driver records rows-only checks.
+        "ngram_jaccard_dedup": ngram_jaccard_sql,
+        "embedding_dup_exact": embed_dup_sql,
+        # minhash_dedup / simhash_dedup / embedding_dup_lsh / ann_lsh_topk /
+        # ann_ivf_topk / lid_documents / audio_decode_stats / clips_pipeline:
+        # not SQL-expressible (models, LSH/IVF approximations, audio) ->
+        # driver records rows-only checks.
     }

@@ -167,3 +167,21 @@ def mutated_docs(sf_dir: str, n_mutate: int = 50):
                          "text": pa.array(texts, pa.string())})
 
     return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))
+
+
+def planted_embeddings(sf_dir: str, n_plant: int = 20):
+    """embeddings UNION exact copies of the first n_plant vectors under new
+    ids — fixture for the embedding-cosine near-dup detectors (the copies
+    are cos=1.0 planted pairs; SQL-expressible for the oracle)."""
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = b.filter(pc.less(b["vec_id"], n_plant))
+        return pa.table({
+            "vec_id": pc.add(m["vec_id"], 1_000_000),
+            "embedding": m["embedding"]})
+
+    return ds.union(ds.map_batches(plant, batch_format="pyarrow"))

@@ -98,3 +98,74 @@ def lsh_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
            .groupby("query_id").head(k).reset_index(drop=True))
     out["sim"] = out["sim"].round(4)
     return out[["query_id", "neighbor_id", "sim"]]
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8,
+            seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (coarse quantizer
+    training is always sample-based, even at 10^12 rows)."""
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                              replace=False)]
+    for _ in range(iters):
+        d = sample @ cents.T                   # cosine on normalized rows
+        assign = np.argmax(d, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-30)
+    return cents
+
+
+def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, sample_size: int = 4096,
+             seed: int = 42):
+    """IVF approximate top-k: vectors are assigned to their nearest coarse
+    centroid; each query scans only rows belonging to its nprobe nearest
+    centroids. Centroids are trained on a driver-side sample and broadcast;
+    the scan itself stays one numpy matmul per batch over the probed subset.
+    """
+    import ray
+    qn = _normalize(query_mat)
+
+    # sample-based coarse quantizer (deterministic: first sample_size rows)
+    sample = _normalize(_to_matrix(
+        pa.concat_tables(
+            b.select(["embedding"]) for b in
+            ds.limit(sample_size).iter_batches(batch_size=sample_size,
+                                               batch_format="pyarrow")
+        )["embedding"]))
+    cents = _kmeans(sample, n_centroids, seed=seed)
+    q_probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]   # [n_q, nprobe]
+    side = ray.put((query_ids, qn, cents, q_probe))
+
+    def partial(b: pa.Table) -> pa.Table:
+        qids, qmat, cc, probe = ray.get(side)
+        vids = b["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(b["embedding"]))
+        assign = np.argmax(m @ cc.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(assign, probe[qi])
+            if not mask.any():
+                continue
+            sims = qmat[qi] @ m[mask].T
+            sub_ids = vids[mask]
+            kk = min(k + 1, sims.size)
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            for j in idx:
+                if sub_ids[j] != qids[qi]:
+                    out_q.append(qids[qi]); out_v.append(sub_ids[j]); out_s.append(sims[j])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+    out = (partials.sort_values(["query_id", "sim", "neighbor_id"],
+                                ascending=[True, False, True])
+           .groupby("query_id").head(k).reset_index(drop=True))
+    out["sim"] = out["sim"].round(4)
+    return out[["query_id", "neighbor_id", "sim"]]

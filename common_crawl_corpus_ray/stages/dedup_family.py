@@ -182,3 +182,146 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
     return (pairs.drop_duplicates(["id_a", "id_b"])
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# --- exact n-gram Jaccard --------------------------------------------------
+
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    w = text.split()
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
+                        threshold: float = 0.5) -> pd.DataFrame:
+    """Exact word-n-gram Jaccard near-dup via a distributed inverted index.
+
+    Shuffle shape: explode each doc to distinct (shingle, id) rows;
+    ``groupby(shingle)`` posting lists emit co-occurring id pairs; a second
+    ``groupby(pair)`` counts intersections; per-doc shingle counts are a
+    tiny side table broadcast for the final |A|+|B|-co denominator. At
+    scale, super-common shingles need a posting-list cap (df limit) —
+    uncapped here because the oracle SQL has no cap either.
+    """
+    import ray
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for sh in word_ngrams(t, n):
+                ids.append(i)
+                shs.append(sh)
+        return pa.table({"id": pa.array(ids), "sh": pa.array(shs, pa.string())})
+
+    sh_ds = ds.map_batches(explode, batch_format="pyarrow")
+
+    # per-doc shingle counts (small: one row per doc)
+    counts = {r["id"]: r["count()"] for r in
+              sh_ds.groupby("id").count().take_all()}
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        rows = [(ids[i], ids[j]) for i in range(len(ids))
+                for j in range(i + 1, len(ids))]
+        return pd.DataFrame(rows, columns=["id_a", "id_b"])
+
+    co = (sh_ds.groupby("sh").map_groups(emit_pairs, batch_format="pandas")
+          .groupby(["id_a", "id_b"]).count())
+
+    rows = []
+    for r in co.take_all():
+        a, b, c = r["id_a"], r["id_b"], r["count()"]
+        j = c / (counts[a] + counts[b] - c)   # unrounded: int ratio is
+        if j >= threshold:                    # bit-identical in SQL too
+            rows.append((a, b, j))
+    return (pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            if rows else pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                       "id_b": pd.Series([], dtype="int64"),
+                                       "jaccard": pd.Series([], dtype="float64")}))
+
+
+# --- embedding-cosine near-dup --------------------------------------------
+
+def _embed_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _l2norm(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                        threshold: float = 0.99) -> pd.DataFrame:
+    """Exact cosine near-dup pairs: the (normalized) full matrix is broadcast
+    once via ray.put and every batch does one matmul against it — correct
+    baseline for oracle parity. ``embedding_dup_pairs_lsh`` is the scale
+    path (bucketed, no broadcast of the full matrix)."""
+    import ray
+    t = pa.concat_tables(b for b in ds.iter_batches(batch_size=65536,
+                                                    batch_format="pyarrow"))
+    all_ids = t[id_col].to_numpy(zero_copy_only=False)
+    all_m = _l2norm(_embed_matrix(t[vec_col]))
+    side = ray.put((all_ids, all_m))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(side)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        m = _l2norm(_embed_matrix(b[vec_col]))
+        sims = m @ m_all.T
+        bi, aj = np.nonzero(sims >= threshold)
+        keep = ids[bi] < ids_all[aj]          # one direction, no self
+        return pa.table({
+            "id_a": pa.array(ids[bi][keep], pa.int64()),
+            "id_b": pa.array(ids_all[aj][keep], pa.int64()),
+            "sim": pa.array(np.round(sims[bi, aj][keep], 4), pa.float64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.99, n_planes: int = 6,
+                            seed: int = 42) -> pd.DataFrame:
+    """Scale path: random-hyperplane bucket signature -> groupby(bucket) ->
+    within-bucket pairwise cosine. Only the shuffle of (bucket, id, vec)
+    rows moves data; no full-matrix broadcast. Near-identical vectors land
+    in the same bucket with high probability (they agree on every plane
+    unless one lies within epsilon of a boundary)."""
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        rng = np.random.default_rng(seed)
+        m = _embed_matrix(b[vec_col])
+        planes = rng.standard_normal((m.shape[1], n_planes))
+        sig = ((_l2norm(m) @ planes > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+        return pa.table({"bucket": pa.array(sig, pa.int64()),
+                         "id": b[id_col],
+                         "vec": b[vec_col]})
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy()
+        m = _l2norm(np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]]))
+        sims = m @ m.T
+        ai, bj = np.nonzero(sims >= threshold)
+        keep = ids[ai] < ids[bj]
+        return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bj][keep],
+                             "sim": np.round(sims[ai, bj][keep], 4)})
+
+    out = (ds.map_batches(to_buckets, batch_format="pyarrow")
+           .groupby("bucket").map_groups(in_bucket, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
+    return (out.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))

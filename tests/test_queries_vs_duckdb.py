@@ -54,6 +54,7 @@ SQL_QUERIES = [
     "pages_group", "lang_rollup", "domain_stats", "median_mad",
     "sample_chunks", "zscore_outliers", "top_longest", "semi_anti_join",
     "events_window", "sessionize", "ann_cosine_topk",
+    "ngram_jaccard_dedup", "embedding_dup_exact",
 ]
 
 
@@ -75,7 +76,8 @@ def test_query_matches_oracle(entry_mod, con, name):
             assert not mism.any(), f"{c}: {got[c][mism].head(3)} vs {want[c][mism].head(3)}"
 
 
-ROWS_ONLY = ["minhash_dedup", "simhash_dedup", "ann_lsh_topk", "lid_documents"]
+ROWS_ONLY = ["minhash_dedup", "simhash_dedup", "ann_lsh_topk", "lid_documents",
+             "embedding_dup_lsh", "ann_ivf_topk"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
@@ -89,8 +91,12 @@ def test_rows_only_queries_run(entry_mod, name):
         assert planted >= 45, f"{name} recovered only {planted}/50 planted pairs"
     if name == "lid_documents":
         assert len(res) == 500 and set(res.columns) == {"doc_id", "lang_pred"}
-    if name == "ann_lsh_topk":
+    if name in ("ann_lsh_topk", "ann_ivf_topk"):
         assert set(res.columns) == {"query_id", "neighbor_id", "sim"}
+    if name == "embedding_dup_lsh":
+        # the 20 planted exact copies (id, id+1e6, sim=1.0) must be found
+        planted = ((res["id_b"] - res["id_a"]) == 1_000_000).sum()
+        assert planted >= 18, f"recovered only {planted}/20 planted copies"
 
 
 def test_entry_smoke(entry_mod):
