@@ -107,6 +107,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["vec_id", "embedding"])
         return ann.ivf_topk(ds, qids, qmat, k=A.ANN_K)
 
+    def images_ds(sf_dir: str, n: int = 200):
+        import ray.data as rd
+        from common_crawl_corpus_ray.stages import multimodal as mm
+        return rd.from_arrow(mm.synth_images([f"img-{i:05d}" for i in range(n)]))
+
+    def image_resize(sf_dir: str):
+        from common_crawl_corpus_ray.stages import multimodal as mm
+        return images_ds(sf_dir).map_batches(
+            mm.ImageDecodeResize, batch_format="pyarrow", batch_size=64,
+            fn_constructor_args=(16, 16), concurrency=(1, 4), num_cpus=1)
+
+    def image_features(sf_dir: str):
+        from common_crawl_corpus_ray.stages import multimodal as mm
+        return images_ds(sf_dir).map_batches(
+            mm.ImageFeatures, batch_format="pyarrow", batch_size=64,
+            concurrency=(1, 4), num_cpus=1)
+
+    def video_frames(sf_dir: str):
+        import ray.data as rd
+        from common_crawl_corpus_ray.stages import multimodal as mm
+        ds = rd.from_arrow(mm.synth_videos(
+            [f"v-{i:05d}" for i in range(100)]))
+        return ds.map_batches(mm.FrameSample, batch_format="pyarrow",
+                              batch_size=16, fn_constructor_args=(4,),
+                              concurrency=(1, 4), num_cpus=1)
+
     return {
         # --- scrub / rules / scalar functions (M7-M18, SURVEY 2.2/2.8) ---
         "scrub_regex": A.scrub_docs,
@@ -143,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- models / multimodal / flagship ---
         "lid_documents": C.lid_documents,
         "audio_decode_stats": C.audio_decode_stats,
+        "image_resize": image_resize,
+        "image_features": image_features,
+        "video_frame_sample": video_frames,
         "clips_pipeline": C.clips_pipeline,
     }
 

@@ -391,19 +391,31 @@ def events_window_sql() -> str:
 
 
 def sessionize(sf_dir: str):
-    """Stream-shaped: 30-min-gap sessionization per user
-    (groupby(key).map_groups over ts-sorted groups)."""
+    """Stream-shaped: 30-min-gap sessionization per user. Users are grouped
+    into coarse hash buckets (one map_groups call per bucket, not per user —
+    per-group Python overhead would be unusable at real user cardinality);
+    inside a bucket the session count is one vectorized pandas pass over
+    all users at once."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.bit_wise_and(b["user_id"], 63), pa.int64())
+        return b.append_column("bucket", bucket)
 
     def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds().fillna(np.inf)
-        n_sessions = int((gaps > SESSION_GAP_S).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [n_sessions],
-                             "n_events": [len(g)]})
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_session = new_user | (gaps > SESSION_GAP_S)
+        return (g.assign(ns=new_session)
+                .groupby("user_id", sort=False)
+                .agg(n_sessions=("ns", "sum"), n_events=("ns", "size"))
+                .reset_index()
+                .astype({"n_sessions": "int64", "n_events": "int64"}))
 
     return (_read(sf_dir, "events", ["user_id", "event_id", "ts"])
-            .groupby("user_id").map_groups(f, batch_format="pandas"))
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket").map_groups(f, batch_format="pandas")
+            .select_columns(["user_id", "n_sessions", "n_events"]))
 
 
 def sessionize_sql() -> str:

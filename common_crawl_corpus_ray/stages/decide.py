@@ -43,20 +43,21 @@ def _rules_pass_pairs(batch: pa.Table) -> pa.Table:
 
 
 def dup_winner_map(scored_ds) -> dict[int, str]:
-    """{text_hash: winning clip_id} for duplicate groups only (count > 1)."""
+    """{text_hash: winning clip_id} for duplicate groups only (count > 1).
+
+    Native vectorized ``aggregate`` (hash-based), NOT ``map_groups``:
+    map_groups costs ~1ms of Python per group, which at one group per
+    distinct text is minutes at 10^5 rows and unusable beyond (measured
+    47.6s vs 6.3s on 43k groups in this sandbox)."""
+    from ray.data.aggregate import Min, Sum
+
     partials = scored_ds.map_batches(_rules_pass_pairs, batch_format="pyarrow")
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        n = int(group["n"].sum())
-        if n <= 1:
-            return pd.DataFrame({"text_hash": [], "winner": []})
-        return pd.DataFrame({"text_hash": [group["text_hash"].iloc[0]],
-                             "winner": [group["min_id"].min()]})
-
-    dups = partials.groupby("text_hash").map_groups(merge, batch_format="pandas")
+    agg = partials.groupby("text_hash").aggregate(Min("min_id"), Sum("n"))
     out = {}
-    for b in dups.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        out.update(zip(b["text_hash"].to_pylist(), b["winner"].to_pylist()))
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        import pyarrow.compute as pc
+        dup = b.filter(pc.greater(b["sum(n)"], 1))
+        out.update(zip(dup["text_hash"].to_pylist(), dup["min(min_id)"].to_pylist()))
     return out
 
 

@@ -75,38 +75,81 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
         return pa.table({"id": pa.array(ids), "band": pa.array(band_ids, pa.int32()),
                          "bh": pa.array(band_hashes, pa.int64())})
 
+    # group into P coarse buckets, NOT one map_groups call per (band, bh):
+    # map_groups costs ~1ms/group, and there is ~one group per doc*band.
+    # Inside a bucket the per-key self-merge is one vectorized pandas join.
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["a", "b"])
+        m = g.merge(g, on=["band", "bh"])
+        m = m[m["id_x"] < m["id_y"]]
+        return (m[["id_x", "id_y"]].drop_duplicates()
+                .rename(columns={"id_x": "a", "id_y": "b"}))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = (np.abs(b["bh"].to_numpy() * 31 + b["band"].to_numpy()) %
+                  _PAIR_BUCKETS)
+        return b.append_column("bucket", pa.array(bucket, pa.int64()))
 
     pairs_ds = (ds.map_batches(to_bands, batch_format="pyarrow")
-                .groupby(["band", "bh"]).map_groups(emit_pairs, batch_format="pandas"))
+                .map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bucket").map_groups(emit_pairs, batch_format="pandas"))
     out = set()
     for row in pairs_ds.take_all():
         out.add((row["a"], row["b"]))
     return out
 
 
+_PAIR_BUCKETS = 64
+
+
 def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
-                        num_perm: int = 64, bands: int = 16) -> pd.DataFrame:
-    """Full near-dup: LSH candidates, exact-Jaccard verified >= threshold."""
+                        num_perm: int = 64, bands: int = 8) -> pd.DataFrame:
+    """Full near-dup: LSH candidates, exact-Jaccard verified >= threshold.
+
+    Banding default is 8 bands x 8 rows: the LSH S-curve midpoint
+    (1/b)^(1/r) ~= 0.77, so near-identical dups are caught w.p. >0.98 while
+    unrelated same-vocabulary docs (word-salad J ~ 0.2-0.3) almost never
+    become candidates — with 16x4 banding the candidate set exploded to
+    ~10% of all pairs on the synthetic corpus and verification dominated.
+    The verify itself runs distributed: candidate pairs become a Dataset,
+    shingle sets of the involved docs are broadcast once (ray.put), and
+    each batch verifies its pairs with vectorized set intersections.
+    """
+    import ray
+    import ray.data as rd
     cands = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
     if not cands:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     need = {i for p in cands for i in p}
-    texts = _collect_texts(ds, id_col, text_col, need)
-    rows = []
-    for x, y in sorted(cands):
-        j = jaccard(texts[x], texts[y])
-        if j >= threshold:
-            rows.append((x, y, round(j, 3)))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    shingles = _collect_shingles(ds, id_col, text_col, need)
+    sh_ref = ray.put(shingles)
+
+    arr = np.array(sorted(cands))
+    pairs_ds = rd.from_arrow(pa.table({"a": pa.array(arr[:, 0]),
+                                       "b": pa.array(arr[:, 1])}))
+
+    def verify(b: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+            sa, sb = sh[x], sh[y]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                out_a.append(x); out_b.append(y); out_j.append(round(j, 3))
+        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    out = pairs_ds.map_batches(verify, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def _collect_texts(ds, id_col: str, text_col: str, need: set) -> dict:
+def _collect_shingles(ds, id_col: str, text_col: str, need: set,
+                      k: int = 5) -> dict:
+    """{id: sorted unique shingle-hash array} for the candidate docs only."""
     import ray
     need_ref = ray.put(need)
 
@@ -118,7 +161,8 @@ def _collect_texts(ds, id_col: str, text_col: str, need: set) -> dict:
     t = {}
     for b in ds.map_batches(f, batch_format="pyarrow").iter_batches(
             batch_size=4096, batch_format="pyarrow"):
-        t.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+        for i, txt in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            t[i] = np.unique(_shingle_hashes(txt, k))
     return t
 
 
@@ -164,19 +208,27 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
                          "sig": pa.array([int(x) for x in sigs], pa.uint64())})
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("id").sort_values("id")
-        ids = g["id"].tolist()
-        sigs = g["sig"].tolist()
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(int(sigs[i]), int(sigs[j]))
-                if d <= max_hamming:
-                    rows.append((ids[i], ids[j], d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+        # bucketed: one vectorized self-merge per coarse bucket (see
+        # minhash_candidate_pairs for why not one group per (chunk, cv))
+        m = g.merge(g, on=["chunk", "cv"])
+        m = m[m["id_x"] < m["id_y"]].drop_duplicates(["id_x", "id_y"])
+        if m.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ham = [hamming64(int(x), int(y))
+               for x, y in zip(m["sig_x"], m["sig_y"])]
+        m = m.assign(hamming=ham)
+        m = m[m["hamming"] <= max_hamming]
+        return (m[["id_x", "id_y", "hamming"]]
+                .rename(columns={"id_x": "id_a", "id_y": "id_b"}))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = (np.abs(b["cv"].to_numpy() * 7 + b["chunk"].to_numpy()) %
+                  _PAIR_BUCKETS)
+        return b.append_column("bucket", pa.array(bucket, pa.int64()))
 
     pairs = (ds.map_batches(to_chunks, batch_format="pyarrow")
-             .groupby(["chunk", "cv"]).map_groups(emit_pairs, batch_format="pandas")
+             .map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
              .to_pandas())
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
@@ -218,29 +270,49 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     counts = {r["id"]: r["count()"] for r in
               sh_ds.groupby("id").count().take_all()}
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        rows = [(ids[i], ids[j]) for i in range(len(ids))
-                for j in range(i + 1, len(ids))]
-        return pd.DataFrame(rows, columns=["id_a", "id_b"])
+    # bucket shingles coarsely (deterministic crc32) so pair emission is a
+    # vectorized self-merge per bucket, not one Python call per shingle
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import zlib
+        bucket = np.fromiter((zlib.crc32(s.encode("utf-8")) % _PAIR_BUCKETS
+                              for s in b["sh"].to_pylist()),
+                             dtype=np.int64, count=b.num_rows)
+        return b.append_column("bucket", pa.array(bucket, pa.int64()))
 
-    co = (sh_ds.groupby("sh").map_groups(emit_pairs, batch_format="pandas")
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="sh")
+        m = m[m["id_x"] < m["id_y"]]
+        return m[["id_x", "id_y"]].rename(columns={"id_x": "id_a",
+                                                   "id_y": "id_b"})
+
+    co = (sh_ds.map_batches(add_bucket, batch_format="pyarrow")
+          .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
           .groupby(["id_a", "id_b"]).count())
 
-    rows = []
-    for r in co.take_all():
-        a, b, c = r["id_a"], r["id_b"], r["count()"]
-        j = c / (counts[a] + counts[b] - c)   # unrounded: int ratio is
-        if j >= threshold:                    # bit-identical in SQL too
-            rows.append((a, b, j))
-    return (pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
-            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
-            if rows else pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                       "id_b": pd.Series([], dtype="int64"),
-                                       "jaccard": pd.Series([], dtype="float64")}))
+    # final jaccard + threshold filter stays distributed: the candidate
+    # pair-count table is ~quadratic in natural shingle overlap (1M+ rows
+    # on the synthetic corpus) and must not be row-looped on the driver.
+    counts_ref = ray.put(counts)
+
+    def jfilter(b: pa.Table) -> pa.Table:
+        cmap = ray.get(counts_ref)
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        c = b["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = np.fromiter((cmap[x] for x in a), dtype=np.float64, count=len(a))
+        cb = np.fromiter((cmap[x] for x in bb), dtype=np.float64, count=len(bb))
+        j = c / (ca + cb - c)                 # unrounded: int ratio is
+        keep = j >= threshold                 # bit-identical in SQL too
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(bb[keep], pa.int64()),
+                         "jaccard": pa.array(j[keep], pa.float64())})
+
+    out = co.map_batches(jfilter, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # --- embedding-cosine near-dup --------------------------------------------
