@@ -99,6 +99,9 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
 
 
 _PAIR_BUCKETS = 64
+# candidate-pair count below which Jaccard verification runs on the driver
+# (vectorized) instead of as a separate distributed Ray job
+_DRIVER_VERIFY_MAX = 50_000
 
 
 def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
@@ -121,16 +124,11 @@ def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     need = {i for p in cands for i in p}
     shingles = _collect_shingles(ds, id_col, text_col, need)
-    sh_ref = ray.put(shingles)
-
     arr = np.array(sorted(cands))
-    pairs_ds = rd.from_arrow(pa.table({"a": pa.array(arr[:, 0]),
-                                       "b": pa.array(arr[:, 1])}))
 
-    def verify(b: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
+    def verify_pairs(av, bv, sh) -> pa.Table:
         out_a, out_b, out_j = [], [], []
-        for x, y in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+        for x, y in zip(av, bv):
             sa, sb = sh[x], sh[y]
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
@@ -140,8 +138,22 @@ def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
         return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
                          "jaccard": pa.array(out_j, pa.float64())})
 
-    out = pairs_ds.map_batches(verify, batch_format="pyarrow",
-                               batch_size=8192).to_pandas()
+    if len(arr) <= _DRIVER_VERIFY_MAX:
+        # small candidate set: verifying on the driver avoids a whole Ray
+        # job (the pair list and its shingles are already driver-resident
+        # from the collect step)
+        out = verify_pairs(arr[:, 0], arr[:, 1], shingles).to_pandas()
+    else:
+        sh_ref = ray.put(shingles)
+        pairs_ds = rd.from_arrow(pa.table({"a": pa.array(arr[:, 0]),
+                                           "b": pa.array(arr[:, 1])}))
+
+        def verify(b: pa.Table) -> pa.Table:
+            return verify_pairs(b["a"].to_pylist(), b["b"].to_pylist(),
+                                ray.get(sh_ref))
+
+        out = pairs_ds.map_batches(verify, batch_format="pyarrow",
+                                   batch_size=8192).to_pandas()
     if out.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
