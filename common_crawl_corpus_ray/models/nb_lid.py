@@ -46,11 +46,33 @@ class NBLid:
         return cls(labels, W.astype(np.float32))
 
     def predict(self, texts: list[str]) -> list[str]:
-        out = []
-        for t in texts:
-            h = _gram_ids(t)
-            if h.size == 0:
-                out.append("ukn")
+        """Batch prediction, vectorized like FastLid.predict: one utf-32
+        decode of the whole batch, boundary-masked gram ids, one weighted
+        ``bincount`` per language; empty texts stay "ukn"."""
+        T = len(texts)
+        if T == 0:
+            return []
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=T)
+        cps = np.frombuffer("".join(texts).encode("utf-32-le"),
+                            dtype=np.uint32).astype(np.int64)
+        if cps.size == 0:
+            return ["ukn"] * T
+        seg = np.repeat(np.arange(T, dtype=np.int64), lens)
+
+        grams = [(cps, seg)]
+        if cps.size >= 2:
+            m = seg[:-1] == seg[1:]
+            grams.append(((cps[:-1] * 1114112 + cps[1:] + (1 << 50))[m],
+                          seg[:-1][m]))
+
+        W = self.W
+        scores = np.zeros((T, W.shape[0]), dtype=np.float64)
+        for ids, gs in grams:
+            if ids.size == 0:
                 continue
-            out.append(self.labels[int(np.argmax(self.W[:, h].sum(axis=1)))])
-        return out
+            h = ((ids * _MULT) >> 7) & (_B - 1)
+            for li in range(W.shape[0]):
+                scores[:, li] += np.bincount(gs, weights=W[li, h], minlength=T)
+        best = np.argmax(scores, axis=1)
+        labels = self.labels
+        return [labels[b] if n else "ukn" for b, n in zip(best, lens)]

@@ -79,7 +79,9 @@ class NGramLM:
         a = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
         if a.size == 0:
             return 0.0
-        lp = float(self.p1[a[:min(2, a.size)]].sum())   # first (up to) 2 bytes: unigram
+        # first (up to) 2 bytes: unigram; float64 accumulation to match
+        # logprob_batch's bincount numerics
+        lp = float(self.p1[a[:min(2, a.size)]].astype(np.float64).sum())
         if a.size < 3:
             return lp
         q3 = _keys(a, 3)
@@ -88,4 +90,39 @@ class NGramLM:
         v2, f2 = self._lookup(q2, self.k2, self.p2)
         v1 = self.p1[a[2:]]
         p = np.where(f3, v3, _BACKOFF + np.where(f2, v2, _BACKOFF + v1))
-        return lp + float(p.sum())
+        # p stays float32 (numpy scalar+array promotion); accumulate in
+        # float64 to match logprob_batch
+        return lp + float(p.astype(np.float64).sum())
+
+    def logprob_batch(self, texts: list[str]) -> np.ndarray:
+        """Vectorized ``logprob`` over a batch: one pass of searchsorted
+        lookups over all texts' trigram/bigram queries at once, per-text
+        sums via weighted ``bincount`` on the segment ids. Matches the
+        per-text path up to float summation order (~1e-12 relative)."""
+        T = len(texts)
+        out = np.zeros(T, dtype=np.float64)
+        if T == 0:
+            return out
+        enc = [t.encode("utf-8") for t in texts]
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=T)
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
+        if buf.size == 0:
+            return out
+        seg = np.repeat(np.arange(T, dtype=np.int64), lens)
+        pos = np.arange(buf.size, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+
+        head = pos < 2                      # first (up to) 2 bytes: unigram
+        out += np.bincount(seg[head], weights=self.p1[buf[head]].astype(np.float64),
+                           minlength=T)
+        tail = pos >= 2                     # trigram positions with backoff
+        if tail.any():
+            i = np.nonzero(tail)[0]
+            q3 = buf[i - 2] * 65536 + buf[i - 1] * 256 + buf[i]
+            q2 = buf[i - 1] * 256 + buf[i]
+            v3, f3 = self._lookup(q3, self.k3, self.p3)
+            v2, f2 = self._lookup(q2, self.k2, self.p2)
+            v1 = self.p1[buf[i]]
+            p = np.where(f3, v3, _BACKOFF + np.where(f2, v2, _BACKOFF + v1))
+            out += np.bincount(seg[i], weights=p.astype(np.float64), minlength=T)
+        return out

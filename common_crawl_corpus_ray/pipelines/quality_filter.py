@@ -57,12 +57,22 @@ def score(ds, scorer_concurrency=(2, 8), batch_size: int = 1024):
                          num_cpus=1))
 
 
+def _cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
 def decide(scored_ds, dupmap: dict, stats: dict, batch_size: int = 1024):
-    """Phase C: final decision with broadcast dup map + per-lang stats."""
+    """Phase C: final decision with broadcast dup map + per-lang stats.
+    Actor-pool width follows the cluster CPU count — a fixed cap starves
+    this phase on larger clusters."""
     dupmap_ref = ray.put(dupmap)
     return scored_ds.map_batches(
         DecideStage, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_args=(dupmap_ref, stats), concurrency=(1, 8), num_cpus=1)
+        fn_constructor_args=(dupmap_ref, stats),
+        concurrency=(1, max(8, _cluster_cpus() - 2)), num_cpus=1)
 
 
 class AttachDecisions:
@@ -123,7 +133,11 @@ def decisions(clips_ds, checkpoint_uri: str | None = None,
         slim = lancelite.read(checkpoint_uri, columns=SLIM_COLUMNS)
     else:
         scored = scored.materialize()
-        slim = scored.select_columns(SLIM_COLUMNS)
+        # materialize the slim projection once (~15% of scored's bytes):
+        # both wide passes (dedup partials + lang stats) consume it, and
+        # re-projecting the fat scored table per pass costs two extra
+        # full scans of the transcript columns
+        slim = scored.select_columns(SLIM_COLUMNS).materialize()
 
     return decide_from_scored(scored, slim, batch_size)
 
@@ -143,7 +157,8 @@ def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = Non
         dec_ref = ray.put(dec_df)
         final = clips_ds.map_batches(
             AttachDecisions, batch_format="pyarrow", batch_size=batch_size,
-            fn_constructor_args=(dec_ref,), concurrency=(1, 8), num_cpus=1,
+            fn_constructor_args=(dec_ref,),
+            concurrency=(1, max(8, _cluster_cpus() - 2)), num_cpus=1,
         ).select_columns(FINAL_COLUMNS)
     if final_uri is not None:
         lancelite.write_dataset(final, final_uri)

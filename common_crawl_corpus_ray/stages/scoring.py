@@ -40,9 +40,14 @@ class TranscriptScorer:
                  for s, ln in zip(sec, lens)]
         agree = [a == b for a, b in zip(lang, lang2)]
 
+        # perplexity LM is per predicted language: batch-score each
+        # language's texts in one vectorized call instead of per row
         lms = self.lms
-        log_prob = np.array([lms[l].logprob(t) for l, t in zip(lang, texts)],
-                            dtype=np.float64)
+        lang_arr = np.asarray(lang, dtype=object)
+        log_prob = np.zeros(len(texts), dtype=np.float64)
+        for l in set(lang):
+            idx = np.nonzero(lang_arr == l)[0]
+            log_prob[idx] = lms[l].logprob_batch([texts[i] for i in idx])
         n_words = batch["n_words"].to_numpy(zero_copy_only=False).astype(np.float64)
         ppl = log_prob / np.maximum(n_words, 1.0)
 
