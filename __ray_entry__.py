@@ -152,12 +152,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- aggregations / groupbys (G1-G6) ---
         "pages_group": A.pages_group,
         "lang_rollup": A.lang_rollup,
+        "partition_rollup": A.partition_rollup,
         "domain_stats": A.domain_stats,
         "median_mad": A.median_mad,
         "sample_chunks": A.sample_chunks,
         # --- outlier cut / sorts / joins (O1-O4, J1-J5, M3/M4) ---
         "zscore_outliers": A.zscore_outliers,
         "top_longest": A.top_longest,
+        "seeded_sample": A.seeded_sample,
         "semi_anti_join": A.semi_anti_join,
         # --- stream-shaped ---
         "events_window": A.events_window,
@@ -250,11 +252,13 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.99"""
         "exact_dedup_none": A.exact_dedup_none_sql(),
         "pages_group": A.pages_group_sql(),
         "lang_rollup": A.lang_rollup_sql(),
+        "partition_rollup": A.partition_rollup_sql(),
         "domain_stats": A.domain_stats_sql(),
         "median_mad": A.median_mad_sql(),
         "sample_chunks": A.sample_chunks_sql(),
         "zscore_outliers": A.zscore_outliers_sql(),
         "top_longest": A.top_longest_sql(),
+        "seeded_sample": A.seeded_sample_sql(),
         "semi_anti_join": A.semi_anti_join_sql(),
         "events_window": A.events_window_sql(),
         "sessionize": A.sessionize_sql(),

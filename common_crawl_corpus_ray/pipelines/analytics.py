@@ -218,6 +218,38 @@ def lang_rollup_sql() -> str:
             "FROM documents GROUP BY lang")
 
 
+def partition_rollup(sf_dir: str, num_partitions: int = 16):
+    """G5 + SURVEY.md 1.2 rollup table: per-(lang, partition_id) corpus
+    stats over salted partition ids (hash(doc_id + salt) % P — the skew
+    breaker of SURVEY.md 4.1, ≙ the reference's country-level rollups).
+    Pre-aggregated per block so the shuffle moves one row per (lang, pid)
+    per block, never per doc."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        pid = pa.array(
+            md5_i64_array([f"{i}:s0" for i in b["doc_id"].to_pylist()])
+            .to_numpy() % num_partitions, pa.int64())
+        t = pa.table({"lang": b["lang"], "partition_id": pid,
+                      "n_chars": b["n_chars"]})
+        g = t.group_by(["lang", "partition_id"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["lang", "partition_id", "n", "chars"])
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "partition_id"])
+            .aggregate(Sum("n", alias_name="n_docs"),
+                       Sum("chars", alias_name="total_chars")))
+
+
+def partition_rollup_sql() -> str:
+    pid = sql_md5_i64("CONCAT(CAST(doc_id AS VARCHAR), ':s0')")
+    return (f"SELECT lang, {pid} % 16 AS partition_id, "
+            "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang, partition_id")
+
+
 def domain_stats(sf_dir: str):
     """G6: distinct-language count per domain (url-filter building)."""
 
@@ -304,6 +336,36 @@ def top_longest(sf_dir: str):
 def top_longest_sql() -> str:
     return ("SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 20")
+
+
+def seeded_sample(sf_dir: str, k: int = 150):
+    """O3: the reference caps files per country with an UNSEEDED
+    random.sample (geoWAC.py:149-152 — nondeterministic corpus
+    membership, listed as a bug in SURVEY.md 2.11). The rebuild's
+    deterministic equivalent: take the k docs with the smallest stable
+    content hash — uniform over content, reproducible across runs and
+    partitionings, SQL-expressible. Scale shape: per-block partial top-k
+    (vectorized) then a tiny global merge — never a full sort."""
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        h = md5_i64_array(b["text"])
+        t = pa.table({"doc_id": b["doc_id"], "text_hash": h})
+        import pyarrow.compute as pc
+        idx = pc.select_k_unstable(t, k, [("text_hash", "ascending"),
+                                          ("doc_id", "ascending")])
+        return t.take(idx)
+
+    # the second map_batches(batch_size=None) merges per-block top-ks as
+    # blocks coalesce; the final exact cut happens on <= k*num_blocks rows
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(partial_topk, batch_format="pyarrow")
+            .sort(["text_hash", "doc_id"])
+            .limit(k))
+
+
+def seeded_sample_sql() -> str:
+    return (f"SELECT doc_id, {sql_md5_i64('text')} AS text_hash FROM documents "
+            "ORDER BY text_hash, doc_id LIMIT 150")
 
 
 def semi_anti_join(sf_dir: str):

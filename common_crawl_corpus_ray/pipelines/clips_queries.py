@@ -33,10 +33,16 @@ def clips_count(sf_dir: str) -> int:
 def ensure_clips(sf_dir: str, with_audio: bool = True) -> str:
     """Generate (once) and return the parquet dir of the synthetic clips
     table for this sf. Generation itself is a Ray Data pipeline."""
+    return ensure_clips_n(clips_count(sf_dir), with_audio)
+
+
+def ensure_clips_n(n: int, with_audio: bool = True) -> str:
     import ray.data as rd
-    n = clips_count(sf_dir)
-    # v2: multi-fragment layout (fixed rows per file)
-    uri = os.path.join(_CACHE_ROOT, f"clips_{n}_{'a' if with_audio else 'na'}_v2")
+    # v3: multi-fragment layout, >=256 fragments for big tables — with
+    # fewer, a 30-actor pool gets ~2 read tasks per actor and straggler
+    # quantization destroys scaling (measured 0.56 vs 0.78 efficiency on
+    # the same input at 64 vs 128+ fragments)
+    uri = os.path.join(_CACHE_ROOT, f"clips_{n}_{'a' if with_audio else 'na'}_v3")
     marker = os.path.join(uri, "_SUCCESS")
     if os.path.exists(marker):
         return uri
@@ -51,7 +57,7 @@ def ensure_clips(sf_dir: str, with_audio: bool = True) -> str:
     shutil.rmtree(uri, ignore_errors=True)
     # multiple fragments per table (the realistic shape — a big table is
     # many fragments); also the planning unit for resumable partitioning
-    rows_per_file = max(256, n // 64)
+    rows_per_file = max(256, n // 256)
     (rd.range(n)
      .map_batches(gen, batch_format="pyarrow", batch_size=2048)
      .write_parquet(tmp, min_rows_per_file=rows_per_file,

@@ -69,10 +69,13 @@ def decide(scored_ds, dupmap: dict, stats: dict, batch_size: int = 1024):
     Actor-pool width follows the cluster CPU count — a fixed cap starves
     this phase on larger clusters."""
     dupmap_ref = ray.put(dupmap)
+    n_act = max(2, _cluster_cpus() - 2)
     return scored_ds.map_batches(
         DecideStage, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_args=(dupmap_ref, stats),
-        concurrency=(1, max(8, _cluster_cpus() - 2)), num_cpus=1)
+        # fixed-size pool: an autoscaling pool starting at 1 ramps too
+        # slowly for a short stage and the ramp is pure fixed cost
+        concurrency=(n_act, n_act), num_cpus=1)
 
 
 class AttachDecisions:
@@ -155,10 +158,11 @@ def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = Non
     else:
         dec_df = dec.to_pandas()       # sandbox scale; see module docstring
         dec_ref = ray.put(dec_df)
+        n_act = max(2, _cluster_cpus() - 2)
         final = clips_ds.map_batches(
             AttachDecisions, batch_format="pyarrow", batch_size=batch_size,
             fn_constructor_args=(dec_ref,),
-            concurrency=(1, max(8, _cluster_cpus() - 2)), num_cpus=1,
+            concurrency=(n_act, n_act), num_cpus=1,
         ).select_columns(FINAL_COLUMNS)
     if final_uri is not None:
         lancelite.write_dataset(final, final_uri)

@@ -51,8 +51,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_QUERIES = [
     "scrub_regex", "heuristic_rules", "token_count", "text_hash",
     "quality_score", "fingerprint", "exact_dedup_first", "exact_dedup_none",
-    "pages_group", "lang_rollup", "domain_stats", "median_mad",
-    "sample_chunks", "zscore_outliers", "top_longest", "semi_anti_join",
+    "pages_group", "lang_rollup", "partition_rollup", "domain_stats", "median_mad",
+    "sample_chunks", "zscore_outliers", "top_longest", "seeded_sample",
+    "semi_anti_join",
     "events_window", "sessionize", "ann_cosine_topk",
     "ngram_jaccard_dedup", "embedding_dup_exact",
 ]
