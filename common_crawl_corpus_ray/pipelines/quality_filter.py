@@ -47,14 +47,17 @@ FINAL_COLUMNS = [
 ]
 
 
-def score(ds, scorer_concurrency=(2, 8), batch_size: int = 1024):
+def score(ds, scorer_concurrency=(2, 8), batch_size: int = 1024,
+          lid_agree_min_len: int | None = None):
     """Phase A: narrow scrub + rules + scoring over (clip_id, transcript)."""
+    from ..functions import spec
+    thr = spec.LID_AGREE_MIN_LEN if lid_agree_min_len is None else lid_agree_min_len
     return (ds
             .map_batches(scrub_rules_batch, batch_format="pyarrow",
                          batch_size=batch_size)
             .map_batches(TranscriptScorer, batch_format="pyarrow",
                          batch_size=batch_size, concurrency=scorer_concurrency,
-                         num_cpus=1))
+                         fn_constructor_args=(thr,), num_cpus=1))
 
 
 def _cluster_cpus() -> int:
@@ -64,15 +67,18 @@ def _cluster_cpus() -> int:
         return 8
 
 
-def decide(scored_ds, dupmap: dict, stats: dict, batch_size: int = 1024):
+def decide(scored_ds, dupmap: dict, stats: dict, batch_size: int = 1024,
+           z_cut: float | None = None, dedup: str = "first"):
     """Phase C: final decision with broadcast dup map + per-lang stats.
     Actor-pool width follows the cluster CPU count — a fixed cap starves
     this phase on larger clusters."""
+    from ..functions import spec
+    zc = spec.Z_CUT if z_cut is None else z_cut
     dupmap_ref = ray.put(dupmap)
     n_act = max(2, _cluster_cpus() - 2)
     return scored_ds.map_batches(
         DecideStage, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_args=(dupmap_ref, stats),
+        fn_constructor_args=(dupmap_ref, stats, zc, dedup),
         # fixed-size pool: an autoscaling pool starting at 1 ramps too
         # slowly for a short stage and the ramp is pure fixed cost
         concurrency=(n_act, n_act), num_cpus=1)
@@ -103,21 +109,22 @@ class AttachDecisions:
         return batch
 
 
-def decide_from_scored(scored_ds, slim_ds=None, batch_size: int = 1024):
+def decide_from_scored(scored_ds, slim_ds=None, batch_size: int = 1024,
+                       z_cut: float | None = None, dedup: str = "first"):
     """Phases B+C from an already-scored dataset (in-memory materialized or
     a checkpoint read): dedup + per-lang stats shuffles over the slim
     projection, then the broadcast decision pass."""
     slim = slim_ds if slim_ds is not None else scored_ds.select_columns(SLIM_COLUMNS)
-    dupmap = dup_winner_map(slim)
+    dupmap = dup_winner_map(slim) if dedup != "off" else {}
     dupmap_ref = ray.put(dupmap)
     stats = lang_stats(slim, dupmap_ref)
-    dec = decide(scored_ds, dupmap, stats, batch_size)
+    dec = decide(scored_ds, dupmap, stats, batch_size, z_cut, dedup)
     return dec.select_columns(DECISION_COLUMNS)
 
 
 def decisions(clips_ds, checkpoint_uri: str | None = None,
               scorer_concurrency=(2, 8), batch_size: int = 1024,
-              slim_ds=None):
+              slim_ds=None, config=None):
     """Phases A-C over the transcript projection; returns the decision
     Dataset (all columns except the payload passthrough).
 
@@ -126,9 +133,14 @@ def decisions(clips_ds, checkpoint_uri: str | None = None,
     ``select_columns`` down into ``read_parquet``, so without it phase A
     would read and move the audio payload for nothing (measured 8x read
     volume and ~2x phase wall time)."""
+    if config is not None:
+        checkpoint_uri = checkpoint_uri or config.checkpoint_uri
+        scorer_concurrency = config.scorer_concurrency
+        batch_size = config.batch_size
     slim_in = slim_ds if slim_ds is not None \
         else clips_ds.select_columns(["clip_id", "transcript"])
-    scored = score(slim_in, scorer_concurrency, batch_size)
+    scored = score(slim_in, scorer_concurrency, batch_size,
+                   None if config is None else config.lid_agree_min_len)
 
     if checkpoint_uri is not None:
         lancelite.write_dataset(scored, checkpoint_uri)
@@ -142,17 +154,26 @@ def decisions(clips_ds, checkpoint_uri: str | None = None,
         # full scans of the transcript columns
         slim = scored.select_columns(SLIM_COLUMNS).materialize()
 
-    return decide_from_scored(scored, slim, batch_size)
+    if config is None:
+        return decide_from_scored(scored, slim, batch_size)
+    return decide_from_scored(scored, slim, batch_size,
+                              config.z_cut, config.dedup)
 
 
 def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = None,
         scorer_concurrency=(2, 8), batch_size: int = 1024,
-        attach_payload: bool = True, slim_ds=None):
+        attach_payload: bool = True, slim_ds=None, config=None):
     """Full pipeline. With ``attach_payload`` the result carries the input
     payload columns byte-identical (per-row invariant) next to the decision
-    columns; otherwise the slim decision table is returned."""
+    columns; otherwise the slim decision table is returned. Pass a
+    ``pipelines.config.PipelineConfig`` to set every knob in one place
+    (SURVEY.md 2.10 extension surface); explicit kwargs still win for
+    checkpoint_uri."""
+    if config is not None:
+        attach_payload = config.attach_payload
+        batch_size = config.batch_size
     dec = decisions(clips_ds, checkpoint_uri, scorer_concurrency, batch_size,
-                    slim_ds=slim_ds)
+                    slim_ds=slim_ds, config=config)
     if not attach_payload:
         final = dec
     else:

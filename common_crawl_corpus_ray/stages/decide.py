@@ -183,6 +183,15 @@ class _DupIndex:
         in_group = self.hashes[idx] == hashes
         return in_group & (self.winners[idx] != ids)
 
+    def member_mask(self, hashes: np.ndarray) -> np.ndarray:
+        """True for every member of a dup group, winner included (= the
+        rows dropped by keep-none dedup, deduplication.py:97-104)."""
+        if self.hashes.size == 0:
+            return np.zeros(len(hashes), dtype=bool)
+        idx = np.clip(np.searchsorted(self.hashes, hashes), 0,
+                      self.hashes.size - 1)
+        return self.hashes[idx] == hashes
+
 
 def _rules_pass_mask(batch: pa.Table) -> np.ndarray:
     import pyarrow.compute as pc
@@ -203,11 +212,14 @@ class DecideStage:
     """Final decision map: broadcasts the dup map + per-lang stats once per
     actor, emits is_dup / z_score / ppl_bucket / drop_reason / keep."""
 
-    def __init__(self, dupmap_ref, stats: dict[str, tuple[float, float]]):
+    def __init__(self, dupmap_ref, stats: dict[str, tuple[float, float]],
+                 z_cut: float = spec.Z_CUT, dedup: str = "first"):
         import ray
         dupmap = ray.get(dupmap_ref) if not isinstance(dupmap_ref, dict) else dupmap_ref
         self.dup_index = _DupIndex(dupmap)
         self.stats = stats
+        self.z_cut = z_cut
+        self.dedup = dedup
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -218,7 +230,12 @@ class DecideStage:
         ppl = batch["ppl"].to_numpy(zero_copy_only=False)
 
         rules_pass = _rules_pass_mask(batch)
-        is_dup = self.dup_index.loser_mask(hashes, ids)
+        if self.dedup == "first":
+            is_dup = self.dup_index.loser_mask(hashes, ids)
+        elif self.dedup == "none":
+            is_dup = self.dup_index.member_mask(hashes)
+        else:                           # "off"
+            is_dup = np.zeros(n, dtype=bool)
         is_dup &= rules_pass            # dup flag defined among rules-pass rows
         alive = rules_pass & agree & ~is_dup
 
@@ -228,8 +245,8 @@ class DecideStage:
             m = alive & (langs == lang)
             if mad != 0.0 and m.any():
                 z[m] = spec.Z_SCALE * (ppl[m] - med) / mad
-        bucket[z > spec.Z_CUT] = "HIGH"
-        bucket[z < -spec.Z_CUT] = "LOW"
+        bucket[z > self.z_cut] = "HIGH"
+        bucket[z < -self.z_cut] = "LOW"
         bucket[~alive] = "IN"           # bucket only meaningful for alive rows
         z[~alive] = 0.0
 

@@ -24,8 +24,9 @@ from ..models import train
 
 
 class TranscriptScorer:
-    def __init__(self):
+    def __init__(self, lid_agree_min_len: int = spec.LID_AGREE_MIN_LEN):
         self.primary, self.secondary, self.lms = train.build_models()
+        self.lid_agree_min_len = lid_agree_min_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         scrubbed = batch["transcript_scrubbed"]
@@ -36,7 +37,7 @@ class TranscriptScorer:
         lens = pc.utf8_length(scrubbed).to_numpy(zero_copy_only=False)
         # secondary LID only trusted above the reference's 150-char
         # threshold (geoWAC.py:19-22); below it the vote is "ukn"
-        lang2 = [s if ln > spec.LID_AGREE_MIN_LEN else "ukn"
+        lang2 = [s if ln > self.lid_agree_min_len else "ukn"
                  for s, ln in zip(sec, lens)]
         agree = [a == b for a, b in zip(lang, lang2)]
 
