@@ -32,9 +32,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 QUERY_NAMES = [
     "scrub_regex", "heuristic_rules", "exact_dedup_first", "minhash_dedup",
-    "lang_rollup", "median_mad", "zscore_outliers", "sample_chunks",
-    "events_window", "sessionize", "ann_cosine_topk", "lid_documents",
-    "audio_decode_stats",
+    "simhash_dedup", "embedding_dup_lsh", "lang_rollup", "partition_rollup",
+    "median_mad", "zscore_outliers", "sample_chunks", "seeded_sample",
+    "events_window", "sessionize", "ann_cosine_topk", "ann_ivf_topk",
+    "lid_documents", "audio_decode_stats", "image_resize",
+    "video_frame_sample",
 ]
 
 
