@@ -119,6 +119,10 @@ def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
     """
     import ray
     import ray.data as rd
+    # both passes (banding, shingle collection for verify) consume the same
+    # (id, text) projection; materialize it once instead of re-executing the
+    # upstream pipeline per pass
+    ds = ds.select_columns([id_col, text_col]).materialize()
     cands = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
     if not cands:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
