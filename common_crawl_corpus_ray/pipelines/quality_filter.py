@@ -7,27 +7,35 @@ audio payloads NEVER enter a scoring stage or a shuffle:
       map_batches(scrub_rules_batch)          [tasks]   │ phase A
       map_batches(TranscriptScorer)           [actors]  │ (transcripts only,
       materialize / lancelite checkpoint ───────────────┘  ~1KB/row blocks)
-    dup_winner_map   : groupby(text_hash) partials       ┐ wide, slim only
-    lang_stats       : groupby(lang) on (lang, ppl)      ┘ phase B
+    dup flags      : member-level bucket exchange        ┐ wide, slim only
+    lang_stats     : packed (lang, ppl) exchange         ┘ phase B
     map_batches(DecideStage)  → decision table (no bytes)  phase C
-    clips (full rows) + broadcast decisions ─ map-side join, one streaming
-      pass that re-reads payload columns exactly once      phase D
+    decisions → keyed lancelite table (per-fragment clip_id ranges);
+    clips (full rows) map-join against it, loading only the overlapping
+    decision fragments per batch — one streaming pass that re-reads
+    payload columns exactly once                           phase D
 
-Phase D is a broadcast hash-join on clip_id (decisions are ~50 bytes/row).
-At 10^12-clip scale the broadcast becomes per-partition: decisions are
-written range-partitioned by clip_id (same salted partitioning as the
-input, functions/hashing.salted_partition), and each phase-D task loads
-only its partition's decision fragment — same code shape, bounded memory.
+Phase D is a *range-partitioned* map-join: decisions are written with
+per-fragment [min, max] clip_id stats (``lancelite.write_dataset
+(key_stats=...)``); phases A-C preserve block lineage, so each decision
+fragment covers a narrow clip_id range matching an input fragment, and an
+AttachDecisions actor touches O(1) fragments per batch (LRU-bounded). No
+whole-table broadcast, no driver materialization — memory is bounded at any
+table size. Phase B picks broadcast vs keyed dup flags by measured dup
+volume, and exact vs sketched lang stats by a row-count threshold.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import tempfile
+
 import pyarrow as pa
 import ray
 
-from ..sources import lancelite
-from ..stages.decide import DecideStage, dup_winner_map, lang_stats
+from ..sources import keyed, lancelite
+from ..stages.decide import (DecideStage, KeyedDupFlags, _DupIndex,
+                             dup_flags_refs, dup_winner_map, lang_stats,
+                             write_dup_flags)
 from ..stages.scoring import TranscriptScorer
 from ..stages.scrub_rules import scrub_rules_batch
 
@@ -45,6 +53,24 @@ FINAL_COLUMNS = [
     "text_hash", "is_dup", "log_prob", "ppl", "z_score", "ppl_bucket",
     "drop_reason", "keep",
 ]
+
+# dup-flag rows (members of dup groups) above which the broadcast
+# {hash: winner} map gives way to the keyed side-table join
+DUP_BROADCAST_MAX = 2_000_000
+# alive rows above which per-language stats switch to the mergeable
+# quantile sketch (exact medians below — fixture parity)
+LANG_SKETCH_MIN_ROWS = 50_000_000
+
+
+def _cfg(explicit, config, field, default):
+    """Explicit kwargs win over config fields, which win over defaults
+    (sentinel-None convention — a caller's run(..., attach_payload=False,
+    config=cfg) must not be silently overridden by cfg)."""
+    if explicit is not None:
+        return explicit
+    if config is not None:
+        return getattr(config, field)
+    return default
 
 
 def score(ds, scorer_concurrency=(2, 8), batch_size: int = 1024,
@@ -67,63 +93,63 @@ def _cluster_cpus() -> int:
         return 8
 
 
-def decide(scored_ds, dupmap: dict, stats: dict, batch_size: int = 1024,
+def decide(scored_ds, flags_ref, stats: dict, batch_size: int = 1024,
            z_cut: float | None = None, dedup: str = "first"):
-    """Phase C: final decision with broadcast dup map + per-lang stats.
-    Actor-pool width follows the cluster CPU count — a fixed cap starves
-    this phase on larger clusters."""
+    """Phase C: final decision with dup flags (broadcast or keyed) +
+    per-lang stats. Actor-pool width follows the cluster CPU count — a
+    fixed cap starves this phase on larger clusters."""
     from ..functions import spec
     zc = spec.Z_CUT if z_cut is None else z_cut
-    dupmap_ref = ray.put(dupmap)
     n_act = max(2, _cluster_cpus() - 2)
     return scored_ds.map_batches(
         DecideStage, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_args=(dupmap_ref, stats, zc, dedup),
+        fn_constructor_args=(flags_ref, stats, zc, dedup),
         # fixed-size pool: an autoscaling pool starting at 1 ramps too
         # slowly for a short stage and the ramp is pure fixed cost
         concurrency=(n_act, n_act), num_cpus=1)
 
 
-class AttachDecisions:
-    """Phase D: broadcast map-join — attach decision columns to full clip
-    rows by clip_id. The decisions frame is fetched once per actor."""
-
-    def __init__(self, decisions_ref):
-        df = ray.get(decisions_ref) if not isinstance(decisions_ref, pd.DataFrame) \
-            else decisions_ref
-        self.df = df.set_index("clip_id")
-
-    _TYPES = {
-        "transcript_scrubbed": pa.string(), "lang": pa.string(),
-        "lang2": pa.string(), "lang_agree": pa.bool_(), "n_words": pa.int32(),
-        "text_hash": pa.int64(), "is_dup": pa.bool_(),
-        "log_prob": pa.float64(), "ppl": pa.float64(), "z_score": pa.float64(),
-        "ppl_bucket": pa.string(), "drop_reason": pa.string(), "keep": pa.bool_(),
-    }
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["clip_id"].to_pylist()
-        sub = self.df.loc[ids]
-        for col, typ in self._TYPES.items():
-            batch = batch.append_column(col, pa.array(sub[col].tolist(), typ))
-        return batch
+def build_dup_flags(slim_ds, dedup: str = "first",
+                    dup_broadcast_max: int = DUP_BROADCAST_MAX,
+                    flags_uri: str | None = None):
+    """Phase B dedup: run the member-level flag exchange, then pick the
+    attach mechanism by measured dup volume — broadcast {hash: winner} map
+    below ``dup_broadcast_max`` flag rows, keyed lancelite side table above
+    (bounded memory at any dup count). Returns a _DupIndex or KeyedDupFlags.
+    """
+    from ..stages import exchange
+    if dedup == "off":
+        return _DupIndex({})
+    refs = dup_flags_refs(slim_ds)
+    n_flags = exchange.total_rows(refs)
+    if n_flags <= dup_broadcast_max:
+        return _DupIndex(dup_winner_map(flags_refs=refs))
+    uri = flags_uri or tempfile.mkdtemp(prefix="ccc_dupflags_")
+    return KeyedDupFlags(write_dup_flags(refs, uri))
 
 
 def decide_from_scored(scored_ds, slim_ds=None, batch_size: int = 1024,
-                       z_cut: float | None = None, dedup: str = "first"):
+                       z_cut: float | None = None, dedup: str = "first",
+                       dup_broadcast_max: int = DUP_BROADCAST_MAX,
+                       flags_uri: str | None = None,
+                       lang_stats_method: str | None = None):
     """Phases B+C from an already-scored dataset (in-memory materialized or
-    a checkpoint read): dedup + per-lang stats shuffles over the slim
-    projection, then the broadcast decision pass."""
+    a checkpoint read): dedup + per-lang stats exchanges over the slim
+    projection, then the decision pass."""
     slim = slim_ds if slim_ds is not None else scored_ds.select_columns(SLIM_COLUMNS)
-    dupmap = dup_winner_map(slim) if dedup != "off" else {}
-    dupmap_ref = ray.put(dupmap)
-    stats = lang_stats(slim, dupmap_ref)
-    dec = decide(scored_ds, dupmap, stats, batch_size, z_cut, dedup)
+    flags = build_dup_flags(slim, dedup, dup_broadcast_max, flags_uri)
+    flags_ref = ray.put(flags)
+    method = lang_stats_method
+    if method is None:
+        method = "sketch" if scored_ds.count() >= LANG_SKETCH_MIN_ROWS \
+            else "exact"
+    stats = lang_stats(slim, flags_ref, dedup, method)
+    dec = decide(scored_ds, flags_ref, stats, batch_size, z_cut, dedup)
     return dec.select_columns(DECISION_COLUMNS)
 
 
 def decisions(clips_ds, checkpoint_uri: str | None = None,
-              scorer_concurrency=(2, 8), batch_size: int = 1024,
+              scorer_concurrency=None, batch_size: int | None = None,
               slim_ds=None, config=None):
     """Phases A-C over the transcript projection; returns the decision
     Dataset (all columns except the payload passthrough).
@@ -133,10 +159,10 @@ def decisions(clips_ds, checkpoint_uri: str | None = None,
     ``select_columns`` down into ``read_parquet``, so without it phase A
     would read and move the audio payload for nothing (measured 8x read
     volume and ~2x phase wall time)."""
-    if config is not None:
-        checkpoint_uri = checkpoint_uri or config.checkpoint_uri
-        scorer_concurrency = config.scorer_concurrency
-        batch_size = config.batch_size
+    checkpoint_uri = _cfg(checkpoint_uri, config, "checkpoint_uri", None)
+    scorer_concurrency = _cfg(scorer_concurrency, config,
+                              "scorer_concurrency", (2, 8))
+    batch_size = _cfg(batch_size, config, "batch_size", 1024)
     slim_in = slim_ds if slim_ds is not None \
         else clips_ds.select_columns(["clip_id", "transcript"])
     scored = score(slim_in, scorer_concurrency, batch_size,
@@ -154,37 +180,65 @@ def decisions(clips_ds, checkpoint_uri: str | None = None,
         # full scans of the transcript columns
         slim = scored.select_columns(SLIM_COLUMNS).materialize()
 
-    if config is None:
-        return decide_from_scored(scored, slim, batch_size)
-    return decide_from_scored(scored, slim, batch_size,
-                              config.z_cut, config.dedup)
+    return decide_from_scored(
+        scored, slim, batch_size,
+        z_cut=None if config is None else config.z_cut,
+        dedup="first" if config is None else config.dedup)
+
+
+class AttachDecisions:
+    """Phase D: range-partitioned map-join — attach decision columns to
+    full clip rows by clip_id, loading only the decision fragments whose
+    key range overlaps each batch (per-actor LRU cache; see keyed.py)."""
+
+    def __init__(self, index: keyed.KeyedFragmentIndex, max_cached: int = 8):
+        self.joiner = keyed.KeyedBatchJoiner(index, max_cached=max_cached)
+
+    _TYPES = {
+        "transcript_scrubbed": pa.string(), "lang": pa.string(),
+        "lang2": pa.string(), "lang_agree": pa.bool_(), "n_words": pa.int32(),
+        "text_hash": pa.int64(), "is_dup": pa.bool_(),
+        "log_prob": pa.float64(), "ppl": pa.float64(), "z_score": pa.float64(),
+        "ppl_bucket": pa.string(), "drop_reason": pa.string(), "keep": pa.bool_(),
+    }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return keyed.attach_columns(batch, self.joiner, "clip_id", self._TYPES)
+
+
+def attach_decisions(clips_ds, dec, batch_size: int = 1024,
+                     decisions_uri: str | None = None):
+    """Phase D: land the decision table as a keyed lancelite table (clip_id
+    range stats per fragment), then stream the full clip rows past it."""
+    dec_uri = decisions_uri or tempfile.mkdtemp(prefix="ccc_dec_")
+    lancelite.write_dataset(dec, dec_uri, key_stats="clip_id")
+    index = keyed.KeyedFragmentIndex(dec_uri, "clip_id")
+    n_act = max(2, _cluster_cpus() - 2)
+    return clips_ds.map_batches(
+        AttachDecisions, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_args=(index,),
+        concurrency=(n_act, n_act), num_cpus=1,
+    ).select_columns(FINAL_COLUMNS)
 
 
 def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = None,
-        scorer_concurrency=(2, 8), batch_size: int = 1024,
-        attach_payload: bool = True, slim_ds=None, config=None):
+        scorer_concurrency=None, batch_size: int | None = None,
+        attach_payload: bool | None = None, slim_ds=None, config=None,
+        decisions_uri: str | None = None):
     """Full pipeline. With ``attach_payload`` the result carries the input
     payload columns byte-identical (per-row invariant) next to the decision
     columns; otherwise the slim decision table is returned. Pass a
     ``pipelines.config.PipelineConfig`` to set every knob in one place
-    (SURVEY.md 2.10 extension surface); explicit kwargs still win for
-    checkpoint_uri."""
-    if config is not None:
-        attach_payload = config.attach_payload
-        batch_size = config.batch_size
+    (SURVEY.md 2.10 extension surface); explicit kwargs always win over
+    config fields."""
+    attach_payload = _cfg(attach_payload, config, "attach_payload", True)
+    batch_size = _cfg(batch_size, config, "batch_size", 1024)
     dec = decisions(clips_ds, checkpoint_uri, scorer_concurrency, batch_size,
                     slim_ds=slim_ds, config=config)
     if not attach_payload:
         final = dec
     else:
-        dec_df = dec.to_pandas()       # sandbox scale; see module docstring
-        dec_ref = ray.put(dec_df)
-        n_act = max(2, _cluster_cpus() - 2)
-        final = clips_ds.map_batches(
-            AttachDecisions, batch_format="pyarrow", batch_size=batch_size,
-            fn_constructor_args=(dec_ref,),
-            concurrency=(n_act, n_act), num_cpus=1,
-        ).select_columns(FINAL_COLUMNS)
+        final = attach_decisions(clips_ds, dec, batch_size, decisions_uri)
     if final_uri is not None:
         lancelite.write_dataset(final, final_uri)
         final = lancelite.read(final_uri)

@@ -87,17 +87,38 @@ def _rules_pass_metric(frag_paths: list[str]) -> dict:
 
 
 def run_resumable(clips_uri: str, ckpt_uri: str, final_uri: str | None = None, *,
-                  num_partitions: int = 8, scorer_concurrency=(2, 8),
-                  batch_size: int = 1024, fail_after: int | None = None):
-    """Full resumable flagship run. Returns the decision Dataset (slim);
-    writes a lancelite table when ``final_uri`` is given."""
+                  num_partitions: int | None = None, scorer_concurrency=None,
+                  batch_size: int | None = None, fail_after: int | None = None,
+                  z_cut: float | None = None, dedup: str | None = None,
+                  attach_payload: bool | None = None, config=None):
+    """Full resumable flagship run. All decision knobs (z_cut / dedup /
+    attach_payload) thread through exactly as in the non-resumable path —
+    explicit kwargs win over ``config`` fields. Returns the decision
+    Dataset (or the payload-attached table when ``attach_payload``); writes
+    a lancelite table when ``final_uri`` is given."""
+    _cfg = quality_filter._cfg
+    num_partitions = _cfg(num_partitions, config, "num_partitions", 8)
+    scorer_concurrency = _cfg(scorer_concurrency, config,
+                              "scorer_concurrency", (2, 8))
+    batch_size = _cfg(batch_size, config, "batch_size", 1024)
+    z_cut = _cfg(z_cut, config, "z_cut", None)
+    dedup = _cfg(dedup, config, "dedup", "first")
+    attach_payload = _cfg(attach_payload, config, "attach_payload", False)
+
     run_scored_partitions(clips_uri, ckpt_uri, num_partitions=num_partitions,
                           scorer_concurrency=scorer_concurrency,
                           batch_size=batch_size, fail_after=fail_after)
     scored = manifest.read(ckpt_uri)
     slim = manifest.read(ckpt_uri, columns=quality_filter.SLIM_COLUMNS)
-    dec = quality_filter.decide_from_scored(scored, slim, batch_size)
+    out = quality_filter.decide_from_scored(scored, slim, batch_size,
+                                            z_cut=z_cut, dedup=dedup)
+    if attach_payload:
+        import ray.data as rd
+        is_lance = os.path.isdir(os.path.join(clips_uri, "_versions"))
+        clips_ds = lancelite.read(clips_uri) if is_lance \
+            else rd.read_parquet(clips_uri)
+        out = quality_filter.attach_decisions(clips_ds, out, batch_size)
     if final_uri is not None:
-        lancelite.write_dataset(dec, final_uri)
-        dec = lancelite.read(final_uri)
-    return dec
+        lancelite.write_dataset(out, final_uri)
+        out = lancelite.read(final_uri)
+    return out

@@ -89,50 +89,133 @@ def write_table(table: pa.Table, uri: str, mode: str = "overwrite",
     return _commit(uri, frags, str(table.schema))
 
 
-def write_dataset(ds, uri: str, mode: str = "overwrite") -> int:
+def _parse_hive(relpath: str) -> dict:
+    """{col: value} from hive-style path segments (``lang=en/...``)."""
+    out = {}
+    for seg in relpath.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
+
+
+def write_dataset(ds, uri: str, mode: str = "overwrite",
+                  partition_cols: list[str] | None = None,
+                  rows_per_file: int | None = None,
+                  key_stats: str | None = None) -> int:
     """Stream a Ray Dataset into fragments (one per output block), commit once.
 
     The write itself is Ray-parallel (``Dataset.write_parquet``); the commit
     is a single driver-side manifest rename, so a crashed write leaves no
     visible version (all-or-nothing, like a Lance commit).
+
+    ``partition_cols`` (S5, cc_corpus.py:178-184 / final_cc
+    cc_corpus.py:443-459 semantics): hive-style per-key directory layout
+    under ``fragments/``; each manifest entry records its partition values,
+    so ``read(partition_filter=...)`` prunes whole fragments.
+    ``rows_per_file`` (S6, cc_corpus.py:439-451 100k-row roll): both min and
+    max rows per output file.
+    ``key_stats``: record per-fragment [min, max] of this column in the
+    manifest — the range index used by the phase-D partitioned decision
+    join (min/max are recomputed from a single-column scan of each staged
+    file, NOT taken from parquet column statistics: those may be truncated
+    for strings, and a truncated max compares below real values).
     """
     fdir = os.path.join(uri, _FRAG_DIR)
     os.makedirs(fdir, exist_ok=True)
     stage = os.path.join(uri, f".stage-{uuid.uuid4().hex}")
-    ds.write_parquet(stage)
+    wargs = {}
+    if partition_cols:
+        wargs["partition_cols"] = list(partition_cols)
+    if rows_per_file:
+        wargs["min_rows_per_file"] = rows_per_file
+        wargs["max_rows_per_file"] = rows_per_file
+    ds.write_parquet(stage, **wargs)
     frags = [] if mode == "overwrite" or not _versions(uri) else list(manifest(uri)["fragments"])
     schema_str = None
-    for f in sorted(os.listdir(stage)):
-        if not f.endswith(".parquet"):
-            continue
-        name = f"frag-{uuid.uuid4().hex}.parquet"
-        src = os.path.join(stage, f)
+    staged = []
+    for root, _dirs, files in os.walk(stage):
+        for f in files:
+            if f.endswith(".parquet"):
+                staged.append(os.path.relpath(os.path.join(root, f), stage))
+    for rel in sorted(staged):
+        src = os.path.join(stage, rel)
         md = pq.read_metadata(src)
         if schema_str is None:
             schema_str = str(pq.read_schema(src))
+        entry = {"rows": md.num_rows}
+        subdir = os.path.dirname(rel)           # hive partition dirs, if any
+        if subdir:
+            os.makedirs(os.path.join(fdir, subdir), exist_ok=True)
+            entry["partition"] = _parse_hive(rel)
+        name = os.path.join(subdir, f"frag-{uuid.uuid4().hex}.parquet") \
+            if subdir else f"frag-{uuid.uuid4().hex}.parquet"
+        if key_stats is not None and md.num_rows > 0:
+            col = pq.read_table(src, columns=[key_stats])[key_stats]
+            import pyarrow.compute as pc
+            mm = pc.min_max(col).as_py()
+            entry["stats"] = {key_stats: [mm["min"], mm["max"]]}
         os.rename(src, os.path.join(fdir, name))
-        frags.append({"path": f"{_FRAG_DIR}/{name}", "rows": md.num_rows})
+        entry["path"] = f"{_FRAG_DIR}/{name}"
+        frags.append(entry)
+    for root, dirs, _files in os.walk(stage, topdown=False):
+        for d in dirs:
+            os.rmdir(os.path.join(root, d))
     os.rmdir(stage)
     return _commit(uri, frags, schema_str or "")
 
 
-def fragment_paths(uri: str, version: int | None = None) -> list[str]:
-    return [os.path.join(uri, f["path"]) for f in manifest(uri, version)["fragments"]]
+def _match_partition(entry: dict, partition_filter: dict | None) -> bool:
+    if not partition_filter:
+        return True
+    part = entry.get("partition", {})
+    return all(part.get(k) == str(v) for k, v in partition_filter.items())
+
+
+def fragment_paths(uri: str, version: int | None = None,
+                   partition_filter: dict | None = None) -> list[str]:
+    return [os.path.join(uri, f["path"]) for f in manifest(uri, version)["fragments"]
+            if _match_partition(f, partition_filter)]
+
+
+def partition_values(uri: str, col: str, version: int | None = None) -> list[str]:
+    """Distinct values of a hive partition column across fragments."""
+    return sorted({f["partition"][col] for f in manifest(uri, version)["fragments"]
+                   if col in f.get("partition", {})})
 
 
 def read(uri: str, columns: list[str] | None = None, version: int | None = None,
-         **read_kwargs):
-    """Open a lancelite table as a Ray Dataset (fragment-parallel scan)."""
+         partition_filter: dict | None = None, **read_kwargs):
+    """Open a lancelite table as a Ray Dataset (fragment-parallel scan).
+    ``partition_filter={"lang": "en"}`` prunes fragments by the manifest's
+    hive partition values — whole files never leave storage (S4+S5).
+
+    Hive-partitioned tables: the partition columns live in the directory
+    path, not the file bytes; Ray's parquet reader re-attaches them from
+    the hive path segments (verified to work with explicit file paths and
+    with ``columns=`` selections that include the partition column)."""
     import ray.data as rd
-    paths = fragment_paths(uri, version)
+    paths = fragment_paths(uri, version, partition_filter)
     return rd.read_parquet(paths, columns=columns, **read_kwargs)
 
 
 def read_arrow(uri: str, columns: list[str] | None = None,
-               version: int | None = None) -> pa.Table:
-    """Driver-side read for tests / small tables."""
-    paths = fragment_paths(uri, version)
-    return pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
+               version: int | None = None,
+               partition_filter: dict | None = None) -> pa.Table:
+    """Driver-side read for tests / small tables (partition-aware)."""
+    entries = [f for f in manifest(uri, version)["fragments"]
+               if _match_partition(f, partition_filter)]
+    tabs = []
+    for e in entries:
+        part = e.get("partition", {})
+        file_cols = None if columns is None else [c for c in columns
+                                                  if c not in part]
+        t = pq.read_table(os.path.join(uri, e["path"]), columns=file_cols)
+        for c, v in part.items():
+            if columns is None or c in columns:
+                t = t.append_column(c, pa.array([v] * t.num_rows, pa.string()))
+        tabs.append(t)
+    return pa.concat_tables(tabs, promote_options="default")
 
 
 def count_rows(uri: str, version: int | None = None) -> int:

@@ -5,19 +5,22 @@ over a *slim* projection (never over audio bytes):
 
   * exact dedup (cc_corpus.py:338-349 keep-first semantics, made
     deterministic: winner = min clip_id per text_hash, SURVEY.md D2):
-    per-block partial aggregates (one (hash, min_id, n) triple per
-    distinct hash, packed into one list-row per coarse text_hash bucket)
-    go through the manual bucket exchange (``exchange.py``); each bucket
-    task keeps only multi-member groups. The resulting {hash: winner} map
-    covers *duplicate groups only* and is broadcast back via ray.put
-    (map-side anti-join). Scale path: if the dup-group map outgrows a
-    broadcast, hash-partition both sides on text_hash and flag inside
-    per-bucket joins instead.
+    per-block (text_hash, clip_id) member rows of rules-pass clips, packed
+    into one list-row per coarse text_hash bucket, go through the manual
+    bucket exchange (``exchange.py``); each bucket task keeps only
+    multi-member groups and emits per-member dup flags. Those per-bucket
+    flag tables stay in the object store as refs; the driver then picks:
+      - dup volume <= ``dup_broadcast_max``: fetch into a {hash: winner}
+        broadcast map (``_DupIndex``, map-side anti-join), or
+      - above it: sort the flags by clip_id into a keyed lancelite side
+        table (``write_dup_flags``) and flag inside per-batch range-indexed
+        lookups (``KeyedDupFlags``) — bounded memory at any dup count.
   * per-language perplexity median/MAD (outlier_detection.py:95-113):
     packed (lang, ppl-list) partials through the same exchange, exact
-    stats per language on the reduce side (the reference also holds the
-    full per-corpus ppl column in memory there; a P2/KLL sketch is the
-    documented approximation path at 10^12 rows).
+    stats per language on the reduce side; above ``sketch_min_rows`` per
+    language the packed values are replaced by mergeable quantile sketches
+    (``functions/sketch.py``) so no reducer ever holds a skewed language's
+    full column (English at 10^12 rows).
 """
 
 from __future__ import annotations
@@ -26,101 +29,176 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import spec
-
-
-_DUP_PARTIAL_SCHEMA = pa.schema([
-    ("bucket", pa.int32()),
-    ("h", pa.list_(pa.int64())),
-    ("mid", pa.list_(pa.string())),
-    ("n", pa.list_(pa.int64())),
-])
-
-
-def _rules_pass_pairs(batch: pa.Table) -> pa.Table:
-    """Per-batch partial aggregate for dedup, packed for the exchange: the
-    per-distinct-hash (hash, min_id, n) triples of this batch are grouped
-    into ONE list-valued row per coarse bucket. The shuffle then moves a
-    few thousand packed rows instead of one row per distinct hash — same
-    bytes, ~none of the per-row shuffle overhead."""
-    import pyarrow.compute as pc
-    mask = pc.equal(batch["rule_reason"], spec.KEEP_REASON)
-    slim = batch.filter(mask).select(["text_hash", "clip_id"])
-    if slim.num_rows == 0:
-        return _DUP_PARTIAL_SCHEMA.empty_table()
-    g = slim.group_by("text_hash").aggregate([("clip_id", "min"), ("clip_id", "count")])
-    h = g["text_hash"].to_numpy()
-    bucket = (h & (_DUP_BUCKETS - 1)).astype(np.int32)
-    order = np.argsort(bucket, kind="stable")
-    bs, starts = np.unique(bucket[order], return_index=True)
-    offsets = pa.array(np.append(starts, len(order)).astype(np.int32))
-    take = pa.array(order)
-    return pa.table({
-        "bucket": pa.array(bs, pa.int32()),
-        "h": pa.ListArray.from_arrays(offsets, pa.array(h[order], pa.int64())),
-        "mid": pa.ListArray.from_arrays(
-            offsets, g["clip_id_min"].take(take).combine_chunks()),
-        "n": pa.ListArray.from_arrays(
-            offsets, g["clip_id_count"].take(take).combine_chunks()),
-    })
-
+from ..functions.broadcast import cached_get
 
 _DUP_BUCKETS = 32
 _LANG_BUCKETS = 8
 
+_MEMBER_PARTIAL_SCHEMA = pa.schema([
+    ("bucket", pa.int32()),
+    ("h", pa.list_(pa.int64())),
+    ("id", pa.list_(pa.string())),
+])
 
-def dup_winner_map(scored_ds) -> dict[int, str]:
-    """{text_hash: winning clip_id} for duplicate groups only (count > 1).
+FLAGS_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("text_hash", pa.int64()),
+    ("is_loser", pa.bool_()),
+])
 
-    Shuffle shape: per-batch partials (one packed list-row per coarse
-    ``bucket = text_hash % P`` per block, see ``_rules_pass_pairs``) go
-    through a manual map-side-split bucket exchange (``exchange.py`` — Ray
-    Data's sort-based groupby costs ~12s of pure sort machinery on these
-    few-thousand fat rows, the manual exchange ~4s), and each bucket task
-    merges its hashes with one vectorized Arrow ``group_by``, emitting
-    only multi-member groups. NOT ``map_groups`` per hash: that costs
-    ~1ms of Python per group (measured 47.6s vs 6.3s on 43k groups in
-    this sandbox)."""
+
+def _rules_pass_members(batch: pa.Table) -> pa.Table:
+    """Per-batch packed partial for dedup: the (text_hash, clip_id) member
+    rows of rules-pass clips, grouped into ONE list-valued row per coarse
+    bucket. The shuffle then moves a few thousand packed rows instead of
+    one row per clip — same bytes, ~none of the per-row shuffle overhead."""
     import pyarrow.compute as pc
+    mask = pc.equal(batch["rule_reason"], spec.KEEP_REASON)
+    slim = batch.filter(mask).select(["text_hash", "clip_id"])
+    if slim.num_rows == 0:
+        return _MEMBER_PARTIAL_SCHEMA.empty_table()
+    h = slim["text_hash"].to_numpy()
+    bucket = (h & (_DUP_BUCKETS - 1)).astype(np.int32)
+    order = np.argsort(bucket, kind="stable")
+    bs, starts = np.unique(bucket[order], return_index=True)
+    offsets = pa.array(np.append(starts, len(order)).astype(np.int32))
+    return pa.table({
+        "bucket": pa.array(bs, pa.int32()),
+        "h": pa.ListArray.from_arrays(offsets, pa.array(h[order], pa.int64())),
+        "id": pa.ListArray.from_arrays(
+            offsets, slim["clip_id"].take(pa.array(order)).combine_chunks()),
+    })
 
-    from .exchange import bucket_exchange
 
-    def merge_bucket(g: pa.Table) -> pa.Table:
-        flat = pa.table({"text_hash": pc.list_flatten(g["h"]),
-                         "min_id": pc.list_flatten(g["mid"]),
-                         "n": pc.list_flatten(g["n"])})
-        m = flat.group_by("text_hash").aggregate([("min_id", "min"), ("n", "sum")])
-        m = m.filter(pc.greater(m["n_sum"], 1))
-        return m.select(["text_hash", "min_id_min"]).rename_columns(
-            ["text_hash", "winner"])
+def _flags_bucket(g: pa.Table) -> pa.Table:
+    """Per-bucket reduce: keep multi-member hash groups only, emit one flag
+    row per member (is_loser = not the min-clip_id winner). One vectorized
+    Arrow group_by + join — NOT map_groups per hash (~1ms Python per group,
+    measured 47.6s vs 6.3s on 43k groups in this sandbox)."""
+    import pyarrow.compute as pc
+    flat = pa.table({"text_hash": pc.list_flatten(g["h"]),
+                     "clip_id": pc.list_flatten(g["id"])})
+    agg = flat.group_by("text_hash").aggregate([("clip_id", "min"),
+                                                ("clip_id", "count")])
+    dup = agg.filter(pc.greater(agg["clip_id_count"], 1))
+    if dup.num_rows == 0:
+        return FLAGS_SCHEMA.empty_table()
+    members = flat.filter(pc.is_in(
+        flat["text_hash"], value_set=dup["text_hash"].combine_chunks()))
+    j = members.join(dup.select(["text_hash", "clip_id_min"]),
+                     keys="text_hash")
+    return pa.table({
+        "clip_id": j["clip_id"],
+        "text_hash": j["text_hash"],
+        "is_loser": pc.not_equal(j["clip_id"], j["clip_id_min"]),
+    }).cast(FLAGS_SCHEMA)
 
-    partials = scored_ds.map_batches(_rules_pass_pairs, batch_format="pyarrow",
-                                     batch_size=None)
-    out = {}
-    for t in bucket_exchange(partials, _DUP_BUCKETS, merge_bucket):
-        out.update(zip(t["text_hash"].to_pylist(), t["winner"].to_pylist()))
+
+def dup_flags_refs(scored_ds) -> list:
+    """Object-store refs of per-bucket dup-flag tables (FLAGS_SCHEMA rows
+    for dup-group members only). The driver never touches the rows —
+    compose with :func:`dup_winner_map` (small) or :func:`write_dup_flags`
+    (scale)."""
+    from .exchange import bucket_exchange_refs
+    partials = scored_ds.map_batches(_rules_pass_members,
+                                     batch_format="pyarrow", batch_size=None)
+    return bucket_exchange_refs(partials, _DUP_BUCKETS, _flags_bucket)
+
+
+def dup_winner_map(scored_ds=None, *, flags_refs=None) -> dict[int, str]:
+    """{text_hash: winning clip_id} for duplicate groups only (count > 1).
+    Driver-resident — use only when the dup-group volume is broadcastable
+    (decide_from_scored enforces the threshold)."""
+    import pyarrow.compute as pc
+    import ray
+    refs = flags_refs if flags_refs is not None else dup_flags_refs(scored_ds)
+    out: dict[int, str] = {}
+    for t in ray.get(refs):
+        if t is None or t.num_rows == 0:
+            continue
+        w = t.filter(pc.invert(t["is_loser"].combine_chunks()))
+        out.update(zip(w["text_hash"].to_pylist(), w["clip_id"].to_pylist()))
     return out
 
 
-def lang_stats(scored_ds, dupmap_ref) -> dict[str, tuple[float, float]]:
-    """Exact per-language (median, MAD) of ppl over still-alive rows.
+def write_dup_flags(flags_refs, uri: str):
+    """Scale path: sort the distributed flag tables by clip_id and commit
+    them as a keyed lancelite side table; returns its KeyedFragmentIndex.
+    Memory per task is one bucket's flags; the driver holds only paths and
+    range bounds."""
+    from ..sources import keyed, lancelite
+    from .exchange import refs_to_dataset
+    ds = refs_to_dataset(flags_refs, FLAGS_SCHEMA.empty_table())
+    ds = ds.sort("clip_id")
+    lancelite.write_dataset(ds, uri, key_stats="clip_id")
+    return keyed.KeyedFragmentIndex(uri, "clip_id")
+
+
+class KeyedDupFlags:
+    """Range-indexed dup-flag lookups (the beyond-broadcast dedup path).
+    Same mask API as ``_DupIndex``; flags load lazily per batch from the
+    keyed side table, bounded by the joiner's LRU."""
+
+    def __init__(self, index, max_cached: int = 8):
+        self.index = index
+        self.max_cached = max_cached
+        self._joiner = None
+
+    def _j(self):
+        if self._joiner is None:
+            from ..sources.keyed import KeyedBatchJoiner
+            self._joiner = KeyedBatchJoiner(
+                self.index, columns=["clip_id", "is_loser"],
+                max_cached=self.max_cached)
+        return self._joiner
+
+    def loser_mask(self, hashes: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        sub = self._j().lookup_left(ids)
+        if sub.empty:
+            return np.zeros(len(ids), dtype=bool)
+        return sub["is_loser"].fillna(False).to_numpy(dtype=bool)
+
+    def member_mask(self, hashes: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        sub = self._j().lookup_left(ids)
+        if sub.empty:
+            return np.zeros(len(ids), dtype=bool)
+        return sub["is_loser"].notna().to_numpy()
+
+
+def lang_stats(scored_ds, flags_ref, dedup: str = "first",
+               method: str = "exact") -> dict[str, tuple[float, float]]:
+    """Per-language (median, MAD) of ppl over still-alive rows.
+
+    "Alive" honors the dedup mode (keep-first drops losers only; keep-none
+    drops every dup-group member before the stats — deduplication.py:97-104
+    reference semantics).
 
     The exchange is packed: each block contributes one (lang, ppl-list)
     row per language instead of one row per clip — same bytes through the
     shuffle, a few thousand rows instead of millions — and moves through
     the manual bucket exchange (``exchange.py``, bucket = crc32(lang) % P;
-    see ``dup_winner_map`` for why not Ray Data groupby). Exact medians
-    need every value on the reduce side (the reference holds the full
-    column in memory too, outlier_detection.py:98); a P2/KLL sketch is the
-    documented approximation path at 10^12 rows."""
+    see ``dup_winner_map`` for why not Ray Data groupby).
+
+    ``method="exact"`` computes true medians on the reduce side (the
+    reference holds the full per-corpus ppl column in memory there,
+    outlier_detection.py:98). ``method="sketch"`` packs a mergeable
+    quantile sketch per (block, lang) instead of raw values, so a skewed
+    language (English at 10^12 rows) never lands its full column on one
+    reducer — bytes through the shuffle become O(blocks x langs x sketch),
+    independent of row count."""
     import zlib
 
     from .exchange import bucket_exchange
 
+    if method == "sketch":
+        from ..functions.sketch import lang_sketch_stats
+        return lang_sketch_stats(scored_ds, flags_ref, dedup,
+                                 _alive_mask, _LANG_BUCKETS)
+
     nb = _LANG_BUCKETS
 
     def alive_ppl_packed(batch: pa.Table) -> pa.Table:
-        import ray
-        mask = _alive_mask(batch, _DupIndex(ray.get(dupmap_ref)))
+        mask = _alive_mask(batch, cached_get(flags_ref), dedup)
         alive = batch.filter(pa.array(mask)).select(["lang", "ppl"])
         if alive.num_rows == 0:
             return pa.table({"bucket": pa.array([], pa.int32()),
@@ -183,7 +261,7 @@ class _DupIndex:
         in_group = self.hashes[idx] == hashes
         return in_group & (self.winners[idx] != ids)
 
-    def member_mask(self, hashes: np.ndarray) -> np.ndarray:
+    def member_mask(self, hashes: np.ndarray, ids: np.ndarray) -> np.ndarray:
         """True for every member of a dup group, winner included (= the
         rows dropped by keep-none dedup, deduplication.py:97-104)."""
         if self.hashes.size == 0:
@@ -199,24 +277,30 @@ def _rules_pass_mask(batch: pa.Table) -> np.ndarray:
         zero_copy_only=False)
 
 
-def _alive_mask(batch: pa.Table, dup_index: "_DupIndex") -> np.ndarray:
-    """Rows that survive rules + LID agreement + dedup."""
+def _alive_mask(batch: pa.Table, flags, dedup: str = "first") -> np.ndarray:
+    """Rows that survive rules + LID agreement + the dedup mode's drop set.
+    ``flags`` is a ``_DupIndex`` or ``KeyedDupFlags``."""
     rules_pass = _rules_pass_mask(batch)
     agree = batch["lang_agree"].to_numpy(zero_copy_only=False)
+    alive = rules_pass & agree
+    if dedup == "off":
+        return alive
     hashes = batch["text_hash"].to_numpy(zero_copy_only=False)
     ids = batch["clip_id"].to_numpy(zero_copy_only=False)
-    return rules_pass & agree & ~dup_index.loser_mask(hashes, ids)
+    if dedup == "none":
+        return alive & ~flags.member_mask(hashes, ids)
+    return alive & ~flags.loser_mask(hashes, ids)
 
 
 class DecideStage:
-    """Final decision map: broadcasts the dup map + per-lang stats once per
-    actor, emits is_dup / z_score / ppl_bucket / drop_reason / keep."""
+    """Final decision map: resolves the dup flags (broadcast map or keyed
+    side table) + per-lang stats once per actor, emits is_dup / z_score /
+    ppl_bucket / drop_reason / keep."""
 
-    def __init__(self, dupmap_ref, stats: dict[str, tuple[float, float]],
+    def __init__(self, flags_ref, stats: dict[str, tuple[float, float]],
                  z_cut: float = spec.Z_CUT, dedup: str = "first"):
-        import ray
-        dupmap = ray.get(dupmap_ref) if not isinstance(dupmap_ref, dict) else dupmap_ref
-        self.dup_index = _DupIndex(dupmap)
+        flags = cached_get(flags_ref)
+        self.flags = _DupIndex(flags) if isinstance(flags, dict) else flags
         self.stats = stats
         self.z_cut = z_cut
         self.dedup = dedup
@@ -231,9 +315,9 @@ class DecideStage:
 
         rules_pass = _rules_pass_mask(batch)
         if self.dedup == "first":
-            is_dup = self.dup_index.loser_mask(hashes, ids)
+            is_dup = self.flags.loser_mask(hashes, ids)
         elif self.dedup == "none":
-            is_dup = self.dup_index.member_mask(hashes)
+            is_dup = self.flags.member_mask(hashes, ids)
         else:                           # "off"
             is_dup = np.zeros(n, dtype=bool)
         is_dup &= rules_pass            # dup flag defined among rules-pass rows

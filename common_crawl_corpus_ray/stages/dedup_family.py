@@ -185,25 +185,89 @@ def _collect_shingles(ds, id_col: str, text_col: str, need: set,
 # --- SimHash ---------------------------------------------------------------
 
 _SHIFTS = np.arange(64, dtype=np.uint64)
+_FNV_BASIS = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word-unigram FNV-1a hashes."""
+    """64-bit SimHash over word-unigram FNV-1a hashes (scalar reference;
+    the hot path is :func:`simhash64_batch` — bit-identical, tested)."""
     words = text.split()
     if not words:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for w in words:
-        h = 0xCBF29CE484222325
+        h = _FNV_BASIS
         for ch in w.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            h = ((h ^ ch) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
         bits = ((np.uint64(h) >> _SHIFTS) & np.uint64(1)).astype(np.int64)
         acc += 2 * bits - 1
     return int(((acc > 0).astype(np.uint64) << _SHIFTS).sum())
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized SimHash for a whole batch (uint64 per text).
+
+    Same concatenated-bytes pattern as models/fastlid.py:56-93: all words'
+    utf-8 bytes go into one flat buffer; FNV-1a runs column-wise (one
+    vectorized xor-mul per byte *position*, so the Python loop is
+    O(max word length), not O(total bytes)); per-doc bit votes reduce with
+    ``np.add.reduceat`` over the word->doc segment starts. Replaces the
+    per-word per-byte pure-Python loop (2.3s for 550 docs in round-1 BENCH).
+    """
+    T = len(texts)
+    sigs = np.zeros(T, dtype=np.uint64)
+    if T == 0:
+        return sigs
+    words: list[bytes] = []
+    wpd = np.zeros(T, dtype=np.int64)          # words per doc
+    for i, t in enumerate(texts):
+        ws = t.split()
+        wpd[i] = len(ws)
+        for w in ws:
+            words.append(w.encode("utf-8"))
+    if not words:
+        return sigs
+    lens = np.fromiter(map(len, words), dtype=np.int64, count=len(words))
+    buf = np.frombuffer(b"".join(words), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+
+    h = np.full(len(words), _FNV_BASIS, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    for p in range(int(lens.max())):
+        m = lens > p
+        h[m] = (h[m] ^ buf[starts[m] + p].astype(np.uint64)) * prime
+
+    # per-word bit planes via one C-level unpack (little-endian uint64 view
+    # => column c IS bit c); votes become ones-counts: the +1/-1 sum is
+    # positive iff 2*ones > words_in_doc
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")
+    nz = wpd > 0
+    seg_starts = (np.cumsum(wpd) - wpd)[nz]
+    # segment sums with reduceat along the CONTIGUOUS axis of the
+    # transposed bit matrix (axis-0 reduceat/cumsum on the [n_words, 64]
+    # layout is stride-64 cache-hostile: measured 5x slower)
+    bits_t = np.ascontiguousarray(bits.T, dtype=np.int32)
+    ones = np.add.reduceat(bits_t, seg_starts, axis=1).T.astype(np.int64)
+    pos = (2 * ones) > wpd[nz, None]
+    sigs[nz] = (pos.astype(np.uint64) << _SHIFTS[None, :]).sum(axis=1)
+    return sigs
+
+
 def hamming64(x: int, y: int) -> int:
     return bin(x ^ y).count("1")
+
+
+def hamming64_batch(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit Hamming distance (popcount via uint8 view +
+    unpackbits — numpy 1.26 has no bitwise_count)."""
+    xor = np.ascontiguousarray(
+        np.asarray(x, dtype=np.uint64) ^ np.asarray(y, dtype=np.uint64))
+    if xor.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8),
+                         axis=1).sum(axis=1).astype(np.int64)
 
 
 def simhash_dedup_pairs(ds, id_col: str, text_col: str,
@@ -211,17 +275,19 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
     """Near-dup via SimHash banding (4 x 16-bit chunks) + Hamming verify."""
 
     def to_chunks(batch: pa.Table) -> pa.Table:
-        ids, chunk_ids, chunk_vals, sigs = [], [], [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            s = simhash64(t)
-            for c in range(4):
-                ids.append(i)
-                chunk_ids.append(c)
-                chunk_vals.append((s >> (16 * c)) & 0xFFFF)
-                sigs.append(s)
-        return pa.table({"id": pa.array(ids), "chunk": pa.array(chunk_ids, pa.int32()),
-                         "cv": pa.array(chunk_vals, pa.int64()),
-                         "sig": pa.array([int(x) for x in sigs], pa.uint64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = simhash64_batch(batch[text_col].to_pylist())
+        n = len(ids)
+        # vectorized 4-way chunk explode: rows [i*4 + c]
+        rep_ids = np.repeat(ids, 4)
+        rep_sigs = np.repeat(sigs, 4)
+        chunks = np.tile(np.arange(4, dtype=np.int32), n)
+        cv = ((rep_sigs >> (np.uint64(16) * chunks.astype(np.uint64)))
+              & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({"id": pa.array(rep_ids),
+                         "chunk": pa.array(chunks, pa.int32()),
+                         "cv": pa.array(cv, pa.int64()),
+                         "sig": pa.array(rep_sigs, pa.uint64())})
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # bucketed: one vectorized self-merge per coarse bucket (see
@@ -230,8 +296,8 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
         m = m[m["id_x"] < m["id_y"]].drop_duplicates(["id_x", "id_y"])
         if m.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ham = [hamming64(int(x), int(y))
-               for x, y in zip(m["sig_x"], m["sig_y"])]
+        ham = hamming64_batch(m["sig_x"].to_numpy(dtype=np.uint64),
+                              m["sig_y"].to_numpy(dtype=np.uint64))
         m = m.assign(hamming=ham)
         m = m[m["hamming"] <= max_hamming]
         return (m[["id_x", "id_y", "hamming"]]

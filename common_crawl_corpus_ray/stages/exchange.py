@@ -47,11 +47,17 @@ def _reduce_bucket(reduce_fn, *slices) -> pa.Table | None:
     return reduce_fn(t)
 
 
-def bucket_exchange(ds, nbuckets: int, reduce_fn) -> list[pa.Table]:
-    """All-to-all a Dataset with an int ``bucket`` column in [0, nbuckets)
-    through ``reduce_fn`` (pa.Table -> pa.Table, vectorized) per bucket;
-    returns the per-bucket reduce outputs (driver-resident, must be small).
-    """
+@ray.remote
+def _none_to_empty(t: pa.Table | None, empty: pa.Table) -> pa.Table:
+    return empty if t is None else t
+
+
+def bucket_exchange_refs(ds, nbuckets: int, reduce_fn) -> list:
+    """Like :func:`bucket_exchange` but the per-bucket reduce outputs STAY
+    in the object store (a list of ObjectRef[pa.Table | None]) — the scale
+    path when reducer outputs are row-level (dup flags, joined pairs), not
+    tiny stats. Compose further stages from the refs without ever landing
+    the data on the driver."""
     blocks = ds.repartition(nbuckets).to_arrow_refs()
     if not blocks:
         return []
@@ -61,8 +67,43 @@ def bucket_exchange(ds, nbuckets: int, reduce_fn) -> list[pa.Table]:
     ]
     if nbuckets == 1:
         slices = [[s] for s in slices]
-    outs = [
+    return [
         _reduce_bucket.remote(reduce_fn, *[m[b] for m in slices])
         for b in range(nbuckets)
     ]
+
+
+def bucket_exchange(ds, nbuckets: int, reduce_fn) -> list[pa.Table]:
+    """All-to-all a Dataset with an int ``bucket`` column in [0, nbuckets)
+    through ``reduce_fn`` (pa.Table -> pa.Table, vectorized) per bucket;
+    returns the per-bucket reduce outputs (driver-resident, must be small).
+    """
+    outs = bucket_exchange_refs(ds, nbuckets, reduce_fn)
     return [t for t in ray.get(outs) if t is not None]
+
+
+def refs_to_dataset(refs, empty: pa.Table):
+    """Turn reduce-output refs into a ``ray.data.Dataset`` without driver
+    materialization. ``empty`` supplies the schema for None (empty-bucket)
+    refs."""
+    import ray.data as rd
+    if not refs:
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs([_none_to_empty.remote(r, empty) for r in refs])
+
+
+def bucket_exchange_dataset(ds, nbuckets: int, reduce_fn, empty: pa.Table):
+    """Exchange whose reduce outputs become a new ``ray.data.Dataset``
+    (zero driver materialization). ``empty`` supplies the schema for
+    buckets that received no rows."""
+    return refs_to_dataset(bucket_exchange_refs(ds, nbuckets, reduce_fn), empty)
+
+
+@ray.remote
+def _num_rows(t: pa.Table | None) -> int:
+    return 0 if t is None else t.num_rows
+
+
+def total_rows(refs) -> int:
+    """Row count across reduce-output refs without fetching the tables."""
+    return sum(ray.get([_num_rows.remote(r) for r in refs])) if refs else 0

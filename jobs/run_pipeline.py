@@ -88,10 +88,7 @@ def main(argv=None) -> dict:
             raise SystemExit("--resume requires --checkpoint")
         from common_crawl_corpus_ray.state import manifest
         resumable.run_resumable(
-            args.input, args.checkpoint, args.output,
-            num_partitions=cfg.num_partitions,
-            scorer_concurrency=cfg.scorer_concurrency,
-            batch_size=cfg.batch_size)
+            args.input, args.checkpoint, args.output, config=cfg)
         rows = lancelite.count_rows(args.output)
         summary = {"partitions_completed":
                    len(manifest.completed(args.checkpoint))}

@@ -1,0 +1,184 @@
+"""Round-2 scale paths: keyed side-table attach (phase D), partitioned dup
+flags, sketch lang stats, partitioned/rolling lancelite writes."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from common_crawl_corpus_ray.sources import keyed, lancelite
+
+
+@pytest.fixture(scope="module")
+def clips_ds(ray_session):
+    import ray.data as rd
+    from common_crawl_corpus_ray.synth import clips
+    t, _ = clips.clips_table(600, with_audio=False)
+    return rd.from_arrow(t)
+
+
+# --- lancelite key stats / partitioned / rolling writes ---------------------
+
+def test_write_key_stats_and_keyed_lookup(ray_session, tmp_path):
+    import ray.data as rd
+    t = pa.table({"k": [f"id-{i:04d}" for i in range(1000)],
+                  "v": list(range(1000))})
+    uri = str(tmp_path / "tbl")
+    lancelite.write_dataset(rd.from_arrow(t).repartition(8), uri,
+                            key_stats="k")
+    man = lancelite.manifest(uri)
+    assert all("stats" in f and "k" in f["stats"] for f in man["fragments"])
+
+    index = keyed.KeyedFragmentIndex(uri, "k")
+    joiner = keyed.KeyedBatchJoiner(index, max_cached=3)
+    keys = ["id-0007", "id-0999", "id-0500"]
+    sub = joiner.lookup(keys)
+    assert sub["v"].tolist() == [7, 999, 500]
+    left = joiner.lookup_left(["id-0001", "missing-key"])
+    assert left["v"].tolist()[0] == 1 and pd.isna(left["v"].tolist()[1])
+    with pytest.raises(KeyError):
+        joiner.lookup(["zzz-not-there"])
+
+
+def test_partitioned_write_roundtrip(ray_session, tmp_path):
+    """S5: hive layout by lang; partition pruning reads one language's
+    fragments only; per-partition counts match a global rollup."""
+    import ray.data as rd
+    langs = ["en", "fr", "de"]
+    t = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "lang": pa.array([langs[i % 3] for i in range(300)], pa.string()),
+        "n": pa.array(range(300), pa.int64())})
+    uri = str(tmp_path / "part")
+    lancelite.write_dataset(rd.from_arrow(t), uri, partition_cols=["lang"])
+    assert lancelite.partition_values(uri, "lang") == ["de", "en", "fr"]
+    # pruned read: only one partition's fragments, column re-attached
+    fr = lancelite.read(uri, partition_filter={"lang": "fr"}).to_pandas()
+    assert set(fr["lang"]) == {"fr"} and len(fr) == 100
+    full = lancelite.read_arrow(uri).to_pandas()
+    assert len(full) == 300
+    assert full.groupby("lang").size().to_dict() == {"de": 100, "en": 100,
+                                                     "fr": 100}
+    # column-pruned partition read
+    sub = lancelite.read(uri, columns=["doc_id", "lang"],
+                         partition_filter={"lang": "de"}).to_pandas()
+    assert list(sub.columns) == ["doc_id", "lang"] and len(sub) == 100
+
+
+def test_rolling_rows_per_file(ray_session, tmp_path):
+    """S6: the 100k-row roll (cc_corpus.py:439-451) as a sink option."""
+    import ray.data as rd
+    t = pa.table({"i": pa.array(range(1000), pa.int64())})
+    uri = str(tmp_path / "roll")
+    lancelite.write_dataset(rd.from_arrow(t), uri, rows_per_file=250)
+    rows = [f["rows"] for f in lancelite.manifest(uri)["fragments"]]
+    assert sum(rows) == 1000
+    assert max(rows) <= 250 and len(rows) >= 4
+
+
+# --- phase D: no driver materialization, keyed attach equals decisions ------
+
+def test_attach_payload_no_driver_materialization(clips_ds, monkeypatch,
+                                                  tmp_path):
+    """The flagship with payload passthrough must never call
+    Dataset.to_pandas (the round-1 anti-pattern): decisions go through the
+    keyed side-table join."""
+    import ray.data
+    from common_crawl_corpus_ray.pipelines import quality_filter
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side Dataset.to_pandas in flagship run")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    final = quality_filter.run(clips_ds, attach_payload=True,
+                               decisions_uri=str(tmp_path / "dec"))
+    t = pa.concat_tables(final.iter_batches(batch_size=4096,
+                                            batch_format="pyarrow"))
+    monkeypatch.undo()
+    assert t.num_rows == 600
+    # attach carried the decision columns consistent with the slim table
+    dec = quality_filter.run(clips_ds, attach_payload=False).to_pandas()
+    att = t.select(["clip_id", "keep", "drop_reason", "text_hash"]).to_pandas()
+    m = dec.merge(att, on="clip_id", suffixes=("_dec", "_att"))
+    assert len(m) == 600
+    assert (m["keep_dec"] == m["keep_att"]).all()
+    assert (m["drop_reason_dec"] == m["drop_reason_att"]).all()
+    assert (m["text_hash_dec"] == m["text_hash_att"]).all()
+
+
+# --- partitioned dup flags == broadcast dup map -----------------------------
+
+def test_keyed_dup_flags_matches_broadcast(clips_ds, tmp_path):
+    from common_crawl_corpus_ray.pipelines import quality_filter
+
+    scored = quality_filter.score(
+        clips_ds.select_columns(["clip_id", "transcript"])).materialize()
+    slim = scored.select_columns(quality_filter.SLIM_COLUMNS).materialize()
+
+    # broadcast path (threshold huge) vs keyed path (threshold 0 forces the
+    # side-table join)
+    a = quality_filter.decide_from_scored(
+        scored, slim, dup_broadcast_max=10**9).to_pandas()
+    b = quality_filter.decide_from_scored(
+        scored, slim, dup_broadcast_max=0,
+        flags_uri=str(tmp_path / "flags")).to_pandas()
+    a = a.sort_values("clip_id").reset_index(drop=True)
+    b = b.sort_values("clip_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["is_dup"].any()   # fixture must actually exercise dup groups
+
+
+def test_keyed_dup_flags_none_mode(clips_ds, tmp_path):
+    from common_crawl_corpus_ray.pipelines import quality_filter
+    scored = quality_filter.score(
+        clips_ds.select_columns(["clip_id", "transcript"])).materialize()
+    slim = scored.select_columns(quality_filter.SLIM_COLUMNS).materialize()
+    a = quality_filter.decide_from_scored(
+        scored, slim, dedup="none", dup_broadcast_max=10**9).to_pandas()
+    b = quality_filter.decide_from_scored(
+        scored, slim, dedup="none", dup_broadcast_max=0,
+        flags_uri=str(tmp_path / "flags")).to_pandas()
+    a = a.sort_values("clip_id").reset_index(drop=True)
+    b = b.sort_values("clip_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+# --- sketch lang stats vs exact --------------------------------------------
+
+def test_sketch_stats_close_to_exact(clips_ds):
+    import ray
+    from common_crawl_corpus_ray.pipelines import quality_filter
+    from common_crawl_corpus_ray.stages import decide
+
+    scored = quality_filter.score(
+        clips_ds.select_columns(["clip_id", "transcript"])).materialize()
+    slim = scored.select_columns(quality_filter.SLIM_COLUMNS).materialize()
+    flags = quality_filter.build_dup_flags(slim)
+    flags_ref = ray.put(flags)
+    exact = decide.lang_stats(slim, flags_ref, "first", method="exact")
+    sketch = decide.lang_stats(slim, flags_ref, "first", method="sketch")
+    assert set(exact) == set(sketch)
+    for lang in exact:
+        med_e, mad_e = exact[lang]
+        med_s, mad_s = sketch[lang]
+        assert med_s == pytest.approx(med_e, rel=0.05)
+        assert mad_s == pytest.approx(mad_e, rel=0.10, abs=1e-9)
+
+
+def test_sketch_quantiles_accuracy():
+    from common_crawl_corpus_ray.functions.sketch import QuantileSketch
+    rng = np.random.default_rng(7)
+    x = rng.normal(100, 15, 100_000)
+    merged = QuantileSketch(256)
+    for chunk in np.array_split(x, 53):
+        s = QuantileSketch(256).add(chunk)
+        v, l, n = s.to_arrays()
+        merged.merge(QuantileSketch.from_arrays(v, np.asarray(l), n))
+    assert merged.n == len(x)
+    med, mad = merged.median_mad()
+    med_e = float(np.median(x))
+    mad_e = float(np.median(np.abs(x - med_e)))
+    assert med == pytest.approx(med_e, rel=0.02)
+    assert mad == pytest.approx(mad_e, rel=0.05)
