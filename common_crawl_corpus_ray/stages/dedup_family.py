@@ -58,22 +58,27 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 def minhash_candidate_pairs(ds, id_col: str, text_col: str,
                             num_perm: int = 64, bands: int = 16,
-                            seed: int = 42) -> set[tuple]:
-    """LSH banding: ids sharing any band bucket become candidate pairs."""
+                            seed: int = 42):
+    """LSH banding: ids sharing any band bucket become candidate pairs.
+    Returns a ``ray.data.Dataset`` of distinct (a, b) pairs — never a
+    driver-side set (at web scale the candidate count is O(dup_rate * N))."""
     a, b = _perm_params(num_perm, seed)
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sig = minhash_signature(t, a, b)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                ids.append(i)
-                band_ids.append(band)
-                band_hashes.append(int(chunk.sum() % _MERSENNE))
-        return pa.table({"id": pa.array(ids), "band": pa.array(band_ids, pa.int32()),
-                         "bh": pa.array(band_hashes, pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"id": batch[id_col],
+                             "band": pa.array([], pa.int32()),
+                             "bh": pa.array([], pa.int64())})
+        sigs = np.stack([minhash_signature(t, a, b)
+                         for t in batch[text_col].to_pylist()])
+        bh = sigs.reshape(len(ids), bands, rows_per_band).sum(axis=2) % _MERSENNE
+        return pa.table({
+            "id": pa.array(np.repeat(ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32),
+                                     len(ids)), pa.int32()),
+            "bh": pa.array(bh.reshape(-1), pa.int64())})
 
     # group into P coarse buckets, NOT one map_groups call per (band, bh):
     # map_groups costs ~1ms/group, and there is ~one group per doc*band.
@@ -89,19 +94,31 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
                   _PAIR_BUCKETS)
         return b.append_column("bucket", pa.array(bucket, pa.int64()))
 
-    pairs_ds = (ds.map_batches(to_bands, batch_format="pyarrow")
-                .map_batches(add_bucket, batch_format="pyarrow")
-                .groupby("bucket").map_groups(emit_pairs, batch_format="pandas"))
-    out = set()
-    for row in pairs_ds.take_all():
-        out.add((row["a"], row["b"]))
-    return out
+    return (ds.map_batches(to_bands, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(emit_pairs, batch_format="pandas"))
 
 
 _PAIR_BUCKETS = 64
-# candidate-pair count below which Jaccard verification runs on the driver
-# (vectorized) instead of as a separate distributed Ray job
-_DRIVER_VERIFY_MAX = 50_000
+# bucket count for the two-round distributed verify exchange
+_VERIFY_BUCKETS = 16
+
+
+def _id_bucket(vals: np.ndarray, nbuckets: int) -> np.ndarray:
+    """Deterministic hash bucket for int or string ids."""
+    if vals.dtype.kind in "iu":
+        return (vals.astype(np.int64) % nbuckets + nbuckets) % nbuckets
+    import zlib
+    return np.fromiter((zlib.crc32(str(v).encode("utf-8")) % nbuckets
+                        for v in vals), dtype=np.int64, count=len(vals))
+
+
+def _list_rows(col) -> list[np.ndarray]:
+    """ChunkedArray of list<int64> -> per-row numpy slices (no py lists)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    return [flat[offs[i]:offs[i + 1]] for i in range(len(arr))]
 
 
 def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
@@ -113,73 +130,120 @@ def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
     unrelated same-vocabulary docs (word-salad J ~ 0.2-0.3) almost never
     become candidates — with 16x4 banding the candidate set exploded to
     ~10% of all pairs on the synthetic corpus and verification dominated.
-    The verify itself runs distributed: candidate pairs become a Dataset,
-    shingle sets of the involved docs are broadcast once (ray.put), and
-    each batch verifies its pairs with vectorized set intersections.
+
+    The verify is FULLY distributed (no driver-side candidate set or
+    shingle dict): candidate pairs and per-doc shingle arrays hash-
+    partition on doc id through two bucket-exchange rounds — round 1 joins
+    each pair to side-a shingles, round 2 re-buckets on side b, joins its
+    shingles and computes exact Jaccard inside the reduce task. Per-task
+    memory is one bucket's shingles; driver memory is the final verified
+    pair list only.
     """
-    import ray
-    import ray.data as rd
-    # both passes (banding, shingle collection for verify) consume the same
+    import pyarrow.compute as pc
+
+    from .exchange import bucket_exchange, bucket_exchange_refs, refs_to_dataset
+
+    nb = _VERIFY_BUCKETS
+    # both passes (banding, shingle arrays for verify) consume the same
     # (id, text) projection; materialize it once instead of re-executing the
     # upstream pipeline per pass
     ds = ds.select_columns([id_col, text_col]).materialize()
-    cands = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
-    if not cands:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    need = {i for p in cands for i in p}
-    shingles = _collect_shingles(ds, id_col, text_col, need)
-    arr = np.array(sorted(cands))
+    id_type = ds.schema().base_schema.field(id_col).type
+    pairs_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
 
-    def verify_pairs(av, bv, sh) -> pa.Table:
+    # one canonical schema for every exchange input, so Dataset.union /
+    # repartition never see block-schema mismatches: pair rows carry
+    # (a, b[, sh_a]), shingle rows carry (doc, sh); absent fields are null
+    mix_schema = pa.schema([
+        ("bucket", pa.int64()),
+        ("a", id_type), ("b", id_type),
+        ("sh_a", pa.list_(pa.int64())),
+        ("doc", id_type), ("sh", pa.list_(pa.int64())),
+    ])
+
+    def _mix(n: int, **cols) -> pa.Table:
+        full = {f.name: cols.get(f.name, pa.nulls(n, f.type))
+                for f in mix_schema}
+        return pa.table(full, schema=mix_schema)
+
+    def _pack_lists(shs: list[np.ndarray]) -> pa.ListArray:
+        offs = np.zeros(len(shs) + 1, dtype=np.int32)
+        offs[1:] = np.cumsum([s.size for s in shs])
+        flat = np.concatenate(shs) if shs else np.empty(0, np.int64)
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                        pa.array(flat, pa.int64()))
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        shs = [np.unique(_shingle_hashes(t)) for t in
+               batch[text_col].to_pylist()]
+        return _mix(len(ids),
+                    bucket=pa.array(_id_bucket(ids, nb), pa.int64()),
+                    doc=batch[id_col].combine_chunks().cast(id_type),
+                    sh=_pack_lists(shs))
+
+    sh_ds = ds.map_batches(to_shingles, batch_format="pyarrow").materialize()
+
+    def pair_bucket_a(b: pa.Table) -> pa.Table:
+        av = b["a"].to_numpy(zero_copy_only=False)
+        return _mix(b.num_rows,
+                    bucket=pa.array(_id_bucket(av, nb), pa.int64()),
+                    a=b["a"].combine_chunks().cast(id_type),
+                    b=b["b"].combine_chunks().cast(id_type))
+
+    pairs_a = pairs_ds.map_batches(pair_bucket_a, batch_format="pyarrow")
+
+    def join_a(t: pa.Table) -> pa.Table | None:
+        """Round-1 reduce: rows are a mix of pairs (a, b) and shingle docs
+        (doc, sh) — attach sh(a) to each pair, re-bucket by b."""
+        is_pair = pc.is_valid(t["a"])
+        if not pc.any(is_pair).as_py():
+            return None
+        # all copies of a pair land in this bucket (bucketed by a), so the
+        # cross-band/cross-bucket duplicates dedup here, fully distributed
+        pairs = (t.filter(is_pair).select(["a", "b"])
+                 .group_by(["a", "b"]).aggregate([]))
+        docs = t.filter(pc.invert(is_pair))
+        sh_by_doc = dict(zip(docs["doc"].to_pylist(), _list_rows(docs["sh"])))
+        bv = pairs["b"].to_numpy(zero_copy_only=False)
+        return _mix(pairs.num_rows,
+                    bucket=pa.array(_id_bucket(bv, nb), pa.int64()),
+                    a=pairs["a"].combine_chunks(),
+                    b=pairs["b"].combine_chunks(),
+                    sh_a=_pack_lists([sh_by_doc[x]
+                                      for x in pairs["a"].to_pylist()]))
+
+    round1 = refs_to_dataset(bucket_exchange_refs(pairs_a.union(sh_ds), nb,
+                                                  join_a),
+                             mix_schema.empty_table())
+
+    def join_b(t: pa.Table) -> pa.Table | None:
+        """Round-2 reduce: join side-b shingles, exact-Jaccard verify."""
+        is_pair = pc.is_valid(t["a"])
+        if not pc.any(is_pair).as_py():
+            return None
+        pairs = t.filter(is_pair)
+        docs = t.filter(pc.invert(is_pair))
+        sh_by_doc = dict(zip(docs["doc"].to_pylist(), _list_rows(docs["sh"])))
         out_a, out_b, out_j = [], [], []
-        for x, y in zip(av, bv):
-            sa, sb = sh[x], sh[y]
+        for x, y, sa in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist(),
+                            _list_rows(pairs["sh_a"])):
+            sb = sh_by_doc[y]
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             j = inter / union if union else 1.0
             if j >= threshold:
                 out_a.append(x); out_b.append(y); out_j.append(round(j, 3))
-        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
+        return pa.table({"id_a": pa.array(out_a, id_type),
+                         "id_b": pa.array(out_b, id_type),
                          "jaccard": pa.array(out_j, pa.float64())})
 
-    if len(arr) <= _DRIVER_VERIFY_MAX:
-        # small candidate set: verifying on the driver avoids a whole Ray
-        # job (the pair list and its shingles are already driver-resident
-        # from the collect step)
-        out = verify_pairs(arr[:, 0], arr[:, 1], shingles).to_pandas()
-    else:
-        sh_ref = ray.put(shingles)
-        pairs_ds = rd.from_arrow(pa.table({"a": pa.array(arr[:, 0]),
-                                           "b": pa.array(arr[:, 1])}))
-
-        def verify(b: pa.Table) -> pa.Table:
-            return verify_pairs(b["a"].to_pylist(), b["b"].to_pylist(),
-                                ray.get(sh_ref))
-
-        out = pairs_ds.map_batches(verify, batch_format="pyarrow",
-                                   batch_size=8192).to_pandas()
-    if out.empty:
+    verified = [t for t in bucket_exchange(round1.union(sh_ds), nb, join_b)
+                if t.num_rows]
+    if not verified:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    out = pa.concat_tables(verified, promote_options="default").to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-
-
-def _collect_shingles(ds, id_col: str, text_col: str, need: set,
-                      k: int = 5) -> dict:
-    """{id: sorted unique shingle-hash array} for the candidate docs only."""
-    import ray
-    need_ref = ray.put(need)
-
-    def f(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
-        return batch.filter(mask).select([id_col, text_col])
-
-    t = {}
-    for b in ds.map_batches(f, batch_format="pyarrow").iter_batches(
-            batch_size=4096, batch_format="pyarrow"):
-        for i, txt in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            t[i] = np.unique(_shingle_hashes(txt, k))
-    return t
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -329,28 +393,28 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.5) -> pd.DataFrame:
     """Exact word-n-gram Jaccard near-dup via a distributed inverted index.
 
-    Shuffle shape: explode each doc to distinct (shingle, id) rows;
-    ``groupby(shingle)`` posting lists emit co-occurring id pairs; a second
-    ``groupby(pair)`` counts intersections; per-doc shingle counts are a
-    tiny side table broadcast for the final |A|+|B|-co denominator. At
+    Shuffle shape: explode each doc to distinct (shingle, id, n_doc) rows
+    (the per-doc distinct-shingle count rides along with every exploded
+    row — no driver-side counts dict, no broadcast); ``groupby(shingle)``
+    posting lists emit co-occurring id pairs carrying both docs' counts; a
+    second ``groupby(pair)`` counts intersections; the final
+    |A|+|B|-co denominator comes straight from the carried columns. At
     scale, super-common shingles need a posting-list cap (df limit) —
     uncapped here because the oracle SQL has no cap either.
     """
-    import ray
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, shs = [], []
+        ids, shs, cnts = [], [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            for sh in word_ngrams(t, n):
+            grams = word_ngrams(t, n)
+            for sh in grams:
                 ids.append(i)
                 shs.append(sh)
-        return pa.table({"id": pa.array(ids), "sh": pa.array(shs, pa.string())})
+                cnts.append(len(grams))
+        return pa.table({"id": pa.array(ids), "sh": pa.array(shs, pa.string()),
+                         "nd": pa.array(cnts, pa.int64())})
 
     sh_ds = ds.map_batches(explode, batch_format="pyarrow")
-
-    # per-doc shingle counts (small: one row per doc)
-    counts = {r["id"]: r["count()"] for r in
-              sh_ds.groupby("id").count().take_all()}
 
     # bucket shingles coarsely (deterministic crc32) so pair emission is a
     # vectorized self-merge per bucket, not one Python call per shingle
@@ -364,25 +428,24 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="sh")
         m = m[m["id_x"] < m["id_y"]]
-        return m[["id_x", "id_y"]].rename(columns={"id_x": "id_a",
-                                                   "id_y": "id_b"})
+        return (m[["id_x", "id_y", "nd_x", "nd_y"]]
+                .rename(columns={"id_x": "id_a", "id_y": "id_b",
+                                 "nd_x": "ca", "nd_y": "cb"}))
 
     co = (sh_ds.map_batches(add_bucket, batch_format="pyarrow")
           .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
-          .groupby(["id_a", "id_b"]).count())
+          .groupby(["id_a", "id_b", "ca", "cb"]).count())
 
     # final jaccard + threshold filter stays distributed: the candidate
     # pair-count table is ~quadratic in natural shingle overlap (1M+ rows
     # on the synthetic corpus) and must not be row-looped on the driver.
-    counts_ref = ray.put(counts)
 
     def jfilter(b: pa.Table) -> pa.Table:
-        cmap = ray.get(counts_ref)
         a = b["id_a"].to_numpy(zero_copy_only=False)
         bb = b["id_b"].to_numpy(zero_copy_only=False)
         c = b["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
-        ca = np.fromiter((cmap[x] for x in a), dtype=np.float64, count=len(a))
-        cb = np.fromiter((cmap[x] for x in bb), dtype=np.float64, count=len(bb))
+        ca = b["ca"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = b["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
         j = c / (ca + cb - c)                 # unrounded: int ratio is
         keep = j >= threshold                 # bit-identical in SQL too
         return pa.table({"id_a": pa.array(a[keep], pa.int64()),

@@ -1,0 +1,83 @@
+"""Distributed near-dup verification: the round-2 de-drivered minhash path
+must produce exactly the pairs an exact all-pairs Jaccard finds (on the
+mutated fixture the LSH banding has ~1 recall, and both sides are
+deterministic), and the vectorized simhash must be bit-identical to the
+scalar reference."""
+
+import numpy as np
+import pytest
+
+from common_crawl_corpus_ray.stages import dedup_family as df
+
+SF = "/root/testdata/sf0.001"
+THRESHOLD = 0.7
+
+
+def _exact_pairs(ids, texts, threshold):
+    sh = [np.unique(df._shingle_hashes(t)) for t in texts]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sh[i], sh[j]
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                x, y = sorted((ids[i], ids[j]))
+                out.add((x, y))
+    return out
+
+
+def test_minhash_pairs_vs_exact_jaccard(ray_session):
+    """Precision is EXACT (every emitted pair passes true Jaccard >=
+    threshold — the distributed verify guarantees it); recall is the LSH
+    S-curve's: pairs near the threshold may be missed (J=0.82 has capture
+    p~0.83 at 8x8 banding), high-J pairs are all caught. Deterministic for
+    fixed data + seed."""
+    from common_crawl_corpus_ray.pipelines import clips_queries as C
+    ds = C.mutated_docs(SF)
+    got = df.minhash_dedup_pairs(ds, "doc_id", "text", threshold=THRESHOLD)
+    got_pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+
+    t = ds.to_pandas()
+    ids, texts = t["doc_id"].tolist(), t["text"].tolist()
+    want = _exact_pairs(ids, texts, THRESHOLD)
+    high = _exact_pairs(ids, texts, 0.93)
+    assert len(want) > 0          # fixture must exercise the detector
+    assert got_pairs <= want      # exact precision
+    assert high <= got_pairs      # every high-J pair caught
+    assert len(got_pairs) >= 0.9 * len(want)   # recall floor (measured 1 miss)
+    assert (got["jaccard"] >= THRESHOLD).all()
+
+
+def test_minhash_no_driver_candidate_set(ray_session, monkeypatch):
+    """The banding stage must return a Dataset (scale contract), and the
+    flow must never call take_all on it."""
+    import ray.data
+    from common_crawl_corpus_ray.pipelines import clips_queries as C
+
+    def boom(self, *a, **k):
+        raise AssertionError("take_all in distributed minhash path")
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", boom)
+    ds = C.mutated_docs(SF)
+    out = df.minhash_dedup_pairs(ds, "doc_id", "text", threshold=THRESHOLD)
+    monkeypatch.undo()
+    assert len(out) > 0
+
+
+def test_simhash_batch_parity():
+    texts = ["the quick brown fox " * 4, "", "   ", "héllo wörld", "one",
+             "a b c " * 40, "日本語 テスト 文章", "x" * 100]
+    got = df.simhash64_batch(texts)
+    want = np.array([df.simhash64(t) for t in texts], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_hamming_batch_parity():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
+    y = rng.integers(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
+    got = df.hamming64_batch(x, y)
+    want = np.array([df.hamming64(int(a), int(b)) for a, b in zip(x, y)])
+    assert (got == want).all()
