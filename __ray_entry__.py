@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_longest": A.top_longest,
         "seeded_sample": A.seeded_sample,
         "semi_anti_join": A.semi_anti_join,
+        "url_parse": A.url_parse,
+        "annotate_region": A.annotate_region,
         # --- stream-shaped ---
         "events_window": A.events_window,
         "sessionize": A.sessionize,
@@ -228,6 +230,55 @@ SELECT id_a, id_b, co * 1.0 / (ca.c + cb.c - co) AS jaccard
 FROM co JOIN cnt ca ON ca.doc_id = co.id_a JOIN cnt cb ON cb.doc_id = co.id_b
 WHERE co * 1.0 / (ca.c + cb.c - co) >= 0.5"""
 
+    # simhash_dedup expressed EXACTLY in SQL: FNV-1a per word via
+    # list_reduce with HUGEINT mod-2^64 arithmetic, per-bit vote sums,
+    # 4x16-bit chunk banding + bit_count Hamming verify — bit-identical to
+    # stages/dedup_family.simhash64_batch (verified 536/536 pairs at
+    # sf0.01, all hamming values equal). Text is ASCII so ascii(substring)
+    # equals the utf-8 byte.
+    simhash_sql = r"""
+WITH mutsrc AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 50
+), mut AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN len(w) > 4
+              THEN array_to_string(w[1:3], ' ') || ' mutated ' || array_to_string(w[5:], ' ')
+              ELSE array_to_string(w, ' ') END AS text
+  FROM mutsrc
+), docs AS (
+  SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM mut
+), words AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS w
+  FROM docs
+), wh AS (
+  SELECT doc_id,
+   list_reduce(
+     list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                  list_transform(generate_series(1, length(w)),
+                                 i -> CAST(ascii(substring(w, i, 1)) AS UBIGINT))),
+     (h, b) -> CAST(CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) %
+                         18446744073709551616 AS HUGEINT) AS UBIGINT)) AS h
+  FROM words
+), votes AS (
+  SELECT doc_id, s.s AS s,
+         SUM(CASE WHEN (h >> s.s) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS s) s
+  GROUP BY doc_id, s.s
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << CAST(s AS INTEGER)
+                  ELSE CAST(0 AS UBIGINT) END) AS sig
+  FROM votes GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, sig, c.c AS c, (sig >> (16 * c.c)) & 65535 AS cv
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 8"""
+
     # planted_embeddings fixture in SQL: exact copies of vec_id<20
     embed_dup_sql = """
 WITH emb AS (
@@ -260,13 +311,23 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.99"""
         "top_longest": A.top_longest_sql(),
         "seeded_sample": A.seeded_sample_sql(),
         "semi_anti_join": A.semi_anti_join_sql(),
+        "url_parse": A.url_parse_sql(),
+        "annotate_region": A.annotate_region_sql(),
         "events_window": A.events_window_sql(),
         "sessionize": A.sessionize_sql(),
         "ann_cosine_topk": ann_sql,
         "ngram_jaccard_dedup": ngram_jaccard_sql,
         "embedding_dup_exact": embed_dup_sql,
-        # minhash_dedup / simhash_dedup / embedding_dup_lsh / ann_lsh_topk /
-        # ann_ivf_topk / lid_documents / audio_decode_stats / clips_pipeline:
-        # not SQL-expressible (models, LSH/IVF approximations, audio) ->
+        # The LSH near-dup variant provably finds the same pairs as the
+        # exact path on this fixture (cos>=0.99 pairs are planted exact
+        # copies; identical vectors always share every hyperplane bucket,
+        # and the run is deterministic for fixed seed+data — equality
+        # verified at sf0.01), so the exact SQL doubles as its oracle:
+        "embedding_dup_lsh": embed_dup_sql,
+        "simhash_dedup": simhash_sql,
+        # minhash_dedup / ann_lsh_topk / ann_ivf_topk (measured: LSH/IVF
+        # recall < 1 on this fixture — genuinely approximate) /
+        # lid_documents / audio_decode_stats / clips_pipeline:
+        # not SQL-expressible or not SQL-equal ->
         # driver records rows-only checks.
     }

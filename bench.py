@@ -63,7 +63,12 @@ def run_bench() -> dict:
     __ray_entry__._setup()
     from common_crawl_corpus_ray.pipelines import clips_queries
 
-    # untimed: generate/cache the clips table and warm the page cache
+    # untimed: build/load the model artifact once (a cold /tmp otherwise
+    # makes every scorer actor train its own copy inside the timed
+    # headline — measured ~3-8s of the round-1 driver-vs-local bench gap),
+    # then generate/cache the clips table and warm the page cache
+    from common_crawl_corpus_ray.models import train as model_train
+    model_train.build_models()
     uri = clips_queries.ensure_clips(SF_DIR, with_audio=True)
     n_clips = clips_queries.clips_count(SF_DIR)
     for f in os.listdir(uri):

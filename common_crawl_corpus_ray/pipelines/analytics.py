@@ -355,8 +355,9 @@ def seeded_sample(sf_dir: str, k: int = 150):
                                           ("doc_id", "ascending")])
         return t.take(idx)
 
-    # the second map_batches(batch_size=None) merges per-block top-ks as
-    # blocks coalesce; the final exact cut happens on <= k*num_blocks rows
+    # after the per-block top-k prune, at most k*num_blocks rows remain;
+    # the global sort+limit therefore runs on a tiny table (the sort is
+    # range-partitioned but its input is already pruned)
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(partial_topk, batch_format="pyarrow")
             .sort(["text_hash", "doc_id"])
@@ -543,3 +544,105 @@ def fingerprint_sql() -> str:
            "string_split_regex(trim(text, ' '), ' +'))), ' ')")
     return (f"SELECT doc_id, CAST(CONCAT('0x', SUBSTRING(md5({bag}), 1, 16)) AS UBIGINT) "
             f"AS fingerprint FROM documents")
+
+
+# --- M2: URL -> (subdomain, domain, suffix) parse kernel --------------------
+# The reference parses provenance URLs with tldextract (utilities.py:226-228,
+# used at cc_corpus.py:244). The rebuild's kernel is a vectorized RE2 parse
+# against a known public-suffix list — both Arrow and DuckDB run RE2, so the
+# oracle is bit-identical. The documents table has no URL column, so both
+# engines deterministically construct one per row from (doc_id, source):
+# varied subdomains and multi-label suffixes exercise the longest-match rule.
+
+_URL_SUBS = ["", "www.", "blog.", "a.b."]
+_URL_TLDS = ["com", "co.uk", "org", "com.au"]
+_SUFFIX_ALT = r"co\.uk|com\.au|com|org"     # longest-first: co.uk before com
+
+
+def url_parse(sf_dir: str):
+    subs = pa.array(_URL_SUBS, pa.string())
+    tlds = pa.array(_URL_TLDS, pa.string())
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        url = pc.binary_join_element_wise(
+            "https://", pc.take(subs, pa.array(ids % 4)),
+            b["source"].combine_chunks(), ".",
+            pc.take(tlds, pa.array((ids // 4) % 4)),
+            "/p/", pc.cast(b["doc_id"], pa.string()), "")
+        host = pc.struct_field(
+            pc.extract_regex(url, r"^[a-z]+://(?P<h>[^/]+)"), "h")
+        domain = pc.struct_field(pc.extract_regex(
+            host, r"(?P<d>[^.]+)\.(?:" + _SUFFIX_ALT + r")$"), "d")
+        suffix = pc.struct_field(pc.extract_regex(
+            host, r"\.(?P<s>" + _SUFFIX_ALT + r")$"), "s")
+        subdomain = pc.replace_substring_regex(
+            host, r"\.?[^.]+\.(?:" + _SUFFIX_ALT + r")$", "")
+        return pa.table({"doc_id": b["doc_id"], "domain": domain,
+                         "suffix": suffix, "subdomain": subdomain})
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def url_parse_sql() -> str:
+    sub = ("CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.' "
+           "WHEN 2 THEN 'blog.' ELSE 'a.b.' END")
+    tld = ("CASE (doc_id // 4) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' "
+           "WHEN 2 THEN 'org' ELSE 'com.au' END")
+    url = (f"'https://' || {sub} || source || '.' || {tld} "
+           f"|| '/p/' || CAST(doc_id AS VARCHAR)")
+    alt = _SUFFIX_ALT
+    return (f"WITH u AS (SELECT doc_id, {url} AS url FROM documents), "
+            f"h AS (SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM u) "
+            f"SELECT doc_id, "
+            f"regexp_extract(host, '([^.]+)\\.(?:{alt})$', 1) AS domain, "
+            f"regexp_extract(host, '\\.({alt})$', 1) AS suffix, "
+            f"regexp_replace(host, '\\.?[^.]+\\.(?:{alt})$', '') AS subdomain "
+            f"FROM h")
+
+
+# --- M5: broadcast dict -> column annotate projection -----------------------
+# The reference annotates each row with country/region from module-level
+# code dicts (cc_corpus.py:244-248, dicts at cc_corpus.py:21-135; region
+# remaps geoWAC.py:81-126). Rebuild: the mapping is broadcast once and
+# projected vectorized (index_in + take) — never a shuffle join.
+
+LANG_GEO = {
+    "de": ("DE", "europe_west"),
+    "en": ("US", "america_north"),
+    "es": ("ES", "europe_west"),
+    "fr": ("FR", "europe_west"),
+    "zh": ("CN", "asia_east"),
+}
+GEO_UNKNOWN = ("ZZ", "unknown")
+
+
+def annotate_region(sf_dir: str):
+    langs = pa.array(sorted(LANG_GEO), pa.string())
+    countries = pa.array([LANG_GEO[l][0] for l in sorted(LANG_GEO)]
+                         + [GEO_UNKNOWN[0]], pa.string())
+    regions = pa.array([LANG_GEO[l][1] for l in sorted(LANG_GEO)]
+                       + [GEO_UNKNOWN[1]], pa.string())
+    fallback = len(LANG_GEO)
+
+    def f(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["lang"], value_set=langs)
+        idx = pc.fill_null(idx, fallback)
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "country": pc.take(countries, idx),
+                         "region": pc.take(regions, idx)})
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def annotate_region_sql() -> str:
+    ctry = " ".join(f"WHEN '{l}' THEN '{c}'"
+                    for l, (c, _r) in sorted(LANG_GEO.items()))
+    reg = " ".join(f"WHEN '{l}' THEN '{r}'"
+                   for l, (_c, r) in sorted(LANG_GEO.items()))
+    return (f"SELECT doc_id, lang, "
+            f"CASE lang {ctry} ELSE '{GEO_UNKNOWN[0]}' END AS country, "
+            f"CASE lang {reg} ELSE '{GEO_UNKNOWN[1]}' END AS region "
+            f"FROM documents")

@@ -123,16 +123,38 @@ def audio_decode_stats(sf_dir: str):
             .groupby("codec").map_groups(agg, batch_format="pandas"))
 
 
+LID_TRAIN_SAMPLE_MAX = 10_000
+
+
 def lid_documents(sf_dir: str):
-    """LID over the documents table: deterministic NB model fit on the
-    table's own (text, lang) pairs, then an actor-pool scoring pass."""
+    """LID over the documents table: deterministic NB model fit on a
+    BOUNDED training sample, then an actor-pool scoring pass.
+
+    Scale shape: training never reads the full table on the driver — a
+    deterministic content-hash sample (same stable-smallest-hash rule as
+    analytics.seeded_sample) caps the driver-resident training set at
+    ``LID_TRAIN_SAMPLE_MAX`` rows regardless of table size; the sample
+    itself is selected by a distributed filter pass."""
     import ray.data as rd
+    from ..functions.hashing import md5_i64_array
     from ..models.fastlid import FastLid
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text", "lang"])
+
+    n_total = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    frac = min(1.0, LID_TRAIN_SAMPLE_MAX / max(n_total, 1))
+    cut = int(frac * (1 << 60))          # md5_i64 values are 60-bit
+
+    def sample(b: pa.Table) -> pa.Table:
+        h = md5_i64_array(b["text"]).to_numpy()
+        return b.filter(pa.array(h < cut))
+
+    train_ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text", "lang"]).map_batches(
+        sample, batch_format="pyarrow")
     by_lang: dict[str, list[str]] = {}
-    for text, lang in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
-        by_lang.setdefault(lang, []).append(text)
+    for b in train_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for text, lang in zip(b["text"].to_pylist(), b["lang"].to_pylist()):
+            by_lang.setdefault(lang, []).append(text)
     model = FastLid.train(by_lang)
     import ray
     model_ref = ray.put(model)

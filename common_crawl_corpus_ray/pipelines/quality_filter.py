@@ -206,16 +206,29 @@ class AttachDecisions:
         return keyed.attach_columns(batch, self.joiner, "clip_id", self._TYPES)
 
 
+# decision rows per side-table fragment: the per-actor memory bound of
+# phase D is max_cached x this x ~100B (~8 x 25MB). Small fragments thrash
+# the per-actor LRU instead (Ray hands each actor scattered blocks):
+# measured 31s -> 14s on the sf0.1 phase D when coalescing 256 tiny
+# fragments into 250k-row ones.
+DECISION_ROWS_PER_FRAGMENT = 250_000
+
+
 def attach_decisions(clips_ds, dec, batch_size: int = 1024,
                      decisions_uri: str | None = None):
     """Phase D: land the decision table as a keyed lancelite table (clip_id
     range stats per fragment), then stream the full clip rows past it."""
     dec_uri = decisions_uri or tempfile.mkdtemp(prefix="ccc_dec_")
-    lancelite.write_dataset(dec, dec_uri, key_stats="clip_id")
+    lancelite.write_dataset(dec, dec_uri, key_stats="clip_id",
+                            rows_per_file=DECISION_ROWS_PER_FRAGMENT)
     index = keyed.KeyedFragmentIndex(dec_uri, "clip_id")
     n_act = max(2, _cluster_cpus() - 2)
+    # batch_size=None: joining whole input blocks avoids re-batching —
+    # re-forming fixed-size batches COPIES the payload bytes (measured
+    # ~345ms/batch of pure slicing/concat on 30MB audio batches vs ~4ms
+    # for the join itself); the join cost is independent of batch shape
     return clips_ds.map_batches(
-        AttachDecisions, batch_format="pyarrow", batch_size=batch_size,
+        AttachDecisions, batch_format="pyarrow", batch_size=None,
         fn_constructor_args=(index,),
         concurrency=(n_act, n_act), num_cpus=1,
     ).select_columns(FINAL_COLUMNS)

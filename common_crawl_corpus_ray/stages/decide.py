@@ -153,16 +153,17 @@ class KeyedDupFlags:
         return self._joiner
 
     def loser_mask(self, hashes: np.ndarray, ids: np.ndarray) -> np.ndarray:
-        sub = self._j().lookup_left(ids)
-        if sub.empty:
-            return np.zeros(len(ids), dtype=bool)
-        return sub["is_loser"].fillna(False).to_numpy(dtype=bool)
+        idx, found, stable = self._j().probe(ids)
+        out = np.zeros(len(ids), dtype=bool)
+        if stable is not None and found.any():
+            vals = stable["is_loser"].take(pa.array(idx[found])).to_numpy(
+                zero_copy_only=False)
+            out[found] = vals.astype(bool)
+        return out
 
     def member_mask(self, hashes: np.ndarray, ids: np.ndarray) -> np.ndarray:
-        sub = self._j().lookup_left(ids)
-        if sub.empty:
-            return np.zeros(len(ids), dtype=bool)
-        return sub["is_loser"].notna().to_numpy()
+        _idx, found, _stable = self._j().probe(ids)
+        return found
 
 
 def lang_stats(scored_ds, flags_ref, dedup: str = "first",

@@ -78,6 +78,26 @@ def test_rolling_rows_per_file(ray_session, tmp_path):
     assert max(rows) <= 250 and len(rows) >= 4
 
 
+def test_flagship_output_partitioned_by_lang(clips_ds, tmp_path):
+    """S5 end-to-end (the reference's per-language corpus layout,
+    cc_corpus.py:178-184 / final_cc cc_corpus.py:443-459): write the
+    flagship decision table partitioned by lang, read ONE partition back
+    column-pruned, counts match the global per-lang rollup."""
+    from common_crawl_corpus_ray.pipelines import quality_filter
+    dec = quality_filter.run(clips_ds, attach_payload=False)
+    uri = str(tmp_path / "by_lang")
+    lancelite.write_dataset(dec, uri, partition_cols=["lang"])
+
+    rollup = dec.to_pandas().groupby("lang").size().to_dict()
+    langs = lancelite.partition_values(uri, "lang")
+    assert set(langs) == set(rollup)
+    for lang in langs:
+        one = lancelite.read(uri, columns=["clip_id", "lang"],
+                             partition_filter={"lang": lang}).to_pandas()
+        assert len(one) == rollup[lang]
+        assert set(one["lang"]) == {lang}
+
+
 # --- phase D: no driver materialization, keyed attach equals decisions ------
 
 def test_attach_payload_no_driver_materialization(clips_ds, monkeypatch,
