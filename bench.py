@@ -36,7 +36,7 @@ QUERY_NAMES = [
     "median_mad", "zscore_outliers", "sample_chunks", "seeded_sample",
     "events_window", "sessionize", "ann_cosine_topk", "ann_ivf_topk",
     "lid_documents", "audio_decode_stats", "image_resize",
-    "video_frame_sample",
+    "video_frame_sample", "url_parse", "annotate_region",
 ]
 
 

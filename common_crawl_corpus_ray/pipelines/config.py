@@ -32,6 +32,15 @@ class PipelineConfig:
     attach_payload: bool = True
     num_partitions: int = 8   # resumable.run_resumable planning unit
 
+    # scale paths (round 2): dup-flag rows above which the broadcast
+    # winner map gives way to the keyed side-table join, and the
+    # lang-stats estimator ("exact" | "sketch" | None = auto by row count)
+    dup_broadcast_max: int = 2_000_000
+    lang_stats_method: str | None = None
+
     def __post_init__(self):
         if self.dedup not in ("first", "none", "off"):
             raise ValueError(f"dedup must be first|none|off, got {self.dedup!r}")
+        if self.lang_stats_method not in (None, "exact", "sketch"):
+            raise ValueError("lang_stats_method must be exact|sketch|None, "
+                             f"got {self.lang_stats_method!r}")

@@ -183,7 +183,11 @@ def decisions(clips_ds, checkpoint_uri: str | None = None,
     return decide_from_scored(
         scored, slim, batch_size,
         z_cut=None if config is None else config.z_cut,
-        dedup="first" if config is None else config.dedup)
+        dedup="first" if config is None else config.dedup,
+        dup_broadcast_max=DUP_BROADCAST_MAX if config is None
+        else config.dup_broadcast_max,
+        lang_stats_method=None if config is None
+        else config.lang_stats_method)
 
 
 class AttachDecisions:

@@ -110,8 +110,11 @@ def run_resumable(clips_uri: str, ckpt_uri: str, final_uri: str | None = None, *
                           batch_size=batch_size, fail_after=fail_after)
     scored = manifest.read(ckpt_uri)
     slim = manifest.read(ckpt_uri, columns=quality_filter.SLIM_COLUMNS)
-    out = quality_filter.decide_from_scored(scored, slim, batch_size,
-                                            z_cut=z_cut, dedup=dedup)
+    out = quality_filter.decide_from_scored(
+        scored, slim, batch_size, z_cut=z_cut, dedup=dedup,
+        dup_broadcast_max=_cfg(None, config, "dup_broadcast_max",
+                               quality_filter.DUP_BROADCAST_MAX),
+        lang_stats_method=_cfg(None, config, "lang_stats_method", None))
     if attach_payload:
         import ray.data as rd
         is_lance = os.path.isdir(os.path.join(clips_uri, "_versions"))

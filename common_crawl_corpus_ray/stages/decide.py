@@ -72,25 +72,37 @@ def _rules_pass_members(batch: pa.Table) -> pa.Table:
 
 def _flags_bucket(g: pa.Table) -> pa.Table:
     """Per-bucket reduce: keep multi-member hash groups only, emit one flag
-    row per member (is_loser = not the min-clip_id winner). One vectorized
-    Arrow group_by + join — NOT map_groups per hash (~1ms Python per group,
-    measured 47.6s vs 6.3s on 43k groups in this sandbox)."""
+    row per member (is_loser = not the min-clip_id winner). One numpy
+    lexsort pass — NOT map_groups per hash (~1ms Python per group, measured
+    47.6s vs 6.3s on 43k groups), and NOT an Acero group_by+join (Acero
+    multi-threads inside every reduce task; with one task per bucket
+    already saturating the cluster that oversubscription measurably hurt
+    the 32-cpu scaling run)."""
     import pyarrow.compute as pc
-    flat = pa.table({"text_hash": pc.list_flatten(g["h"]),
-                     "clip_id": pc.list_flatten(g["id"])})
-    agg = flat.group_by("text_hash").aggregate([("clip_id", "min"),
-                                                ("clip_id", "count")])
-    dup = agg.filter(pc.greater(agg["clip_id_count"], 1))
-    if dup.num_rows == 0:
+    h = pc.list_flatten(g["h"]).to_numpy()
+    ids = pc.list_flatten(g["id"]).to_numpy(zero_copy_only=False)
+    if h.size == 0:
         return FLAGS_SCHEMA.empty_table()
-    members = flat.filter(pc.is_in(
-        flat["text_hash"], value_set=dup["text_hash"].combine_chunks()))
-    j = members.join(dup.select(["text_hash", "clip_id_min"]),
-                     keys="text_hash")
+    # int64 hash sort first (numpy C speed); the expensive object-string
+    # id sort runs only over the dup-group member SUBSET (dup_rate x n,
+    # not n — string compares are Python-level and dominate otherwise)
+    order = np.argsort(h, kind="stable")
+    hs, idss = h[order], ids[order]
+    starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+    counts = np.diff(np.r_[starts, hs.size])
+    in_dup = np.repeat(counts > 1, counts)
+    if not in_dup.any():
+        return FLAGS_SCHEMA.empty_table()
+    sub_h, sub_id = hs[in_dup], idss[in_dup]
+    sub = np.lexsort((sub_id, sub_h))     # by hash, then id ascending
+    sh, sid = sub_h[sub], sub_id[sub]
+    sstarts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+    is_winner = np.zeros(sh.size, dtype=bool)
+    is_winner[sstarts] = True             # first of each group = min id
     return pa.table({
-        "clip_id": j["clip_id"],
-        "text_hash": j["text_hash"],
-        "is_loser": pc.not_equal(j["clip_id"], j["clip_id_min"]),
+        "clip_id": pa.array(sid, pa.string()),
+        "text_hash": pa.array(sh, pa.int64()),
+        "is_loser": pa.array(~is_winner),
     }).cast(FLAGS_SCHEMA)
 
 

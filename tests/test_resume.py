@@ -73,6 +73,31 @@ def test_resume_after_crash_matches_clean_run(ray_session, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_resume_threads_config_knobs(ray_session, tmp_path):
+    """ADVICE r1: --resume must honor z_cut / dedup / attach_payload, not
+    silently run with defaults."""
+    from common_crawl_corpus_ray.pipelines import clips_queries, resumable
+    from common_crawl_corpus_ray.pipelines.config import PipelineConfig
+
+    clips_uri = clips_queries.ensure_clips("/root/testdata/sf0.001",
+                                           with_audio=True)
+    ckpt = str(tmp_path / "ck3")
+    cfg = PipelineConfig(dedup="off", z_cut=1e9, attach_payload=False,
+                         num_partitions=2)
+    dec = resumable.run_resumable(clips_uri, ckpt, config=cfg).to_pandas()
+    assert not dec["is_dup"].any()                    # dedup="off" honored
+    assert (dec["ppl_bucket"] == "IN").all()          # z_cut=1e9 honored
+
+    # attach_payload on resume: payload columns ride along, reusing ckpt
+    full = resumable.run_resumable(clips_uri, ckpt, config=PipelineConfig(
+        dedup="off", z_cut=1e9, attach_payload=True, num_partitions=2))
+    t = full.schema()
+    names = t.names if hasattr(t, "names") else t.base_schema.names
+    assert "bytes" in names and "keep" in names
+    assert full.count() == len(dec)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_rerun_is_noop(ray_session, tmp_path):
     from common_crawl_corpus_ray.pipelines import clips_queries, resumable
 
