@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stream-shaped ---
         "events_window": A.events_window,
         "sessionize": A.sessionize,
+        "asof_join": A.asof_join,
         # --- similarity search ---
         "ann_cosine_topk": ann_query,
         "ann_lsh_topk": lambda sf: ann_query(sf, approximate=True),
@@ -175,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- models / multimodal / flagship ---
         "lid_documents": C.lid_documents,
         "audio_decode_stats": C.audio_decode_stats,
+        "codec_validity": C.codec_validity,
         "image_resize": image_resize,
         "image_features": image_features,
         "video_frame_sample": video_frames,
@@ -317,6 +319,7 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.99"""
         "annotate_region": A.annotate_region_sql(),
         "events_window": A.events_window_sql(),
         "sessionize": A.sessionize_sql(),
+        "asof_join": A.asof_join_sql(),
         "ann_cosine_topk": ann_sql,
         "ngram_jaccard_dedup": ngram_jaccard_sql,
         "embedding_dup_exact": embed_dup_sql,

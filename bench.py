@@ -143,6 +143,10 @@ def run_scaling_one(ncpu: int) -> None:
 
 
 def run_scaling() -> dict:
+    """Best-of-two per parallelism level (alternating order): single-run
+    walls on this box vary ±10-15% with page-cache/dirty-page state, and
+    min-of-N is the standard low-noise estimator for a deterministic
+    workload. All raw runs are reported alongside the efficiency."""
     def one(ncpu: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
@@ -151,15 +155,19 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     one(32)                     # warm run: generates cache, warms page cache
-    lo, hi = one(8), one(32)
+    runs = [one(8), one(32), one(8), one(32)]
+    lo = min((r for r in runs if r["ncpu"] == 8), key=lambda r: r["sec"])
+    hi = min((r for r in runs if r["ncpu"] == 32), key=lambda r: r["sec"])
     eff = (lo["sec"] / hi["sec"]) / (32 / 8)
     return {
         "metric": "scaling efficiency (num_cpus 8 -> 32, fresh processes, "
-                  "decision pipeline, payload write excluded — see BASELINE.md)",
+                  "best of 2 per level, decision pipeline, payload write "
+                  "excluded — see BASELINE.md)",
         "sec_8cpu": lo["sec"], "sec_32cpu": hi["sec"],
         "clips_per_sec_8cpu": lo["clips_per_sec"],
         "clips_per_sec_32cpu": hi["clips_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "all_runs": [{"ncpu": r["ncpu"], "sec": r["sec"]} for r in runs],
         "n_clips": SCALING_N,
     }
 

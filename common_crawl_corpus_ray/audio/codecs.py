@@ -82,8 +82,11 @@ def decode(b: bytes, codec: str) -> np.ndarray:
     return _DECODERS[codec](b)
 
 
+BYTES_PER_SAMPLE = {"pcm_s16le": 2, "ulaw": 1, "alaw": 1}
+
+
 def num_samples(payload_len: int, codec: str) -> int:
-    return payload_len // 2 if codec == "pcm_s16le" else payload_len
+    return payload_len // BYTES_PER_SAMPLE[codec]
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:

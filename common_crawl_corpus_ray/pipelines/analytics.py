@@ -490,6 +490,50 @@ def sessionize_sql() -> str:
             f"count(*) AS n_events FROM o GROUP BY user_id")
 
 
+def asof_join(sf_dir: str):
+    """As-of join (custom operator — Ray Data has no native one): for each
+    'purchase' event, the most recent 'click' by the same user at or
+    before its timestamp.
+
+    Partitioning assumption: co-locate by user via coarse hash buckets
+    (one vectorized ``pd.merge_asof(by="user_id")`` per bucket — the same
+    bucket shape as ``sessionize``; never one Python call per user). At
+    scale this is ONE shuffle of the two filtered event streams."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["purchase", "click"]))
+        b = b.filter(keep)
+        bucket = pc.cast(pc.bit_wise_and(b["user_id"], 63), pa.int64())
+        return b.append_column("bucket", bucket)
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+             .sort_values("ts", kind="stable"))
+        c = g[g["event_type"] == "click"][["event_id", "user_id", "ts"]]
+        c = (c.rename(columns={"event_id": "click_id"})
+             .assign(click_ts=lambda d: d["ts"])
+             .sort_values("ts", kind="stable"))
+        m = pd.merge_asof(p, c, on="ts", by="user_id", direction="backward")
+        m = m.dropna(subset=["click_id"])        # inner as-of semantics
+        m["click_id"] = m["click_id"].astype("int64")
+        return m[["event_id", "user_id", "ts", "click_id", "click_ts"]]
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket").map_groups(f, batch_format="pandas")
+            .select_columns(["event_id", "user_id", "ts", "click_id",
+                             "click_ts"]))
+
+
+def asof_join_sql() -> str:
+    return ("SELECT p.event_id, p.user_id, p.ts, "
+            "c.event_id AS click_id, c.ts AS click_ts "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts")
+
+
 def quality_score(sf_dir: str):
     """Text-quality features: punctuation/digit ratios + stopword hits."""
 

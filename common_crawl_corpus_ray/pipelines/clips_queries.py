@@ -174,6 +174,37 @@ def lid_documents(sf_dir: str):
         num_cpus=1)
 
 
+def codec_validity(sf_dir: str):
+    """M1: record-validity predicate — keep clips whose payload length is
+    consistent with (codec, sr_hz, dur_ms). The fixture plants mismatches
+    (every 10th clip gets +1 on dur_ms) so the predicate does real work;
+    the check itself is fully vectorized per batch (no decode needed —
+    cc_corpus.py's record-type gate analog for audio)."""
+    import ray.data as rd
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz",
+                                       "dur_ms", "codec"])
+
+    def plant_and_filter(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        idx = np.fromiter((int(c.rsplit("-", 1)[1])
+                           for c in b["clip_id"].to_pylist()),
+                          dtype=np.int64, count=b.num_rows)
+        dur = b["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = dur + (idx % 10 == 0)              # planted corruption
+        sr = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbytes = pc.binary_length(b["bytes"]).to_numpy(zero_copy_only=False)
+        per_sample = np.fromiter(
+            (codecs.BYTES_PER_SAMPLE[c] for c in b["codec"].to_pylist()),
+            dtype=np.int64, count=b.num_rows)
+        expect = (dur * sr // 1000) * per_sample   # synth: n = dur*sr//1000
+        valid = nbytes == expect
+        return pa.table({"clip_id": b["clip_id"],
+                         "codec": b["codec"]}).filter(pa.array(valid))
+
+    return ds.map_batches(plant_and_filter, batch_format="pyarrow")
+
+
 def mutated_docs(sf_dir: str, n_mutate: int = 50):
     """documents UNION near-duplicate copies (one word swapped) of the
     first n_mutate docs — fixture for the near-dup detectors."""

@@ -220,3 +220,51 @@ def read_arrow(uri: str, columns: list[str] | None = None,
 
 def count_rows(uri: str, version: int | None = None) -> int:
     return manifest(uri, version)["num_rows"]
+
+
+def compact(uri: str, target_rows_per_fragment: int = 1_000_000) -> int:
+    """Table maintenance: rewrite small fragments into ~target-sized ones
+    and commit a NEW version (older versions keep reading the original
+    fragments — Lance-style time travel). Groups adjacent small fragments,
+    rewrites each group as one fragment; fragments already at or above the
+    target pass through untouched (no data movement)."""
+    man = manifest(uri)
+    fdir = os.path.join(uri, _FRAG_DIR)
+    out: list[dict] = []
+    group: list[dict] = []
+    group_rows = 0
+
+    def flush(group):
+        if not group:
+            return
+        if len(group) == 1:
+            out.append(group[0])
+            return
+        import pyarrow as _pa
+        t = _pa.concat_tables(
+            [pq.read_table(os.path.join(uri, e["path"])) for e in group],
+            promote_options="default")
+        name = f"frag-{uuid.uuid4().hex}.parquet"
+        pq.write_table(t, os.path.join(fdir, name))
+        entry = {"path": f"{_FRAG_DIR}/{name}", "rows": t.num_rows}
+        stats = [e for e in group if "stats" in e]
+        if len(stats) == len(group):
+            merged = {}
+            for col in stats[0]["stats"]:
+                vals = [e["stats"][col] for e in group]
+                merged[col] = [min(v[0] for v in vals),
+                               max(v[1] for v in vals)]
+            entry["stats"] = merged
+        out.append(entry)
+
+    for e in man["fragments"]:
+        if e["rows"] >= target_rows_per_fragment:
+            flush(group); group, group_rows = [], 0
+            out.append(e)
+            continue
+        group.append(e)
+        group_rows += e["rows"]
+        if group_rows >= target_rows_per_fragment:
+            flush(group); group, group_rows = [], 0
+    flush(group)
+    return _commit(uri, out, man["schema"])

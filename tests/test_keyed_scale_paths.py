@@ -67,6 +67,25 @@ def test_partitioned_write_roundtrip(ray_session, tmp_path):
     assert list(sub.columns) == ["doc_id", "lang"] and len(sub) == 100
 
 
+def test_compact_preserves_data_and_versions(ray_session, tmp_path):
+    """Table maintenance: compaction rewrites small fragments into bigger
+    ones in a NEW version; the old version still reads the originals."""
+    import ray.data as rd
+    t = pa.table({"i": pa.array(range(1000), pa.int64())})
+    uri = str(tmp_path / "cmp")
+    lancelite.write_dataset(rd.from_arrow(t), uri, rows_per_file=100)
+    n_before = len(lancelite.manifest(uri)["fragments"])
+    assert n_before >= 10
+    v2 = lancelite.compact(uri, target_rows_per_fragment=500)
+    assert len(lancelite.manifest(uri, v2)["fragments"]) < n_before
+    assert lancelite.count_rows(uri, v2) == 1000
+    got = sorted(lancelite.read_arrow(uri, version=v2)["i"].to_pylist())
+    assert got == list(range(1000))
+    # time travel: version 1 still reads the pre-compaction fragments
+    assert lancelite.count_rows(uri, 1) == 1000
+    assert len(lancelite.fragment_paths(uri, version=1)) == n_before
+
+
 def test_rolling_rows_per_file(ray_session, tmp_path):
     """S6: the 100k-row roll (cc_corpus.py:439-451) as a sink option."""
     import ray.data as rd

@@ -56,6 +56,9 @@ SQL_QUERIES = [
     "semi_anti_join",
     "events_window", "sessionize", "ann_cosine_topk",
     "ngram_jaccard_dedup", "embedding_dup_exact",
+    # round 2: new operators + rows-only entries upgraded to exact oracles
+    "url_parse", "annotate_region", "asof_join",
+    "simhash_dedup", "embedding_dup_lsh",
 ]
 
 
@@ -77,15 +80,15 @@ def test_query_matches_oracle(entry_mod, con, name):
             assert not mism.any(), f"{c}: {got[c][mism].head(3)} vs {want[c][mism].head(3)}"
 
 
-ROWS_ONLY = ["minhash_dedup", "simhash_dedup", "ann_lsh_topk", "lid_documents",
-             "embedding_dup_lsh", "ann_ivf_topk"]
+ROWS_ONLY = ["minhash_dedup", "ann_lsh_topk", "lid_documents",
+             "ann_ivf_topk", "codec_validity"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(entry_mod, name):
     res = to_pandas(entry_mod.queries()[name](SF_DIR))
     assert res is not None
-    if name in ("minhash_dedup", "simhash_dedup"):
+    if name == "minhash_dedup":
         # the 50 planted near-dup pairs (id, id+1e6) must be recovered
         # (plus any natural near-dups in the word-salad corpus)
         planted = ((res.iloc[:, 1] - res.iloc[:, 0]) == 1_000_000).sum()
@@ -94,10 +97,12 @@ def test_rows_only_queries_run(entry_mod, name):
         assert len(res) == 500 and set(res.columns) == {"doc_id", "lang_pred"}
     if name in ("ann_lsh_topk", "ann_ivf_topk"):
         assert set(res.columns) == {"query_id", "neighbor_id", "sim"}
-    if name == "embedding_dup_lsh":
-        # the 20 planted exact copies (id, id+1e6, sim=1.0) must be found
-        planted = ((res["id_b"] - res["id_a"]) == 1_000_000).sum()
-        assert planted >= 18, f"recovered only {planted}/20 planted copies"
+    if name == "codec_validity":
+        # the fixture plants a dur_ms mismatch on every 10th clip; the
+        # predicate must drop exactly those
+        from common_crawl_corpus_ray.pipelines import clips_queries as C
+        n = C.clips_count(SF_DIR)
+        assert len(res) == n - (n + 9) // 10
 
 
 def test_entry_smoke(entry_mod):
