@@ -165,10 +165,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_anti_join": A.semi_anti_join,
         "url_parse": A.url_parse,
         "annotate_region": A.annotate_region,
+        "approx_distinct_words": A.approx_distinct_words,
         # --- stream-shaped ---
         "events_window": A.events_window,
+        "events_sliding_window": A.events_sliding_window,
         "sessionize": A.sessionize,
         "asof_join": A.asof_join,
+        "group_topk": A.group_topk,
+        "token_count_bpe": A.token_count_bpe,
         # --- similarity search ---
         "ann_cosine_topk": ann_query,
         "ann_lsh_topk": lambda sf: ann_query(sf, approximate=True),
@@ -318,8 +322,11 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.99"""
         "url_parse": A.url_parse_sql(),
         "annotate_region": A.annotate_region_sql(),
         "events_window": A.events_window_sql(),
+        "events_sliding_window": A.events_sliding_window_sql(),
         "sessionize": A.sessionize_sql(),
         "asof_join": A.asof_join_sql(),
+        "group_topk": A.group_topk_sql(),
+        "token_count_bpe": A.token_count_bpe_sql(),
         "ann_cosine_topk": ann_sql,
         "ngram_jaccard_dedup": ngram_jaccard_sql,
         "embedding_dup_exact": embed_dup_sql,

@@ -490,6 +490,176 @@ def sessionize_sql() -> str:
             f"count(*) AS n_events FROM o GROUP BY user_id")
 
 
+# GPT-2-style pre-tokenizer classes (contractions handled by the trailing
+# letter-run rule since the corpus is ASCII word salad): letter runs,
+# digit runs, punctuation runs — each optionally preceded by one space.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(sf_dir: str):
+    """BPE-ish token counting: the number of pre-tokenizer matches (the
+    unit a byte-pair encoder would split further) — one vectorized RE2
+    count per batch, same expression rendered for DuckDB."""
+
+    def f(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], _BPE_PAT)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def token_count_bpe_sql() -> str:
+    return (f"SELECT doc_id, len(regexp_extract_all(text, '{_q(_BPE_PAT)}')) "
+            f"AS n_tokens FROM documents")
+
+
+SLIDE_STEP_MIN = 30     # hopping window: 1h windows every 30 min
+
+
+def events_sliding_window(sf_dir: str):
+    """Sliding (hopping) 1-hour window per event_type, 30-min hop: every
+    event lands in exactly two windows. Ray shape: vectorized flat-map
+    (repeat each row for its two window starts) + pre-aggregated groupby —
+    the custom windowed-aggregate operator Ray Data lacks natively."""
+    from ray.data.aggregate import Sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        step = np.timedelta64(SLIDE_STEP_MIN * 60, "s")
+        secs = ts.astype("datetime64[s]").astype("int64")
+        w1 = ((secs // 1800) * 1800).astype("datetime64[s]")  # latest start
+        w0 = w1 - step                                        # one hop back
+        # an event at ts lies in windows [w, w+1h) for exactly
+        # w in {floor30(ts), floor30(ts)-30min}
+        starts = np.concatenate([w1, w0])
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        # sum exact integer cents, not floats: the partial pre-aggregation
+        # changes float accumulation order vs the SQL oracle and the final
+        # ROUND(x, 6) then disagrees in the last digit
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        t = pa.table({
+            "event_type": pa.array(np.concatenate([et, et])),
+            "window_start": pa.array(starts.astype("datetime64[us]")),
+            "cents": pa.array(np.concatenate([cents, cents]), pa.int64())})
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "window_start", "n", "v"])
+
+    agg = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+           .map_batches(explode, batch_format="pyarrow")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("v", alias_name="sum_value")))
+
+    def rnd(b: pa.Table) -> pa.Table:
+        v = b["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "window_start": b["window_start"],
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+            "sum_value": pa.array(np.round(v / 100.0, 6), pa.float64())})
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def events_sliding_window_sql() -> str:
+    # each event belongs to two hopping windows: floor to the 1800-s
+    # boundary and that minus 30 min
+    # make_timestamp keeps the naive TIMESTAMP type (to_timestamp would
+    # produce TIMESTAMPTZ and break schema parity with the Arrow side);
+    # floor() the epoch — a bare ::BIGINT cast ROUNDS fractional seconds
+    # where the Arrow-side datetime64[s] cast truncates
+    w1 = ("make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800) "
+          "* 1800 * 1000000)")
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    return (f"WITH e AS ("
+            f"SELECT event_type, {w1} AS window_start, {cents} AS c FROM events "
+            f"UNION ALL "
+            f"SELECT event_type, {w1} - INTERVAL 30 MINUTE, {cents} FROM events) "
+            f"SELECT event_type, window_start, count(*) AS n_events, "
+            f"ROUND(sum(c) / 100.0, 6) AS sum_value "
+            f"FROM e GROUP BY 1, 2")
+
+
+GROUP_TOPK = 3
+
+
+def group_topk(sf_dir: str):
+    """Top-k rows per group (k longest docs per language) with a
+    deterministic tie-break. Scale shape: per-block partial top-k per
+    group (vectorized select_k inside map_batches), then one tiny final
+    per-group cut — the full table never sorts."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(["lang", "doc_id", "n_chars"])
+        out = []
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        for lang in np.unique(langs):
+            sub = t.filter(pc.equal(t["lang"], lang))
+            idx = pc.select_k_unstable(
+                sub, GROUP_TOPK, [("n_chars", "descending"),
+                                  ("doc_id", "ascending")])
+            out.append(sub.take(idx))
+        return pa.concat_tables(out) if out else t.slice(0, 0)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="stable")
+        return g.head(GROUP_TOPK)
+
+    return (_read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(final, batch_format="pandas"))
+
+
+def group_topk_sql() -> str:
+    return (f"SELECT lang, doc_id, n_chars FROM documents "
+            f"QUALIFY row_number() OVER ("
+            f"PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= {GROUP_TOPK}")
+
+
+def approx_distinct_words(sf_dir: str, p: int = 12):
+    """Approximate distinct-word count per source via mergeable HLL
+    sketches (functions/hll.py). Scale shape: per-block partials are
+    fixed 2^p-byte register arrays (one per source per block) merged by
+    elementwise max in ONE tiny reduce — distinct values never shuffle
+    (the exact sibling is ``domain_stats``; a pytest bounds the error vs
+    the exact count)."""
+    from ..functions.hll import HyperLogLog, fnv1a32_batch
+
+    def partial(b: pa.Table) -> pa.Table:
+        srcs = b["source"].to_numpy(zero_copy_only=False)
+        out_src, out_reg = [], []
+        order = np.argsort(srcs, kind="stable")
+        ss, starts = np.unique(srcs[order], return_index=True)
+        bounds = np.append(starts, len(order))
+        texts = b["text"].to_numpy(zero_copy_only=False)[order]
+        for j, src in enumerate(ss):
+            words = [w.encode("utf-8")
+                     for t in texts[bounds[j]:bounds[j + 1]]
+                     for w in t.split()]
+            sk = HyperLogLog(p).add_hashes(fnv1a32_batch(words))
+            out_src.append(src)
+            out_reg.append(sk.to_bytes())
+        return pa.table({"source": pa.array(out_src, pa.string()),
+                         "regs": pa.array(out_reg, pa.binary())})
+
+    def reduce_all(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hll import HyperLogLog as H
+        sk = H(p)
+        for b in g["regs"]:
+            sk.merge(H.from_bytes(b, p))
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n_words_approx": [sk.count()]})
+
+    return (_read(sf_dir, "documents", ["source", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source").map_groups(reduce_all, batch_format="pandas"))
+
+
 def asof_join(sf_dir: str):
     """As-of join (custom operator — Ray Data has no native one): for each
     'purchase' event, the most recent 'click' by the same user at or

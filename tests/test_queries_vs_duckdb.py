@@ -59,6 +59,7 @@ SQL_QUERIES = [
     # round 2: new operators + rows-only entries upgraded to exact oracles
     "url_parse", "annotate_region", "asof_join",
     "simhash_dedup", "embedding_dup_lsh",
+    "token_count_bpe", "events_sliding_window", "group_topk",
 ]
 
 
