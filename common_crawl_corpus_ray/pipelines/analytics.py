@@ -490,6 +490,84 @@ def sessionize_sql() -> str:
             f"count(*) AS n_events FROM o GROUP BY user_id")
 
 
+def repetition_score(sf_dir: str):
+    """Repetition features per document (the reference family's
+    "repetition thresholds"): ``top_ratio`` = most frequent word's share
+    of the word count; ``max_run`` = longest run of consecutive identical
+    words. Fully vectorized across the batch: one concatenated word
+    array with doc segment ids, per-(doc, word-hash) counts via one
+    np.unique pass, run lengths via boundary cumsum."""
+    from ..functions.hll import fnv1a32_batch
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        T = len(texts)
+        words: list[bytes] = []
+        wpd = np.zeros(T, dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = t.split()
+            wpd[i] = len(ws)
+            words.extend(w.encode("utf-8") for w in ws)
+        top = np.zeros(T, dtype=np.float64)
+        run = np.zeros(T, dtype=np.int64)
+        nz = wpd > 0
+        if words:
+            h = fnv1a32_batch(words).astype(np.int64)
+            doc_ix = np.repeat(np.arange(T, dtype=np.int64), wpd)
+            combo = doc_ix << np.int64(32) | h     # within-doc word identity
+            _, inv, counts = np.unique(combo, return_inverse=True,
+                                       return_counts=True)
+            per_word_count = counts[inv]
+            # per-doc max of per-word counts (doc_ix is sorted)
+            seg = (np.cumsum(wpd) - wpd)[nz]
+            top[nz] = np.maximum.reduceat(per_word_count, seg) \
+                / wpd[nz].astype(np.float64)
+            # run lengths: break where word != previous or doc changes
+            same = np.zeros(len(words), dtype=bool)
+            if len(words) > 1:
+                w_arr = np.array(words, dtype=object)
+                same[1:] = (w_arr[1:] == w_arr[:-1]) \
+                    & (doc_ix[1:] == doc_ix[:-1])
+            run_id = np.cumsum(~same) - 1
+            run_len = np.bincount(run_id)
+            per_pos_run = run_len[run_id]
+            run[nz] = np.maximum.reduceat(per_pos_run, seg)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "top_ratio": pa.array(np.round(top, 6), pa.float64()),
+            "max_run": pa.array(run, pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def repetition_score_sql() -> str:
+    return r"""
+WITH wt AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), p AS (
+  SELECT doc_id, len(w) AS n, i, w[i] AS word
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM wt)
+), isl AS (
+  SELECT doc_id, n, word,
+         i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i) AS g
+  FROM p
+), runs AS (
+  SELECT doc_id, max(cnt) AS max_run FROM (
+    SELECT doc_id, word, g, count(*) AS cnt FROM isl GROUP BY 1, 2, 3
+  ) GROUP BY doc_id
+), tops AS (
+  SELECT doc_id, ROUND(max(c) * 1.0 / any_value(n), 6) AS top_ratio FROM (
+    SELECT doc_id, any_value(n) AS n, word, count(*) AS c
+    FROM p GROUP BY doc_id, word
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(t.top_ratio, 0.0) AS top_ratio,
+       COALESCE(r.max_run, 0) AS max_run
+FROM documents d LEFT JOIN tops t USING (doc_id)
+LEFT JOIN runs r USING (doc_id)"""
+
+
 # GPT-2-style pre-tokenizer classes (contractions handled by the trailing
 # letter-run rule since the corpus is ASCII word salad): letter runs,
 # digit runs, punctuation runs — each optionally preceded by one space.
