@@ -490,6 +490,80 @@ def sessionize_sql() -> str:
             f"count(*) AS n_events FROM o GROUP BY user_id")
 
 
+WINNOW_K = 5      # rolling k-gram length (chars)
+WINNOW_W = 8      # winnowing window (hashes per window)
+_WINNOW_P = (1 << 61) - 1
+_WINNOW_POWS = [pow(257, j, _WINNOW_P) for j in range(WINNOW_K)]
+
+
+def winnow_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprint (robust-winnowing variant,
+    Schleimer et al. 2003): polynomial rolling hashes over char k-grams,
+    one minimum per sliding window of W consecutive hashes, fingerprint =
+    the distinct window minima. Emitted per doc: count, min and xor of
+    the selected hashes (order-independent digests). Vectorized:
+    ``sliding_window_view`` min over the shingle-hash array — and the
+    same polynomial is computed in DuckDB HUGEINT arithmetic, so the
+    oracle is bit-identical."""
+    from ..stages.dedup_family import _shingle_hashes
+
+    def f(b: pa.Table) -> pa.Table:
+        n_fp, fp_min, fp_xor = [], [], []
+        for t in b["text"].to_pylist():
+            h = _shingle_hashes(t, WINNOW_K)
+            if h.size >= WINNOW_W:
+                mins = np.min(np.lib.stride_tricks.sliding_window_view(
+                    h, WINNOW_W), axis=1)
+            else:
+                mins = np.array([h.min()]) if h.size else np.array([0])
+            sel = np.unique(mins)
+            n_fp.append(sel.size)
+            fp_min.append(int(sel.min()))
+            fp_xor.append(int(np.bitwise_xor.reduce(sel)))
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_fp": pa.array(n_fp, pa.int64()),
+                         "fp_min": pa.array(fp_min, pa.int64()),
+                         "fp_xor": pa.array(fp_xor, pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def winnow_fingerprint_sql() -> str:
+    k, w, p = WINNOW_K, WINNOW_W, _WINNOW_P
+    # shingle hash at position i: sum_j byte(i+j) * 257^j mod p, matching
+    # dedup_family._shingle_hashes (texts are ASCII; short texts padded
+    # with spaces to k)
+    terms = " + ".join(
+        f"CAST(ascii(substring(txt, i + {j}, 1)) AS HUGEINT) * {_WINNOW_POWS[j]}"
+        for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < {k}
+              THEN text || repeat(' ', {k} - length(text)) ELSE text END AS txt
+  FROM documents
+), h AS (
+  SELECT doc_id, i, CAST(({terms}) % {p} AS BIGINT) AS hash
+  FROM (SELECT doc_id, txt,
+               unnest(generate_series(1, length(txt) - {k} + 1)) AS i
+        FROM t)
+), nw AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id
+), mins AS (
+  SELECT h.doc_id,
+         MIN(hash) OVER (PARTITION BY h.doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m,
+         i, nw.n
+  FROM h JOIN nw ON nw.doc_id = h.doc_id
+), sel AS (
+  SELECT DISTINCT doc_id, m
+  FROM mins WHERE i <= n - {w} + 1 OR n < {w} AND i = 1
+)
+SELECT doc_id, count(*) AS n_fp, min(m) AS fp_min,
+       bit_xor(m) AS fp_xor
+FROM sel GROUP BY doc_id"""
+
+
 def repetition_score(sf_dir: str):
     """Repetition features per document (the reference family's
     "repetition thresholds"): ``top_ratio`` = most frequent word's share
