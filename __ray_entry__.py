@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_words": A.approx_distinct_words,
         "repetition_score": A.repetition_score,
         "winnow_fingerprint": A.winnow_fingerprint,
+        "text_search_topk": A.text_search_topk,
         # --- stream-shaped ---
         "events_window": A.events_window,
         "events_sliding_window": A.events_sliding_window,
@@ -331,6 +332,7 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.99"""
         "token_count_bpe": A.token_count_bpe_sql(),
         "repetition_score": A.repetition_score_sql(),
         "winnow_fingerprint": A.winnow_fingerprint_sql(),
+        "text_search_topk": A.text_search_topk_sql(),
         "ann_cosine_topk": ann_sql,
         "ngram_jaccard_dedup": ngram_jaccard_sql,
         "embedding_dup_exact": embed_dup_sql,

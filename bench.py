@@ -39,6 +39,7 @@ QUERY_NAMES = [
     "video_frame_sample", "url_parse", "annotate_region",
     "asof_join", "events_sliding_window", "group_topk", "token_count_bpe",
     "approx_distinct_words", "repetition_score", "codec_validity",
+    "winnow_fingerprint",
 ]
 
 

@@ -490,6 +490,122 @@ def sessionize_sql() -> str:
             f"count(*) AS n_events FROM o GROUP BY user_id")
 
 
+SEARCH_QUERIES = {
+    0: ["data", "join"],
+    1: ["fast", "row"],
+    2: ["the", "data", "fast"],
+}
+SEARCH_K = 10
+
+
+def text_search_topk(sf_dir: str):
+    """TF-IDF top-k text retrieval (the text-side similarity search next
+    to the ANN family): score(d, q) = sum_t tf(t, d) * idf(t) with
+    idf = ln(N / df_t), scored in integer micro-units so the SQL oracle is
+    exactly reproducible (no float-sum order drift).
+
+    Scale shape: pass 1 computes the tiny per-term document frequencies
+    as per-block partials (one row per term per block, summed in one
+    aggregation — the only global state, bounded by the query vocabulary);
+    pass 2 scores every doc vectorized and keeps a per-block top-k per
+    query, so the final exact cut sorts <= k x blocks x queries rows."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    terms = sorted({t for ts in SEARCH_QUERIES.values() for t in ts})
+
+    def term_counts(texts: list[str]) -> np.ndarray:
+        """[n_docs, n_terms] exact whitespace-token counts."""
+        out = np.zeros((len(texts), len(terms)), dtype=np.int64)
+        idx = {t: j for j, t in enumerate(terms)}
+        for i, t in enumerate(texts):
+            for w in t.split():
+                j = idx.get(w)
+                if j is not None:
+                    out[i, j] += 1
+        return out
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        c = term_counts(b["text"].to_pylist())
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array((c > 0).sum(axis=0), pa.int64())})
+
+    df_rows = (_read(sf_dir, "documents", ["text"])
+               .map_batches(df_partial, batch_format="pyarrow")
+               .groupby("term").aggregate(Sum("df", alias_name="df"))
+               .take_all())
+    df = {r["term"]: r["df"] for r in df_rows}
+    import pyarrow.parquet as _pq
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    w_micro = {t: int(round(math.log(n_docs / df[t]) * 1_000_000))
+               for t in terms if df.get(t)}
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        c = term_counts(b["text"].to_pylist())
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_q, out_d, out_s = [], [], []
+        for qid, qterms in SEARCH_QUERIES.items():
+            w = np.array([w_micro.get(t, 0) for t in terms], dtype=np.int64)
+            mask = np.array([t in qterms for t in terms])
+            s = c @ (w * mask)
+            hit = s > 0
+            if not hit.any():
+                continue
+            t = pa.table({"doc_id": pa.array(ids[hit]),
+                          "score_micro": pa.array(s[hit], pa.int64())})
+            k = pc.select_k_unstable(
+                t, SEARCH_K, [("score_micro", "descending"),
+                              ("doc_id", "ascending")])
+            t = t.take(k)
+            out_q.extend([qid] * t.num_rows)
+            out_d.extend(t["doc_id"].to_pylist())
+            out_s.extend(t["score_micro"].to_pylist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "score_micro": pa.array(out_s, pa.int64())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_micro", "doc_id"],
+                          ascending=[False, True], kind="stable")
+        return g.head(SEARCH_K)
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(score_partial, batch_format="pyarrow")
+            .groupby("query_id").map_groups(final, batch_format="pandas")
+            .select_columns(["query_id", "doc_id", "score_micro"]))
+
+
+def text_search_topk_sql() -> str:
+    terms = sorted({t for ts in SEARCH_QUERIES.values() for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    q_rows = ", ".join(f"({qid}, '{t}')"
+                       for qid, ts in SEARCH_QUERIES.items() for t in ts)
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS c FROM w
+  WHERE word IN ({in_list}) GROUP BY 1, 2
+), df AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM w
+  WHERE word IN ({in_list}) GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents),
+q(query_id, word) AS (VALUES {q_rows}),
+sc AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+         CAST(SUM(tf.c * CAST(round(ln(n.n * 1.0 / df.df) * 1000000)
+                              AS BIGINT)) AS BIGINT) AS score_micro
+  FROM q JOIN tf USING (word) JOIN df USING (word), n
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_micro FROM sc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score_micro DESC, doc_id) <= {SEARCH_K}"""
+
+
 WINNOW_K = 5      # rolling k-gram length (chars)
 WINNOW_W = 8      # winnowing window (hashes per window)
 _WINNOW_P = (1 << 61) - 1

@@ -60,7 +60,7 @@ SQL_QUERIES = [
     "url_parse", "annotate_region", "asof_join",
     "simhash_dedup", "embedding_dup_lsh",
     "token_count_bpe", "events_sliding_window", "group_topk",
-    "repetition_score", "winnow_fingerprint",
+    "repetition_score", "winnow_fingerprint", "text_search_topk",
 ]
 
 
