@@ -30,7 +30,8 @@ def _setup() -> None:
     (stage callables then serialize with their code, no worker import)."""
     global _registered
     # import the full surface first so every submodule is in sys.modules
-    from common_crawl_corpus_ray.functions import broadcast, sketch  # noqa: F401
+    from common_crawl_corpus_ray.functions import (broadcast, hll,  # noqa: F401
+                                                   sketch)
     from common_crawl_corpus_ray.pipelines import (analytics, clips_queries,  # noqa: F401
                                                    quality_filter)
     from common_crawl_corpus_ray.sources import keyed  # noqa: F401

@@ -915,11 +915,13 @@ def approx_distinct_words(sf_dir: str, p: int = 12):
         return pa.table({"source": pa.array(out_src, pa.string()),
                          "regs": pa.array(out_reg, pa.binary())})
 
-    def reduce_all(g: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.hll import HyperLogLog as H
-        sk = H(p)
+    # NOTE: capture HyperLogLog in the closure — an import statement inside
+    # this function body would execute on the WORKER, where the package is
+    # only available through pickle-by-value, not importable
+    def reduce_all(g: pd.DataFrame, _H=HyperLogLog) -> pd.DataFrame:
+        sk = _H(p)
         for b in g["regs"]:
-            sk.merge(H.from_bytes(b, p))
+            sk.merge(_H.from_bytes(b, p))
         return pd.DataFrame({"source": [g["source"].iloc[0]],
                              "n_words_approx": [sk.count()]})
 

@@ -30,6 +30,7 @@ import pyarrow as pa
 
 from ..functions import spec
 from ..functions.broadcast import cached_get
+from ..sources.keyed import KeyedBatchJoiner
 
 _DUP_BUCKETS = 32
 _LANG_BUCKETS = 8
@@ -158,7 +159,9 @@ class KeyedDupFlags:
 
     def _j(self):
         if self._joiner is None:
-            from ..sources.keyed import KeyedBatchJoiner
+            # KeyedBatchJoiner is imported at module scope: this method
+            # runs on workers, where package imports only resolve through
+            # the pickle-by-value shipping of this module's globals
             self._joiner = KeyedBatchJoiner(
                 self.index, columns=["clip_id", "is_loser"],
                 max_cached=self.max_cached)
