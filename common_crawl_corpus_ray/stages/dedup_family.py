@@ -508,12 +508,20 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.99, n_planes: int = 6,
-                            seed: int = 42) -> pd.DataFrame:
+                            seed: int = 42,
+                            max_bucket_rows: int = 20_000) -> pd.DataFrame:
     """Scale path: random-hyperplane bucket signature -> groupby(bucket) ->
     within-bucket pairwise cosine. Only the shuffle of (bucket, id, vec)
     rows moves data; no full-matrix broadcast. Near-identical vectors land
     in the same bucket with high probability (they agree on every plane
-    unless one lies within epsilon of a boundary)."""
+    unless one lies within epsilon of a boundary).
+
+    Hot buckets (skewed embedding clusters) are capped: above
+    ``max_bucket_rows`` a bucket splits by a secondary set of hyperplanes
+    (seeded independently) and the pairwise scan runs per SUB-bucket —
+    memory per task stays O(max_bucket_rows x dim) at any cluster size.
+    Recall for near-identical vectors is unaffected by the split (they
+    agree on the secondary planes too)."""
 
     def to_buckets(b: pa.Table) -> pa.Table:
         rng = np.random.default_rng(seed)
@@ -524,14 +532,29 @@ def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
                          "id": b[id_col],
                          "vec": b[vec_col]})
 
-    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["id"].to_numpy()
-        m = _l2norm(np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]]))
+    def _pairwise(ids: np.ndarray, m: np.ndarray) -> pd.DataFrame:
         sims = m @ m.T
         ai, bj = np.nonzero(sims >= threshold)
         keep = ids[ai] < ids[bj]
         return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bj][keep],
                              "sim": np.round(sims[ai, bj][keep], 4)})
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy()
+        m = _l2norm(np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]]))
+        if len(ids) <= max_bucket_rows:
+            return _pairwise(ids, m)
+        # secondary split: enough extra planes to bring expected sub-bucket
+        # size under the cap
+        extra = max(1, int(np.ceil(np.log2(len(ids) / max_bucket_rows))) + 1)
+        rng2 = np.random.default_rng(seed + 1)
+        planes2 = rng2.standard_normal((m.shape[1], extra))
+        sub = ((m @ planes2 > 0) @ (1 << np.arange(extra))).astype(np.int64)
+        outs = []
+        for s in np.unique(sub):
+            sel = sub == s
+            outs.append(_pairwise(ids[sel], m[sel]))
+        return pd.concat(outs) if outs else _pairwise(ids[:0], m[:0])
 
     out = (ds.map_batches(to_buckets, batch_format="pyarrow")
            .groupby("bucket").map_groups(in_bucket, batch_format="pandas")

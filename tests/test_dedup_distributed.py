@@ -66,6 +66,17 @@ def test_minhash_no_driver_candidate_set(ray_session, monkeypatch):
     assert len(out) > 0
 
 
+def test_embedding_lsh_bucket_cap_keeps_planted_pairs(ray_session):
+    """Forcing the secondary split (cap=10) must still find every planted
+    exact-copy pair — identical vectors agree on the secondary planes."""
+    from common_crawl_corpus_ray.pipelines import clips_queries as C
+    ds = C.planted_embeddings(SF)
+    capped = df.embedding_dup_pairs_lsh(ds, "vec_id", "embedding",
+                                        threshold=0.99, max_bucket_rows=10)
+    planted = ((capped["id_b"] - capped["id_a"]) == 1_000_000).sum()
+    assert planted == 20
+
+
 def test_simhash_batch_parity():
     texts = ["the quick brown fox " * 4, "", "   ", "héllo wörld", "one",
              "a b c " * 40, "日本語 テスト 文章", "x" * 100]
