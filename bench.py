@@ -88,6 +88,10 @@ def run_bench() -> dict:
     from common_crawl_corpus_ray.sources import lancelite
     out_uri = f"/tmp/ccc_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_uri, ignore_errors=True)
+    # settle: flush dirty pages from cache generation / whatever ran before
+    # — the headline is disk-bound and pending writeback inflates it ±30%
+    os.sync()
+    time.sleep(5)
     t0 = time.perf_counter()
     quality_filter.run(rd.read_parquet(uri), final_uri=out_uri,
                        slim_ds=rd.read_parquet(uri, columns=["clip_id", "transcript"]),
