@@ -602,6 +602,7 @@ sc AS (
   GROUP BY 1, 2
 )
 SELECT query_id, doc_id, score_micro FROM sc
+WHERE score_micro > 0
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY score_micro DESC, doc_id) <= {SEARCH_K}"""
 
@@ -686,8 +687,12 @@ def repetition_score(sf_dir: str):
     of the word count; ``max_run`` = longest run of consecutive identical
     words. Fully vectorized across the batch: one concatenated word
     array with doc segment ids, per-(doc, word-hash) counts via one
-    np.unique pass, run lengths via boundary cumsum."""
-    from ..functions.hll import fnv1a32_batch
+    lexsort pass, run lengths via boundary cumsum. Word identity is a
+    64-bit FNV hash: a 32-bit one can collide within a document and merge
+    two words' counts (ADVICE round 2); at 64 bits the in-document
+    collision probability is ~n_words^2 / 2^65 — negligible at any real
+    document length."""
+    from ..functions.hll import fnv1a64_batch
 
     def f(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
@@ -702,12 +707,18 @@ def repetition_score(sf_dir: str):
         run = np.zeros(T, dtype=np.int64)
         nz = wpd > 0
         if words:
-            h = fnv1a32_batch(words).astype(np.int64)
+            h = fnv1a64_batch(words)
             doc_ix = np.repeat(np.arange(T, dtype=np.int64), wpd)
-            combo = doc_ix << np.int64(32) | h     # within-doc word identity
-            _, inv, counts = np.unique(combo, return_inverse=True,
-                                       return_counts=True)
-            per_word_count = counts[inv]
+            # grouped (doc, hash64) counts via lexsort (the pair no longer
+            # packs into one int64, so unique() gives way to a sorted-runs
+            # count; same O(n log n) C work)
+            order = np.lexsort((h, doc_ix))
+            d_s, h_s = doc_ix[order], h[order]
+            new = np.r_[True, (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])]
+            gid = np.cumsum(new) - 1
+            counts = np.bincount(gid)
+            per_word_count = np.empty(len(words), dtype=np.int64)
+            per_word_count[order] = counts[gid]
             # per-doc max of per-word counts (doc_ix is sorted)
             seg = (np.cumsum(wpd) - wpd)[nz]
             top[nz] = np.maximum.reduceat(per_word_count, seg) \
@@ -805,9 +816,12 @@ def events_sliding_window(sf_dir: str):
         et = b["event_type"].to_numpy(zero_copy_only=False)
         # sum exact integer cents, not floats: the partial pre-aggregation
         # changes float accumulation order vs the SQL oracle and the final
-        # ROUND(x, 6) then disagrees in the last digit
-        cents = np.round(b["value"].to_numpy(zero_copy_only=False)
-                         * 100.0).astype(np.int64)
+        # ROUND(x, 6) then disagrees in the last digit. Rounding to cents is
+        # half-AWAY-from-zero (DuckDB round semantics) — np.round is
+        # half-to-even and disagrees by one cent when value*100 lands
+        # exactly on .5 (ADVICE round 2)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
         t = pa.table({
             "event_type": pa.array(np.concatenate([et, et])),
             "window_start": pa.array(starts.astype("datetime64[us]")),

@@ -227,7 +227,14 @@ def compact(uri: str, target_rows_per_fragment: int = 1_000_000) -> int:
     and commit a NEW version (older versions keep reading the original
     fragments — Lance-style time travel). Groups adjacent small fragments,
     rewrites each group as one fragment; fragments already at or above the
-    target pass through untouched (no data movement)."""
+    target pass through untouched (no data movement).
+
+    Hive-partitioned tables: fragments merge only WITHIN one partition
+    value — the merged file is written under the same ``lang=X/`` subdir
+    and carries the group's ``partition`` manifest entry, so
+    ``read(partition_filter=...)`` and hive column re-attachment keep
+    working on the compacted version (a cross-partition merge would drop
+    the partition column entirely: hive files don't store its bytes)."""
     man = manifest(uri)
     fdir = os.path.join(uri, _FRAG_DIR)
     out: list[dict] = []
@@ -244,9 +251,14 @@ def compact(uri: str, target_rows_per_fragment: int = 1_000_000) -> int:
         t = _pa.concat_tables(
             [pq.read_table(os.path.join(uri, e["path"])) for e in group],
             promote_options="default")
+        # same hive subdir as the group's members (identical by grouping)
+        subdir = os.path.dirname(group[0]["path"][len(_FRAG_DIR) + 1:])
         name = f"frag-{uuid.uuid4().hex}.parquet"
-        pq.write_table(t, os.path.join(fdir, name))
-        entry = {"path": f"{_FRAG_DIR}/{name}", "rows": t.num_rows}
+        rel = os.path.join(subdir, name) if subdir else name
+        pq.write_table(t, os.path.join(fdir, rel))
+        entry = {"path": f"{_FRAG_DIR}/{rel}", "rows": t.num_rows}
+        if "partition" in group[0]:
+            entry["partition"] = dict(group[0]["partition"])
         stats = [e for e in group if "stats" in e]
         if len(stats) == len(group):
             merged = {}
@@ -257,7 +269,12 @@ def compact(uri: str, target_rows_per_fragment: int = 1_000_000) -> int:
             entry["stats"] = merged
         out.append(entry)
 
+    prev_part = None
     for e in man["fragments"]:
+        part = e.get("partition")
+        if group and part != prev_part:          # partition boundary
+            flush(group); group, group_rows = [], 0
+        prev_part = part
         if e["rows"] >= target_rows_per_fragment:
             flush(group); group, group_rows = [], 0
             out.append(e)

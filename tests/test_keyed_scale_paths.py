@@ -86,6 +86,40 @@ def test_compact_preserves_data_and_versions(ray_session, tmp_path):
     assert len(lancelite.fragment_paths(uri, version=1)) == n_before
 
 
+def test_compact_respects_hive_partitions(ray_session, tmp_path):
+    """ADVICE round 2: compaction must not merge fragments across hive
+    partitions (the merged file would drop the partition column and
+    partition_filter reads would silently lose rows). Fragments merge only
+    within one partition value, stay under their hive subdir, and keep the
+    manifest 'partition' entry."""
+    import ray.data as rd
+    langs = ["en", "fr", "de"]
+    t = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "lang": pa.array([langs[i % 3] for i in range(300)], pa.string()),
+        "n": pa.array(range(300), pa.int64())})
+    uri = str(tmp_path / "cmp_part")
+    # many small fragments per partition
+    lancelite.write_dataset(rd.from_arrow(t).repartition(12), uri,
+                            partition_cols=["lang"], rows_per_file=10)
+    n_before = len(lancelite.manifest(uri)["fragments"])
+    assert n_before >= 12
+    v2 = lancelite.compact(uri, target_rows_per_fragment=100)
+    frags = lancelite.manifest(uri, v2)["fragments"]
+    assert len(frags) < n_before
+    # every fragment still carries its partition entry and hive subdir
+    for f in frags:
+        assert f["partition"]["lang"] in langs
+        assert f"lang={f['partition']['lang']}" in f["path"]
+    # pruned reads see exactly the original rows, column re-attached
+    for lang in langs:
+        one = lancelite.read(uri, partition_filter={"lang": lang},
+                             version=v2).to_pandas()
+        assert len(one) == 100 and set(one["lang"]) == {lang}
+    full = lancelite.read_arrow(uri, version=v2)
+    assert full.num_rows == 300 and "lang" in full.column_names
+
+
 def test_rolling_rows_per_file(ray_session, tmp_path):
     """S6: the 100k-row roll (cc_corpus.py:439-451) as a sink option."""
     import ray.data as rd
