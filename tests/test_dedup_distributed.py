@@ -77,6 +77,55 @@ def test_embedding_lsh_bucket_cap_keeps_planted_pairs(ray_session):
     assert planted == 20
 
 
+def test_ngram_df_cap_bounds_universal_shingle(ray_session):
+    """A boilerplate shingle present in EVERY doc must not quadratically
+    pair all docs: with the df cap it leaves the representation, and the
+    result equals a brute-force Jaccard over the capped shingle sets."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    boiler = "click here now"
+    n_docs = 60
+    texts = [f"{boiler} unique{i} token{i} filler{i} alpha{i} beta{i}"
+             for i in range(n_docs)]
+    # two genuine near-dup pairs that share their non-boilerplate shingles
+    texts[1] = texts[0] + " tail"
+    texts[3] = texts[2]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n_docs)),
+                                 "text": texts}))
+    got = df.ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=0.5,
+                                 max_df=5)
+
+    # brute force over capped representation
+    sets = [df.word_ngrams(t, 3) for t in texts]
+    from collections import Counter
+    dfc = Counter(sh for s in sets for sh in s)
+    sets = [{sh for sh in s if dfc[sh] <= 5} for s in sets]
+    want = set()
+    for i in range(n_docs):
+        for j in range(i + 1, n_docs):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= 0.5:
+                want.add((i, j))
+    got_pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert got_pairs == want
+    assert (0, 1) in got_pairs and (2, 3) in got_pairs
+    # without the cap the universal shingle alone pairs all 60 docs
+    assert len(got_pairs) < 100
+
+
+def test_minhash_batch_parity():
+    """The vectorized signature path must be bit-identical to the scalar
+    reference (including the <k-char space-padding edge)."""
+    texts = ["the quick brown fox jumps over it " * 6, "", "ab", "hello",
+             "a b c d e " * 30, "x" * 4, "exactly5"]
+    a, b = df._perm_params(64)
+    got = df.minhash_signatures_batch(texts, a, b)
+    want = np.stack([df.minhash_signature(t, a, b) for t in texts])
+    assert got.dtype == np.uint64 and (got == want).all()
+
+
 def test_simhash_batch_parity():
     texts = ["the quick brown fox " * 4, "", "   ", "héllo wörld", "one",
              "a b c " * 40, "日本語 テスト 文章", "x" * 100]

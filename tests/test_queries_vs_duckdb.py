@@ -61,6 +61,9 @@ SQL_QUERIES = [
     "simhash_dedup", "embedding_dup_lsh",
     "token_count_bpe", "events_sliding_window", "group_topk",
     "repetition_score", "winnow_fingerprint", "text_search_topk",
+    # round 3: minhash upgraded to an exact oracle (HUGEINT multiply-shift
+    # signatures, bit-identical banding + verify)
+    "minhash_dedup",
 ]
 
 
@@ -82,7 +85,7 @@ def test_query_matches_oracle(entry_mod, con, name):
             assert not mism.any(), f"{c}: {got[c][mism].head(3)} vs {want[c][mism].head(3)}"
 
 
-ROWS_ONLY = ["minhash_dedup", "ann_lsh_topk", "lid_documents",
+ROWS_ONLY = ["ann_lsh_topk", "lid_documents",
              "ann_ivf_topk", "codec_validity"]
 
 
@@ -90,11 +93,6 @@ ROWS_ONLY = ["minhash_dedup", "ann_lsh_topk", "lid_documents",
 def test_rows_only_queries_run(entry_mod, name):
     res = to_pandas(entry_mod.queries()[name](SF_DIR))
     assert res is not None
-    if name == "minhash_dedup":
-        # the 50 planted near-dup pairs (id, id+1e6) must be recovered
-        # (plus any natural near-dups in the word-salad corpus)
-        planted = ((res.iloc[:, 1] - res.iloc[:, 0]) == 1_000_000).sum()
-        assert planted >= 45, f"{name} recovered only {planted}/50 planted pairs"
     if name == "lid_documents":
         assert len(res) == 500 and set(res.columns) == {"doc_id", "lang_pred"}
     if name in ("ann_lsh_topk", "ann_ivf_topk"):
