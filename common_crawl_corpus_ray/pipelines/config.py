@@ -38,6 +38,18 @@ class PipelineConfig:
     dup_broadcast_max: int = 2_000_000
     lang_stats_method: str | None = None
 
+    # scale paths (round 3): decision rows above which phase D's broadcast
+    # attach gives way to the keyed side-table join (mirrors
+    # dup_broadcast_max — below it the broadcast skips the side-table
+    # write + fragment loads entirely)
+    dec_broadcast_max: int = 2_000_000
+
+    # final sink layout (S5/S6): hive partition columns and rolling file
+    # size for quality_filter.run(final_uri=...) — the reference's product
+    # is the per-language tree (cc_corpus.py:178-184, final_cc 443-459)
+    final_partition_cols: tuple[str, ...] | None = None
+    final_rows_per_file: int | None = None
+
     def __post_init__(self):
         if self.dedup not in ("first", "none", "off"):
             raise ValueError(f"dedup must be first|none|off, got {self.dedup!r}")

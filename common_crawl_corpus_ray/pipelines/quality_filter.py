@@ -32,6 +32,7 @@ import tempfile
 import pyarrow as pa
 import ray
 
+from ..functions.broadcast import cached_get
 from ..sources import keyed, lancelite
 from ..stages.decide import (DecideStage, KeyedDupFlags, _DupIndex,
                              dup_flags_refs, dup_winner_map, lang_stats,
@@ -57,6 +58,10 @@ FINAL_COLUMNS = [
 # dup-flag rows (members of dup groups) above which the broadcast
 # {hash: winner} map gives way to the keyed side-table join
 DUP_BROADCAST_MAX = 2_000_000
+# decision rows above which phase D's broadcast attach gives way to the
+# keyed side-table join (decision rows are 1:1 with input clips, so the
+# switch is known BEFORE executing phase D — no extra counting pass)
+DEC_BROADCAST_MAX = 2_000_000
 # alive rows above which per-language stats switch to the mergeable
 # quantile sketch (exact medians below — fixture parity)
 LANG_SKETCH_MIN_ROWS = 50_000_000
@@ -150,7 +155,7 @@ def decide_from_scored(scored_ds, slim_ds=None, batch_size: int = 1024,
 
 def decisions(clips_ds, checkpoint_uri: str | None = None,
               scorer_concurrency=None, batch_size: int | None = None,
-              slim_ds=None, config=None):
+              slim_ds=None, config=None, info: dict | None = None):
     """Phases A-C over the transcript projection; returns the decision
     Dataset (all columns except the payload passthrough).
 
@@ -158,7 +163,12 @@ def decisions(clips_ds, checkpoint_uri: str | None = None,
     when the input comes from storage: Ray 2.49 does NOT push
     ``select_columns`` down into ``read_parquet``, so without it phase A
     would read and move the audio payload for nothing (measured 8x read
-    volume and ~2x phase wall time)."""
+    volume and ~2x phase wall time).
+
+    ``info`` (optional out-param): filled with ``{"n_rows": N}`` — the
+    scored/decision row count, FREE here (metadata of the materialized or
+    checkpointed scored table) and needed by ``run`` to pick phase D's
+    attach mechanism without an extra execution of the decide stage."""
     checkpoint_uri = _cfg(checkpoint_uri, config, "checkpoint_uri", None)
     scorer_concurrency = _cfg(scorer_concurrency, config,
                               "scorer_concurrency", (2, 8))
@@ -179,6 +189,9 @@ def decisions(clips_ds, checkpoint_uri: str | None = None,
         # re-projecting the fat scored table per pass costs two extra
         # full scans of the transcript columns
         slim = scored.select_columns(SLIM_COLUMNS).materialize()
+
+    if info is not None:
+        info["n_rows"] = scored.count()
 
     return decide_from_scored(
         scored, slim, batch_size,
@@ -218,19 +231,78 @@ class AttachDecisions:
 DECISION_ROWS_PER_FRAGMENT = 250_000
 
 
+@ray.remote
+def _sorted_side(*tabs: pa.Table):
+    """Concat + clip_id-sort the decision table in ONE remote task (the
+    driver never holds the rows); the (sorted keys, table) pair stays in
+    the object store for every attach actor to share."""
+    import numpy as np
+    t = pa.concat_tables([t for t in tabs if t is not None and t.num_rows],
+                         promote_options="default")
+    keys = t["clip_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], t.take(pa.array(order)).combine_chunks()
+
+
+class AttachDecisionsBroadcast:
+    """Phase D small side: the whole decision table broadcast once
+    (``ray.put`` of the object-store-sorted table) — every batch is one
+    searchsorted + per-column take, no side-table write, no fragment
+    loads. Correct ONLY below ``dec_broadcast_max`` rows; above it
+    ``attach_decisions`` picks :class:`AttachDecisions` (keyed join)."""
+
+    def __init__(self, side_ref):
+        # cached_get is a module-scope import: this runs on workers, where
+        # package imports only resolve through pickle-by-value shipping of
+        # this module's globals (an inline `from ..functions import` here
+        # dies with ModuleNotFoundError in the driver-replica environment)
+        self.keys, self.table = cached_get(side_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        k = batch["clip_id"].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "US":
+            k = k.astype(object)
+        idx = np.clip(np.searchsorted(self.keys, k), 0, len(self.keys) - 1)
+        if len(k) and not (self.keys[idx] == k).all():
+            raise KeyError("decision table is missing clip_ids in the batch")
+        take = pa.array(idx)
+        for col, typ in AttachDecisions._TYPES.items():
+            batch = batch.append_column(
+                col, self.table[col].take(take).cast(typ))
+        return batch
+
+
 def attach_decisions(clips_ds, dec, batch_size: int = 1024,
-                     decisions_uri: str | None = None):
-    """Phase D: land the decision table as a keyed lancelite table (clip_id
-    range stats per fragment), then stream the full clip rows past it."""
+                     decisions_uri: str | None = None,
+                     n_decisions: int | None = None,
+                     dec_broadcast_max: int = DEC_BROADCAST_MAX):
+    """Phase D, adaptive by decision volume (mirrors ``build_dup_flags``):
+
+    * ``n_decisions <= dec_broadcast_max``: broadcast attach — the decision
+      table is sorted once in a remote task, shared via the object store,
+      and every attach actor probes it in memory. Skips the keyed path's
+      fixed costs (side-table land + per-batch fragment loads, ~4.5s of
+      the sf0.1 headline).
+    * above (or unknown volume): land the decision table as a keyed
+      lancelite table (clip_id range stats per fragment) and stream the
+      full clip rows past it — bounded memory at any table size."""
+    n_act = max(2, _cluster_cpus() - 2)
+    # batch_size=None on both paths: joining whole input blocks avoids
+    # re-batching — re-forming fixed-size batches COPIES the payload bytes
+    # (measured ~345ms/batch of pure slicing/concat on 30MB audio batches
+    # vs ~4ms for the join itself); join cost is independent of batch shape
+    if n_decisions is not None and n_decisions <= dec_broadcast_max:
+        side_ref = _sorted_side.remote(*dec.to_arrow_refs())
+        return clips_ds.map_batches(
+            AttachDecisionsBroadcast, batch_format="pyarrow", batch_size=None,
+            fn_constructor_args=(side_ref,),
+            concurrency=(n_act, n_act), num_cpus=1,
+        ).select_columns(FINAL_COLUMNS)
     dec_uri = decisions_uri or tempfile.mkdtemp(prefix="ccc_dec_")
     lancelite.write_dataset(dec, dec_uri, key_stats="clip_id",
                             rows_per_file=DECISION_ROWS_PER_FRAGMENT)
     index = keyed.KeyedFragmentIndex(dec_uri, "clip_id")
-    n_act = max(2, _cluster_cpus() - 2)
-    # batch_size=None: joining whole input blocks avoids re-batching —
-    # re-forming fixed-size batches COPIES the payload bytes (measured
-    # ~345ms/batch of pure slicing/concat on 30MB audio batches vs ~4ms
-    # for the join itself); the join cost is independent of batch shape
     return clips_ds.map_batches(
         AttachDecisions, batch_format="pyarrow", batch_size=None,
         fn_constructor_args=(index,),
@@ -241,22 +313,42 @@ def attach_decisions(clips_ds, dec, batch_size: int = 1024,
 def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = None,
         scorer_concurrency=None, batch_size: int | None = None,
         attach_payload: bool | None = None, slim_ds=None, config=None,
-        decisions_uri: str | None = None):
+        decisions_uri: str | None = None,
+        final_partition_cols=None, final_rows_per_file: int | None = None):
     """Full pipeline. With ``attach_payload`` the result carries the input
     payload columns byte-identical (per-row invariant) next to the decision
     columns; otherwise the slim decision table is returned. Pass a
     ``pipelines.config.PipelineConfig`` to set every knob in one place
     (SURVEY.md 2.10 extension surface); explicit kwargs always win over
-    config fields."""
+    config fields.
+
+    ``final_partition_cols=["lang"]`` writes the final table as the
+    reference's per-language hive tree (cc_corpus.py:178-184, final_cc
+    cc_corpus.py:443-459); combine with ``final_rows_per_file`` for the
+    100k-row roll (cc_corpus.py:439-451). The returned Dataset reads the
+    committed partitioned table back (partition column re-attached)."""
     attach_payload = _cfg(attach_payload, config, "attach_payload", True)
     batch_size = _cfg(batch_size, config, "batch_size", 1024)
+    final_partition_cols = _cfg(final_partition_cols, config,
+                                "final_partition_cols", None)
+    final_rows_per_file = _cfg(final_rows_per_file, config,
+                               "final_rows_per_file", None)
+    info: dict = {}
     dec = decisions(clips_ds, checkpoint_uri, scorer_concurrency, batch_size,
-                    slim_ds=slim_ds, config=config)
+                    slim_ds=slim_ds, config=config, info=info)
     if not attach_payload:
         final = dec
     else:
-        final = attach_decisions(clips_ds, dec, batch_size, decisions_uri)
+        final = attach_decisions(
+            clips_ds, dec, batch_size, decisions_uri,
+            n_decisions=info.get("n_rows"),
+            dec_broadcast_max=_cfg(None, config, "dec_broadcast_max",
+                                   DEC_BROADCAST_MAX))
     if final_uri is not None:
-        lancelite.write_dataset(final, final_uri)
+        lancelite.write_dataset(
+            final, final_uri,
+            partition_cols=list(final_partition_cols)
+            if final_partition_cols else None,
+            rows_per_file=final_rows_per_file)
         final = lancelite.read(final_uri)
     return final

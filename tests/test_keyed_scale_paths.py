@@ -151,6 +151,28 @@ def test_flagship_output_partitioned_by_lang(clips_ds, tmp_path):
         assert set(one["lang"]) == {lang}
 
 
+def test_run_final_uri_partitioned_by_lang(clips_ds, tmp_path):
+    """Round-3: the partitioned sink wired into quality_filter.run itself —
+    the flagship product IS the per-language tree. A pruned single-language
+    read must return exactly that language's rows, and per-partition counts
+    must sum to the input."""
+    from common_crawl_corpus_ray.pipelines import quality_filter
+
+    uri = str(tmp_path / "final_by_lang")
+    final = quality_filter.run(clips_ds, attach_payload=False, final_uri=uri,
+                               final_partition_cols=["lang"],
+                               final_rows_per_file=200)
+    frags = lancelite.manifest(uri)["fragments"]
+    assert all("partition" in f and "lang" in f["partition"] for f in frags)
+    assert max(f["rows"] for f in frags) <= 200     # S6 roll honored
+    rollup = final.to_pandas().groupby("lang").size().to_dict()
+    assert sum(rollup.values()) == 600
+    for lang, n in rollup.items():
+        one = lancelite.read(uri, columns=["clip_id", "lang", "keep"],
+                             partition_filter={"lang": lang}).to_pandas()
+        assert len(one) == n and set(one["lang"]) == {lang}
+
+
 # --- phase D: no driver materialization, keyed attach equals decisions ------
 
 def test_attach_payload_no_driver_materialization(clips_ds, monkeypatch,
@@ -179,6 +201,35 @@ def test_attach_payload_no_driver_materialization(clips_ds, monkeypatch,
     assert (m["keep_dec"] == m["keep_att"]).all()
     assert (m["drop_reason_dec"] == m["drop_reason_att"]).all()
     assert (m["text_hash_dec"] == m["text_hash_att"]).all()
+
+
+def test_attach_decisions_adaptive_both_paths_equal(clips_ds, tmp_path):
+    """Round-3: phase D picks broadcast vs keyed by decision volume. Force
+    each side of the threshold; results must be row-identical, and the
+    keyed path must be the one that lands a side table (the broadcast one
+    must not)."""
+    import os
+    from common_crawl_corpus_ray.pipelines.config import PipelineConfig
+
+    from common_crawl_corpus_ray.pipelines import quality_filter
+
+    def collect(final):
+        t = pa.concat_tables(final.iter_batches(batch_size=4096,
+                                                batch_format="pyarrow"))
+        return (t.to_pandas().sort_values("clip_id").reset_index(drop=True))
+
+    # broadcast side (600 rows <= default 2M): no decisions_uri needed
+    bcast = collect(quality_filter.run(
+        clips_ds, attach_payload=True,
+        config=PipelineConfig(dec_broadcast_max=10**9)))
+    # keyed side: threshold 0 forces the side-table join
+    keyed_uri = str(tmp_path / "dec_keyed")
+    keyed_out = collect(quality_filter.run(
+        clips_ds, attach_payload=True, decisions_uri=keyed_uri,
+        config=PipelineConfig(dec_broadcast_max=0)))
+    assert os.path.isdir(keyed_uri)           # keyed path landed the table
+    pd.testing.assert_frame_equal(bcast, keyed_out)
+    assert len(bcast) == 600 and bcast["keep"].sum() > 0
 
 
 # --- partitioned dup flags == broadcast dup map -----------------------------
