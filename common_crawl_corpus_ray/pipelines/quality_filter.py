@@ -116,16 +116,18 @@ def decide(scored_ds, flags_ref, stats: dict, batch_size: int = 1024,
 
 def build_dup_flags(slim_ds, dedup: str = "first",
                     dup_broadcast_max: int = DUP_BROADCAST_MAX,
-                    flags_uri: str | None = None):
+                    flags_uri: str | None = None,
+                    nbuckets: int | None = None):
     """Phase B dedup: run the member-level flag exchange, then pick the
     attach mechanism by measured dup volume — broadcast {hash: winner} map
-    below ``dup_broadcast_max`` flag rows, keyed lancelite side table above
-    (bounded memory at any dup count). Returns a _DupIndex or KeyedDupFlags.
-    """
+    below ``dup_broadcast_max`` flag rows, keyed lancelite side table above.
+    Per-reduce memory is one bucket's members: bounded because ``nbuckets``
+    scales with the known row count (``decide.scaled_buckets``), not a
+    fixed constant. Returns a _DupIndex or KeyedDupFlags."""
     from ..stages import exchange
     if dedup == "off":
         return _DupIndex({})
-    refs = dup_flags_refs(slim_ds)
+    refs = dup_flags_refs(slim_ds, nbuckets)
     n_flags = exchange.total_rows(refs)
     if n_flags <= dup_broadcast_max:
         return _DupIndex(dup_winner_map(flags_refs=refs))
@@ -142,12 +144,14 @@ def decide_from_scored(scored_ds, slim_ds=None, batch_size: int = 1024,
     a checkpoint read): dedup + per-lang stats exchanges over the slim
     projection, then the decision pass."""
     slim = slim_ds if slim_ds is not None else scored_ds.select_columns(SLIM_COLUMNS)
-    flags = build_dup_flags(slim, dedup, dup_broadcast_max, flags_uri)
+    n_rows = scored_ds.count()     # free: scored is materialized/parquet
+    from ..stages.decide import scaled_buckets
+    flags = build_dup_flags(slim, dedup, dup_broadcast_max, flags_uri,
+                            nbuckets=scaled_buckets(n_rows))
     flags_ref = ray.put(flags)
     method = lang_stats_method
     if method is None:
-        method = "sketch" if scored_ds.count() >= LANG_SKETCH_MIN_ROWS \
-            else "exact"
+        method = "sketch" if n_rows >= LANG_SKETCH_MIN_ROWS else "exact"
     stats = lang_stats(slim, flags_ref, dedup, method)
     dec = decide(scored_ds, flags_ref, stats, batch_size, z_cut, dedup)
     return dec.select_columns(DECISION_COLUMNS)

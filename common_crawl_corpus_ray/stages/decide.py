@@ -35,6 +35,20 @@ from ..sources.keyed import KeyedBatchJoiner
 _DUP_BUCKETS = 32
 _LANG_BUCKETS = 8
 
+
+def scaled_buckets(n_rows: int | None, rows_per_bucket: int = 8_000_000,
+                   lo: int = _DUP_BUCKETS, hi: int = 1024) -> int:
+    """Power-of-2 bucket count targeting ~``rows_per_bucket`` rows per
+    reduce task. A FIXED bucket constant makes per-reduce memory O(N/P)
+    — it grows with table size (ADVICE round 2); scaling the count with
+    the known input row count keeps each reduce task's working set
+    bounded. Power of 2 so ``hash & (nb - 1)`` bucketing stays valid."""
+    import math
+    if n_rows is None or n_rows <= 0:
+        return lo
+    want = max(lo, (n_rows + rows_per_bucket - 1) // rows_per_bucket)
+    return min(hi, 1 << math.ceil(math.log2(want)))
+
 _MEMBER_PARTIAL_SCHEMA = pa.schema([
     ("bucket", pa.int32()),
     ("h", pa.list_(pa.int64())),
@@ -48,7 +62,7 @@ FLAGS_SCHEMA = pa.schema([
 ])
 
 
-def _rules_pass_members(batch: pa.Table) -> pa.Table:
+def _rules_pass_members(batch: pa.Table, nbuckets: int = _DUP_BUCKETS) -> pa.Table:
     """Per-batch packed partial for dedup: the (text_hash, clip_id) member
     rows of rules-pass clips, grouped into ONE list-valued row per coarse
     bucket. The shuffle then moves a few thousand packed rows instead of
@@ -59,7 +73,7 @@ def _rules_pass_members(batch: pa.Table) -> pa.Table:
     if slim.num_rows == 0:
         return _MEMBER_PARTIAL_SCHEMA.empty_table()
     h = slim["text_hash"].to_numpy()
-    bucket = (h & (_DUP_BUCKETS - 1)).astype(np.int32)
+    bucket = (h & (nbuckets - 1)).astype(np.int32)
     order = np.argsort(bucket, kind="stable")
     bs, starts = np.unique(bucket[order], return_index=True)
     offsets = pa.array(np.append(starts, len(order)).astype(np.int32))
@@ -107,15 +121,22 @@ def _flags_bucket(g: pa.Table) -> pa.Table:
     }).cast(FLAGS_SCHEMA)
 
 
-def dup_flags_refs(scored_ds) -> list:
+def dup_flags_refs(scored_ds, nbuckets: int | None = None) -> list:
     """Object-store refs of per-bucket dup-flag tables (FLAGS_SCHEMA rows
     for dup-group members only). The driver never touches the rows —
     compose with :func:`dup_winner_map` (small) or :func:`write_dup_flags`
-    (scale)."""
+    (scale). ``nbuckets`` should come from :func:`scaled_buckets` when the
+    caller knows the row count (decide_from_scored does) so each reduce
+    task's member set stays bounded at any table size."""
     from .exchange import bucket_exchange_refs
-    partials = scored_ds.map_batches(_rules_pass_members,
-                                     batch_format="pyarrow", batch_size=None)
-    return bucket_exchange_refs(partials, _DUP_BUCKETS, _flags_bucket)
+    nb = nbuckets or _DUP_BUCKETS
+
+    def members(batch: pa.Table) -> pa.Table:
+        return _rules_pass_members(batch, nb)
+
+    partials = scored_ds.map_batches(members, batch_format="pyarrow",
+                                     batch_size=None)
+    return bucket_exchange_refs(partials, nb, _flags_bucket)
 
 
 def dup_winner_map(scored_ds=None, *, flags_refs=None) -> dict[int, str]:

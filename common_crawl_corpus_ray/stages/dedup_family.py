@@ -198,13 +198,18 @@ def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
     """
     import pyarrow.compute as pc
 
+    from .decide import scaled_buckets
     from .exchange import bucket_exchange, bucket_exchange_refs, refs_to_dataset
 
-    nb = _VERIFY_BUCKETS
     # both passes (banding, shingle arrays for verify) consume the same
     # (id, text) projection; materialize it once instead of re-executing the
     # upstream pipeline per pass
     ds = ds.select_columns([id_col, text_col]).materialize()
+    # verify-bucket rows are FAT (one shingle array per doc, ~8B x chars):
+    # scale the bucket count so one reduce task holds ~100k docs' shingles
+    # (~1-2GB at web text lengths), not O(N / fixed-constant)
+    nb = scaled_buckets(ds.count(), rows_per_bucket=100_000,
+                        lo=_VERIFY_BUCKETS, hi=1024)
     id_type = ds.schema().base_schema.field(id_col).type
     pairs_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
 
