@@ -58,25 +58,49 @@ def brute_force_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
 
 
 def lsh_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
-             k: int = 10, n_planes: int = 8, seed: int = 42):
-    """Approximate top-k: random-hyperplane bucket per vector; each query
-    scans only its bucket. Returns the same columns as brute_force_topk."""
+             k: int = 10, n_planes: int = 8, n_tables: int = 20,
+             probe_hamming: int = 1, seed: int = 42):
+    """Approximate top-k via MULTI-TABLE MULTIPROBE hyperplane LSH: each
+    of ``n_tables`` independent tables hashes a vector to an
+    ``n_planes``-bit signature; a query's candidate set is every row whose
+    signature lies within Hamming distance ``probe_hamming`` of the
+    query's in ANY table. Per-table capture probability for a neighbor at
+    angle theta is sum_{i<=r} C(b,i) (theta/pi)^i (1-theta/pi)^(b-i);
+    tables are independent, so recall = 1 - (1 - p)^L — tunable to any
+    floor without touching the scan shape (tests pin the measured floor).
+    The round-2 single-table exact-bucket variant had recall 0.05 on the
+    near-isotropic fixture (a single 8-plane agreement at theta~70deg is a
+    ~2% event); on clustered real embeddings fewer tables suffice.
+
+    Scan cost stays one batched matmul: candidate masks are computed for
+    the whole batch via XOR + popcount-LUT over [n_q, n_batch] int
+    signatures — no per-row Python."""
     import ray
     dim = query_mat.shape[1]
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((dim, n_planes * n_tables))
+    weights = 1 << np.arange(n_planes)
+    popcnt = np.array([bin(i).count("1") for i in range(1 << n_planes)],
+                      dtype=np.int8)
     qn = _normalize(query_mat)
-    q_sig = (qn @ planes > 0) @ (1 << np.arange(n_planes))
-    q_ref = ray.put((query_ids, qn, q_sig, planes))
+    qbits = qn @ planes > 0
+    qsig = np.stack([qbits[:, t * n_planes:(t + 1) * n_planes] @ weights
+                     for t in range(n_tables)], axis=1)      # [n_q, T]
+    q_ref = ray.put((query_ids, qn, qsig, planes))
 
     def partial(b: pa.Table) -> pa.Table:
-        qids, qmat, qsig, pl = ray.get(q_ref)
+        qids, qmat, qs, pl = ray.get(q_ref)
         vids = b["vec_id"].to_numpy(zero_copy_only=False)
         m = _normalize(_to_matrix(b["embedding"]))
-        sig = (m @ pl > 0) @ (1 << np.arange(pl.shape[1]))
+        bits = m @ pl > 0
+        cand = np.zeros((len(qids), len(vids)), dtype=bool)
+        for t in range(n_tables):
+            vsig = bits[:, t * n_planes:(t + 1) * n_planes] @ weights
+            xor = vsig[None, :] ^ qs[:, t][:, None]          # [n_q, n_batch]
+            cand |= popcnt[xor] <= probe_hamming
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids)):
-            mask = sig == qsig[qi]
+            mask = cand[qi]
             if not mask.any():
                 continue
             sims = qmat[qi] @ m[mask].T
@@ -119,12 +143,19 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8,
 
 
 def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
-             n_centroids: int = 16, nprobe: int = 4, sample_size: int = 4096,
+             n_centroids: int = 16, nprobe: int = 8, sample_size: int = 4096,
              seed: int = 42):
     """IVF approximate top-k: vectors are assigned to their nearest coarse
     centroid; each query scans only rows belonging to its nprobe nearest
     centroids. Centroids are trained on a driver-side sample and broadcast;
     the scan itself stays one numpy matmul per batch over the probed subset.
+
+    ``nprobe=8`` of 16 cells is sized for the near-isotropic synthetic
+    fixture (recall 0.80-0.84, pinned in tests/test_golden_rowsonly.py) —
+    the worst case for a coarse quantizer, since cluster assignment barely
+    correlates with true neighbors. Clustered real embeddings reach the
+    same recall at much lower nprobe/n_centroids ratios (and at real row
+    counts n_centroids grows ~sqrt(N), keeping the scanned fraction low).
     """
     import ray
     qn = _normalize(query_mat)
