@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse": A.url_parse,
         "annotate_region": A.annotate_region,
         "approx_distinct_words": A.approx_distinct_words,
+        "token_filter_chain": A.token_filter_chain,
         "repetition_score": A.repetition_score,
         "winnow_fingerprint": A.winnow_fingerprint,
         "text_search_topk": A.text_search_topk,
@@ -395,6 +396,10 @@ WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
         "group_topk": A.group_topk_sql(),
         "token_count_bpe": A.token_count_bpe_sql(),
         "repetition_score": A.repetition_score_sql(),
+        # HLL estimate in exact HUGEINT/derived-integer arithmetic — flips
+        # the sketch from "approximate, rows-only" to hash-verified
+        "approx_distinct_words": A.approx_distinct_words_sql(),
+        "token_filter_chain": A.token_filter_chain_sql(),
         "winnow_fingerprint": A.winnow_fingerprint_sql(),
         "text_search_topk": A.text_search_topk_sql(),
         "ann_cosine_topk": ann_sql,

@@ -53,15 +53,23 @@ class HyperLogLog:
         return self
 
     def count(self) -> int:
+        # Every arithmetic step here is chosen to be BIT-IDENTICAL to the
+        # DuckDB oracle (__ray_entry__.oracle_sql approx_distinct_words):
+        # the harmonic sum is exact in float64 (each 2^-M[j] term and every
+        # partial sum is an integer multiple of 2^-32 with numerator
+        # < 2^53), the single rounding happens at the division, math.log is
+        # glibc libm — the same ln DuckDB calls — and floor(x+0.5) is
+        # half-away-from-zero on both engines (Python round() is banker's).
+        import math
         m = self.m
         est = _alpha(m) * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
         if est <= 2.5 * m:                       # small-range correction
             zeros = int(np.count_nonzero(self.registers == 0))
             if zeros:
-                est = m * np.log(m / zeros)
+                est = m * math.log(m / zeros)
         elif est > (1 << 32) / 30.0:             # large-range correction
-            est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
-        return int(round(est))
+            est = -(1 << 32) * math.log(1.0 - est / (1 << 32))
+        return int(math.floor(est + 0.5))
 
     # --- Arrow transport ---------------------------------------------------
 

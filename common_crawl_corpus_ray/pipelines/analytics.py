@@ -944,6 +944,111 @@ def approx_distinct_words(sf_dir: str, p: int = 12):
             .groupby("source").map_groups(reduce_all, batch_format="pandas"))
 
 
+def approx_distinct_words_sql(p: int = 12) -> str:
+    """The HLL estimate expressed EXACTLY in DuckDB SQL — bit-identical to
+    functions/hll.py because every float step is either exact or rounds
+    once identically on both engines (see HyperLogLog.count for the
+    argument): FNV-1a32 per distinct word via list_reduce, register index =
+    top p bits, rho = 20 - floor(log2(low bits)), harmonic sum as the
+    integer S = sum 2^(32-M[j]) (absent registers contribute 2^32 each),
+    the same small/large-range correction CASE, half-away rounding.
+    Text is ASCII (verified), so ascii(substring) equals the utf-8 byte."""
+    m = 1 << p
+    low_mask = (1 << (32 - p)) - 1
+    return f"""
+WITH words AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x != '')) AS w
+  FROM documents
+), wh AS (
+  SELECT DISTINCT source, CAST(list_reduce(
+     list_prepend(CAST(2166136261 AS UBIGINT),
+       list_transform(generate_series(1, length(w)),
+                      i -> CAST(ascii(substring(w, i, 1)) AS UBIGINT))),
+     (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 16777619) % 4294967296
+                    AS UBIGINT)) AS BIGINT) AS h
+  FROM words
+), regs AS (
+  SELECT source, h // {low_mask + 1} AS idx,
+         MAX(CASE WHEN h % {low_mask + 1} = 0 THEN {32 - p + 1}
+                  ELSE {32 - p} - CAST(floor(log2(CAST(h % {low_mask + 1}
+                       AS DOUBLE))) AS BIGINT) END) AS mrho
+  FROM wh GROUP BY source, h // {low_mask + 1}
+), agg AS (
+  SELECT source, SUM(CAST(1 AS BIGINT) << CAST(32 - mrho AS INTEGER)) AS s_hit,
+         COUNT(*) AS n_hit
+  FROM regs GROUP BY source
+), est AS (
+  SELECT source,
+    (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * 4294967296.0
+      / (CAST({m} - n_hit AS DOUBLE) * 4294967296.0 + CAST(s_hit AS DOUBLE))
+      AS e0,
+    {m} - n_hit AS zeros
+  FROM agg
+)
+SELECT source,
+  CAST(floor((CASE
+      WHEN e0 <= 2.5 * {m}.0 AND zeros > 0
+        THEN {m}.0 * ln({m}.0 / CAST(zeros AS DOUBLE))
+      WHEN e0 > 4294967296.0 / 30.0
+        THEN -4294967296.0 * ln(1.0 - e0 / 4294967296.0)
+      ELSE e0 END) + 0.5) AS BIGINT) AS n_words_approx
+FROM est"""
+
+
+_M17_PUNCT = r"[!-/:-@\[-`{-~]"     # exactly string.punctuation as ranges
+
+
+def token_filter_chain(sf_dir: str):
+    """M17: the standalone gensim-style token-filter chain the reference
+    applies before topic modelling (outlier_detection.py:34 CUSTOM_FILTERS
+    — lower, strip_tags, strip_punctuation, strip_multiple_whitespaces,
+    strip_numeric — then split). Fully vectorized RE2 via pyarrow.compute;
+    the DuckDB oracle runs the same RE2 patterns, so parity is exact.
+    Returns (doc_id, n_tokens, tokens_str) — the token list is surfaced as
+    its space-join so value-hash comparison is well defined."""
+
+    def f(b: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(b["text"])
+        s = pc.replace_substring_regex(s, "<[^>]+>", " ")        # strip_tags
+        s = pc.replace_substring_regex(s, f"({_M17_PUNCT})+", " ")
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.replace_substring_regex(s, "[0-9]+", "")          # strip_numeric
+        s = pc.utf8_trim(pc.replace_substring_regex(s, r"\s+", " "), " ")
+        n = pc.add(pc.count_substring(s, " "), 1)
+        n = pc.if_else(pc.equal(s, ""), pa.scalar(0, pa.int32()), n)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pc.cast(n, pa.int64()),
+                         "tokens_str": s})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def token_filter_chain_sql() -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(text), '<[^>]+>', ' ', 'g'),
+          '({_M17_PUNCT})+', ' ', 'g'),
+        '\\s+', ' ', 'g'),
+      '[0-9]+', '', 'g'),
+    '\\s+', ' ', 'g'), ' ') AS tokens_str
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN tokens_str = '' THEN 0
+       ELSE length(tokens_str) - length(replace(tokens_str, ' ', '')) + 1
+  END AS n_tokens,
+  tokens_str
+FROM c"""
+
+
 def asof_join(sf_dir: str):
     """As-of join (custom operator — Ray Data has no native one): for each
     'purchase' event, the most recent 'click' by the same user at or

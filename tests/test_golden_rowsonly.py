@@ -29,7 +29,6 @@ GOLDEN = {
     "image_resize": (200, "96f43c844bfb1bbd89e93ac887f2e9c9"),
     "image_features": (200, "cab5df915095413aacc581b398e6d63a"),
     "video_frame_sample": (400, "9eb0efc69a85ce6ded52e101e95df491"),
-    "approx_distinct_words": (20, "bac7ed8fad079d28100f0a2309d7d214"),
     "clips_pipeline": (1000, "2338d1ad8f0f54086efae3320bde4481"),
 }
 

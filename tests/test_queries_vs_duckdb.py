@@ -64,6 +64,9 @@ SQL_QUERIES = [
     # round 3: minhash upgraded to an exact oracle (HUGEINT multiply-shift
     # signatures, bit-identical banding + verify)
     "minhash_dedup",
+    # round 3: HLL estimate in exact integer-harmonic arithmetic; M17
+    # standalone gensim-order token-filter chain
+    "approx_distinct_words", "token_filter_chain",
 ]
 
 

@@ -54,3 +54,30 @@ def test_approx_distinct_words_vs_exact(ray_session):
     assert set(got) == set(exact)
     for src in exact:
         assert got[src] == pytest.approx(exact[src], rel=0.08), src
+
+
+def test_hll_sql_parity_raw_branch():
+    """The sf fixtures' ~31-word vocab only ever hits the linear-counting
+    branch of HyperLogLog.count, so the hash-green driver compare never
+    exercises the raw harmonic estimate. This pins Python-vs-DuckDB
+    BIT-IDENTITY on a 30k-distinct-word corpus (raw branch: est > 2.5m for
+    p=12) by running the exact oracle CTE chain over the same words."""
+    from common_crawl_corpus_ray.pipelines.analytics import (
+        approx_distinct_words_sql)
+    rng = np.random.default_rng(7)
+    words = sorted({f"w{i}x{j}" for i, j in
+                    zip(rng.integers(0, 6000, 60_000),
+                        rng.integers(0, 7, 60_000))})
+    py = HyperLogLog(12).add_hashes(
+        fnv1a32_batch([w.encode() for w in words])).count()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(source VARCHAR, text VARCHAR)")
+    # one doc per 1000 words keeps list_reduce rows reasonable
+    for s in range(0, len(words), 1000):
+        con.execute("INSERT INTO documents VALUES ('s', ?)",
+                    [" ".join(words[s:s + 1000])])
+    sql = con.execute(approx_distinct_words_sql()).fetchone()[1]
+    est_exact = HyperLogLog(12)
+    est_exact.add_hashes(fnv1a32_batch([w.encode() for w in words]))
+    assert est_exact.count() > 2.5 * 4096, "fixture must hit the raw branch"
+    assert sql == py
