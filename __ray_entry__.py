@@ -197,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
     _setup()
     from common_crawl_corpus_ray.functions import spec
     from common_crawl_corpus_ray.pipelines import analytics as A
+    from common_crawl_corpus_ray.pipelines import clips_queries as C
 
     z = spec  # keep import obvious
     ann_sql = f"""
@@ -413,6 +414,11 @@ WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
         "embedding_dup_lsh": embed_dup_sql,
         "simhash_dedup": simhash_sql,
         "minhash_dedup": minhash_sql,
+        # codec_validity is pure payload-length arithmetic over the
+        # deterministic derived clips fixture — the SQL reads the same
+        # parquet the Ray query reads (C.codec_validity_sql ensures the
+        # sf0.01 cache exists before returning the string):
+        "codec_validity": C.codec_validity_sql(),
         # ann_lsh_topk / ann_ivf_topk (measured: LSH/IVF recall < 1 on
         # this fixture — genuinely approximate) / lid_documents /
         # audio_decode_stats / clips_pipeline: not SQL-expressible or not

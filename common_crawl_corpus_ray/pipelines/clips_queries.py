@@ -205,6 +205,30 @@ def codec_validity(sf_dir: str):
     return ds.map_batches(plant_and_filter, batch_format="pyarrow")
 
 
+ORACLE_SF = "/root/testdata/sf0.01"   # the scale the graft driver oracles at
+
+
+def codec_validity_sql() -> str:
+    """Exact DuckDB oracle for codec_validity: the predicate is pure
+    integer arithmetic over payload length (no decode), so SQL can state
+    it verbatim — octet_length(bytes) == (dur_ms' * sr_hz // 1000) *
+    bytes_per_sample, with the same planted corruption (clip index % 10
+    == 0 gets +1 ms). The clips table is a deterministic derived fixture,
+    not a pre-registered view, so this reads its parquet directly;
+    calling this function ensures the sf0.01 cache exists first (the
+    driver may run the SQL before the Ray query)."""
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    per_sample = " ".join(
+        f"WHEN '{c}' THEN {n}" for c, n in codecs.BYTES_PER_SAMPLE.items())
+    return f"""
+SELECT clip_id, codec
+FROM read_parquet('{uri}/*.parquet')
+WHERE octet_length(bytes) =
+  ((dur_ms + CASE WHEN CAST(regexp_extract(clip_id, '([0-9]+)$', 1)
+                       AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END)
+   * sr_hz // 1000) * (CASE codec {per_sample} END)"""
+
+
 def mutated_docs(sf_dir: str, n_mutate: int = 50):
     """documents UNION near-duplicate copies (one word swapped) of the
     first n_mutate docs — fixture for the near-dup detectors."""

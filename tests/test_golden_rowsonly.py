@@ -25,7 +25,6 @@ GOLDEN = {
     "ann_ivf_topk": (100, "fb484d91e16e94fd30e476d303f2f3bb"),
     "lid_documents": (500, "2a55aa98f0097ddd22d22ccec154176b"),
     "audio_decode_stats": (3, "fe736e8551cb3fa25aca3b69d02bb865"),
-    "codec_validity": (900, "0fd3f6f33e5a38699a5abb11a894ad01"),
     "image_resize": (200, "96f43c844bfb1bbd89e93ac887f2e9c9"),
     "image_features": (200, "cab5df915095413aacc581b398e6d63a"),
     "video_frame_sample": (400, "9eb0efc69a85ce6ded52e101e95df491"),

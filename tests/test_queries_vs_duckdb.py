@@ -88,6 +88,20 @@ def test_query_matches_oracle(entry_mod, con, name):
             assert not mism.any(), f"{c}: {got[c][mism].head(3)} vs {want[c][mism].head(3)}"
 
 
+def test_codec_validity_matches_oracle_at_driver_sf(entry_mod):
+    """codec_validity's oracle reads the derived clips parquet directly,
+    baked at the driver's oracle scale (sf0.01) — so this one compares
+    there instead of SF_DIR."""
+    from common_crawl_corpus_ray.pipelines.clips_queries import ORACLE_SF
+    got = canon(to_pandas(entry_mod.queries()["codec_validity"](ORACLE_SF)))
+    want = canon(duckdb.connect().execute(
+        entry_mod.oracle_sql()["codec_validity"]).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert got[c].astype(str).equals(want[c].astype(str)), c
+
+
 ROWS_ONLY = ["ann_lsh_topk", "lid_documents",
              "ann_ivf_topk", "codec_validity"]
 
