@@ -88,39 +88,65 @@ def clips_pipeline(sf_dir: str, with_audio: bool = False):
 def audio_decode_stats(sf_dir: str):
     """Multimodal stage: decode every payload per codec, verify SNR vs the
     per-clip ground truth, aggregate per codec (the audio-equivalent
-    invariant M19; audio libs are absent so codecs are our numpy G.711)."""
+    invariant M19; audio libs are absent so codecs are our numpy G.711).
+
+    Scale shape: the per-codec stats are associative (count/min/sum/and),
+    so each block emits <= len(CODECS) partial rows — the payload bytes and
+    the 1-row-per-clip SNR table never enter a shuffle. ``batch_size=None``
+    keeps one batch per read block (re-batching would copy every payload,
+    and it lets Ray fuse read+decode into one task); payload access is
+    zero-copy (``as_buffer`` slices of the Arrow binary column feed
+    ``np.frombuffer`` directly). The final merge is one task over
+    O(blocks x |CODECS|) tiny partial rows — a few MB even at 10^12 clips /
+    10^6 fragments, so no sort-based groupby is warranted."""
     import ray.data as rd
     uri = ensure_clips(sf_dir, with_audio=True)
     ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
 
-    def decode_check(b: pa.Table) -> pa.Table:
-        out_codec, out_snr, out_samples = [], [], []
-        for cid, payload, sr, codec in zip(b["clip_id"].to_pylist(),
-                                           b["bytes"].to_pylist(),
-                                           b["sr_hz"].to_pylist(),
-                                           b["codec"].to_pylist()):
-            i = int(cid.rsplit("-", 1)[1])
+    def decode_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        idx = pc.cast(pc.utf8_slice_codeunits(b["clip_id"], 5, 32),
+                      pa.int64()).to_numpy()
+        srs = b["sr_hz"].to_numpy(zero_copy_only=False)
+        cods = b["codec"].to_pylist()
+        payloads = b["bytes"].combine_chunks()
+        stats: dict[str, list] = {}   # codec -> [n, min_snr, total_samples, all_ok]
+        for k in range(b.num_rows):
+            codec = cods[k]
+            payload = payloads[k].as_buffer()
             n = codecs.num_samples(len(payload), codec)
-            truth = clips.ground_truth_pcm(i, n, sr)
+            truth = clips.ground_truth_pcm(int(idx[k]), n, int(srs[k]))
             got = codecs.decode(payload, codec)
-            out_codec.append(codec)
-            out_snr.append(codecs.snr_db(truth, got))
-            out_samples.append(n)
-        return pa.table({"codec": pa.array(out_codec),
-                         "snr": pa.array(out_snr, pa.float64()),
-                         "n_samples": pa.array(out_samples, pa.int64())})
-
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "codec": [g["codec"].iloc[0]],
-            "n_clips": [len(g)],
-            "min_snr_db": [round(float(g["snr"].min()), 2)],
-            "total_samples": [int(g["n_samples"].sum())],
-            "all_above_30db": [bool((g["snr"] >= 30.0).all())],
+            snr = codecs.snr_db(truth, got)
+            s = stats.setdefault(codec, [0, float("inf"), 0, True])
+            s[0] += 1
+            s[1] = min(s[1], snr)
+            s[2] += n
+            s[3] = s[3] and (snr >= 30.0)
+        return pa.table({
+            "codec": pa.array(list(stats), pa.string()),
+            "n_clips": pa.array([s[0] for s in stats.values()], pa.int64()),
+            "min_snr": pa.array([s[1] for s in stats.values()], pa.float64()),
+            "total_samples": pa.array([s[2] for s in stats.values()], pa.int64()),
+            "all_ok": pa.array([s[3] for s in stats.values()], pa.bool_()),
         })
 
-    return (ds.map_batches(decode_check, batch_format="pyarrow", batch_size=256)
-            .groupby("codec").map_groups(agg, batch_format="pandas"))
+    def merge_all(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("codec", sort=True)
+        out = pd.DataFrame({
+            "codec": list(g.groups),
+            "n_clips": g["n_clips"].sum().astype("int64").to_numpy(),
+            "min_snr_db": np.round(g["min_snr"].min().to_numpy(), 2),
+            "total_samples": g["total_samples"].sum().astype("int64").to_numpy(),
+            "all_above_30db": g["all_ok"].all().to_numpy(),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(decode_partial, batch_format="pyarrow",
+                           batch_size=None)
+            .repartition(1)
+            .map_batches(merge_all, batch_format="pyarrow", batch_size=None))
 
 
 LID_TRAIN_SAMPLE_MAX = 10_000

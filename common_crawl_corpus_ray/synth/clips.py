@@ -137,13 +137,30 @@ def _transcript(i: int, n_dup_groups: int) -> tuple[str, str, str]:
 
 
 def ground_truth_pcm(i: int, n_samples: int, sr: int) -> np.ndarray:
-    """Seeded sinusoid+noise mixture; reproducible from the clip index."""
+    """Seeded sinusoid+noise mixture; reproducible from the clip index.
+
+    Buffer-reusing evaluation of
+    ``(0.35*sin(2*pi*f1*t) + 0.2*sin(2*pi*f2*t)) + 0.004*randn`` with the
+    same operation order/associativity as the naive expression, so the
+    output is bit-identical to the original formula (pinned by
+    test_ground_truth_pcm_bit_identity) while allocating 3 temporaries
+    instead of 9 — this runs per clip in both fixture generation and the
+    decode-invariant check, so constant factors matter."""
     rng = _rng(i, "audio")
     f1 = rng.uniform(80.0, min(3500.0, sr * 0.45))
     f2 = rng.uniform(80.0, min(3500.0, sr * 0.45))
-    t = np.arange(n_samples, dtype=np.float64) / sr
-    x = (0.35 * np.sin(2 * np.pi * f1 * t) + 0.2 * np.sin(2 * np.pi * f2 * t)
-         + 0.004 * rng.standard_normal(n_samples))
+    t = np.arange(n_samples, dtype=np.float64)
+    t /= sr
+    x = t * (2 * np.pi * f1)
+    np.sin(x, out=x)
+    x *= 0.35
+    t *= 2 * np.pi * f2
+    np.sin(t, out=t)
+    t *= 0.2
+    x += t
+    noise = rng.standard_normal(n_samples)
+    noise *= 0.004
+    x += noise
     return x.astype(np.float32)
 
 

@@ -53,3 +53,25 @@ def test_lancelite_ray_read(ray_session, tmp_path):
     ds = lancelite.read(uri, columns=["clip_id", "transcript"])
     assert ds.count() == 60
     assert set(ds.schema().names) == {"clip_id", "transcript"}
+
+
+def test_ground_truth_pcm_bit_identity():
+    """The buffer-reusing ground_truth_pcm must stay bit-identical to the
+    naive formula it replaced — every encoded fixture payload depends on it."""
+    import numpy as np
+    from common_crawl_corpus_ray.synth import clips
+
+    def naive(i, n_samples, sr):
+        rng = clips._rng(i, "audio")
+        f1 = rng.uniform(80.0, min(3500.0, sr * 0.45))
+        f2 = rng.uniform(80.0, min(3500.0, sr * 0.45))
+        t = np.arange(n_samples, dtype=np.float64) / sr
+        x = (0.35 * np.sin(2 * np.pi * f1 * t)
+             + 0.2 * np.sin(2 * np.pi * f2 * t)
+             + 0.004 * rng.standard_normal(n_samples))
+        return x.astype(np.float32)
+
+    for i, n, sr in [(0, 1, 8000), (3, 4096, 16000), (77, 9999, 22050),
+                     (123456, 2500, 44100)]:
+        a, b = naive(i, n, sr), clips.ground_truth_pcm(i, n, sr)
+        assert a.dtype == b.dtype and np.array_equal(a, b)
