@@ -78,24 +78,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fn = ann.lsh_topk if approximate else ann.brute_force_topk
         return fn(ds, qids, qmat, k=A.ANN_K)
 
+    def _table_rows(sf_dir: str, table: str) -> int:
+        """Cheap metadata row count — the hint the dedup exchanges use to
+        scale their bucket counts (fixture row count, not an execution)."""
+        return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
     def minhash(sf_dir: str):
         ds = C.mutated_docs(sf_dir)
         return dedup_family.minhash_dedup_pairs(ds, "doc_id", "text", threshold=0.7)
 
     def simhash(sf_dir: str):
         ds = C.mutated_docs(sf_dir)
-        return dedup_family.simhash_dedup_pairs(ds, "doc_id", "text", max_hamming=8)
+        return dedup_family.simhash_dedup_pairs(
+            ds, "doc_id", "text", max_hamming=8,
+            n_rows=_table_rows(sf_dir, "documents") + 50)
 
     def ngram_jaccard(sf_dir: str):
         ds = C.mutated_docs(sf_dir)
-        return dedup_family.ngram_jaccard_pairs(ds, "doc_id", "text",
-                                                n=3, threshold=0.5)
+        return dedup_family.ngram_jaccard_pairs(
+            ds, "doc_id", "text", n=3, threshold=0.5,
+            n_rows=_table_rows(sf_dir, "documents") + 50)
 
     def embed_dup(sf_dir: str, lsh: bool = False):
         ds = C.planted_embeddings(sf_dir)
-        fn = dedup_family.embedding_dup_pairs_lsh if lsh \
-            else dedup_family.embedding_dup_pairs
-        return fn(ds, "vec_id", "embedding", threshold=0.99)
+        if lsh:
+            return dedup_family.embedding_dup_pairs_lsh(
+                ds, "vec_id", "embedding", threshold=0.99,
+                n_rows=_table_rows(sf_dir, "embeddings") + 20)
+        return dedup_family.embedding_dup_pairs(ds, "vec_id", "embedding",
+                                                threshold=0.99)
 
     def ivf(sf_dir: str):
         import ray.data as rd

@@ -101,6 +101,11 @@ def run_bench() -> dict:
 
     queries = {}
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") != "1":
+        # settle again: the headline just wrote ~2.2GB; pending writeback
+        # otherwise bleeds into the first few per-query timings (observed
+        # 2-3x inflation on sub-second queries measured in its shadow)
+        os.sync()
+        time.sleep(5)
         qs = __ray_entry__.queries()
         for name in QUERY_NAMES:
             t0 = time.perf_counter()

@@ -106,7 +106,7 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 def minhash_candidate_pairs(ds, id_col: str, text_col: str,
                             num_perm: int = 64, bands: int = 16,
-                            seed: int = 42):
+                            seed: int = 42, nbuckets: int | None = None):
     """LSH banding: ids sharing any band bucket become candidate pairs.
     Returns a ``ray.data.Dataset`` of distinct-per-bucket (a, b) pairs —
     never a driver-side set (at web scale the candidate count is
@@ -123,6 +123,7 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
 
     a, b = _perm_params(num_perm, seed)
     rows_per_band = num_perm // bands
+    nb_pairs = _PAIR_BUCKETS if nbuckets is None else nbuckets
     id_type = ds.schema().base_schema.field(id_col).type
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -137,7 +138,7 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
         band_ix = np.tile(np.arange(bands, dtype=np.uint64), len(ids))
         flat_bh = bh.reshape(-1)
         bucket = ((flat_bh * np.uint64(31) + band_ix) %
-                  np.uint64(_PAIR_BUCKETS)).astype(np.int64)
+                  np.uint64(nb_pairs)).astype(np.int64)
         return pa.table({
             "id": pa.array(np.repeat(ids, bands)),
             "band": pa.array(band_ix.astype(np.int32), pa.int32()),
@@ -153,12 +154,28 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
 
     empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type)})
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
-    return bucket_exchange_dataset(banded, _PAIR_BUCKETS, emit_pairs, empty)
+    return bucket_exchange_dataset(banded, nb_pairs, emit_pairs, empty)
 
 
 _PAIR_BUCKETS = 64
 # bucket count for the two-round distributed verify exchange
 _VERIFY_BUCKETS = 16
+
+
+def _pair_buckets(n_rows: int | None, docs_per_bucket: int = 16384,
+                  lo: int = 4, hi: int = 1024) -> int:
+    """Power-of-2 bucket count for the pair-emission exchanges, targeting
+    ~``docs_per_bucket`` input docs per reduce task (each doc explodes to
+    O(bands) / O(shingles) rows, so 16k docs keeps a reduce's self-merge a
+    few-million-row pandas op). Scaling with the caller's row-count hint
+    replaces the fixed ``_PAIR_BUCKETS`` (the fallback when no cheap count
+    exists): a fixed constant pays ~3x fixed exchange cost on tiny inputs
+    and makes per-reduce volume O(N/constant) on huge ones."""
+    import math
+    if n_rows is None or n_rows <= 0:
+        return _PAIR_BUCKETS
+    want = max(lo, (n_rows + docs_per_bucket - 1) // docs_per_bucket)
+    return min(hi, 1 << math.ceil(math.log2(want)))
 
 
 def _id_bucket(vals: np.ndarray, nbuckets: int) -> np.ndarray:
@@ -208,10 +225,12 @@ def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
     # verify-bucket rows are FAT (one shingle array per doc, ~8B x chars):
     # scale the bucket count so one reduce task holds ~100k docs' shingles
     # (~1-2GB at web text lengths), not O(N / fixed-constant)
-    nb = scaled_buckets(ds.count(), rows_per_bucket=100_000,
+    n_docs = ds.count()
+    nb = scaled_buckets(n_docs, rows_per_bucket=100_000,
                         lo=_VERIFY_BUCKETS, hi=1024)
     id_type = ds.schema().base_schema.field(id_col).type
-    pairs_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
+    pairs_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands,
+                                       nbuckets=_pair_buckets(n_docs))
 
     # one canonical schema for every exchange input, so Dataset.union /
     # repartition never see block-schema mismatches: pair rows carry
@@ -400,7 +419,8 @@ def hamming64_batch(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
 
 def simhash_dedup_pairs(ds, id_col: str, text_col: str,
-                        max_hamming: int = 8) -> pd.DataFrame:
+                        max_hamming: int = 8,
+                        n_rows: int | None = None) -> pd.DataFrame:
     """Near-dup via SimHash banding (4 x 16-bit chunks) + Hamming verify.
 
     The banding exchange runs through the manual bucket exchange, not
@@ -410,6 +430,8 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
     itself is ~0.1s). Each bucket's reduce is one vectorized self-merge
     (NOT one call per (chunk, cv) group: ~1ms Python per group)."""
     from .exchange import bucket_exchange
+
+    nb = _pair_buckets(n_rows)
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -421,7 +443,7 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
         chunks = np.tile(np.arange(4, dtype=np.int32), n)
         cv = ((rep_sigs >> (np.uint64(16) * chunks.astype(np.uint64)))
               & np.uint64(0xFFFF)).astype(np.int64)
-        bucket = np.abs(cv * 7 + chunks) % _PAIR_BUCKETS
+        bucket = np.abs(cv * 7 + chunks) % nb
         return pa.table({"id": pa.array(rep_ids),
                          "chunk": pa.array(chunks, pa.int32()),
                          "cv": pa.array(cv, pa.int64()),
@@ -444,7 +466,7 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
             preserve_index=False)
 
     banded = ds.map_batches(to_chunks, batch_format="pyarrow")
-    tabs = [t for t in bucket_exchange(banded, _PAIR_BUCKETS, emit_pairs)
+    tabs = [t for t in bucket_exchange(banded, nb, emit_pairs)
             if t.num_rows]
     if not tabs:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
@@ -465,7 +487,8 @@ NGRAM_DF_CAP = 32
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int = NGRAM_DF_CAP) -> pd.DataFrame:
+                        max_df: int = NGRAM_DF_CAP,
+                        n_rows: int | None = None) -> pd.DataFrame:
     """Exact word-n-gram Jaccard near-dup via a distributed inverted index.
 
     Shuffle shape: explode each doc to distinct (shingle, id, n_doc) rows
@@ -490,7 +513,9 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     import ray
 
     from ..functions.broadcast import cached_get
-    from .exchange import bucket_exchange
+    from .exchange import bucket_exchange, bucket_exchange_dataset
+
+    nb = _pair_buckets(n_rows)
 
     # pass 1: per-block (shingle, doc-count) partials -> per-bucket df sums
     # -> hot shingles only (df > max_df) return to the driver
@@ -500,7 +525,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
             for sh in word_ngrams(t, n):
                 cnt[sh] = cnt.get(sh, 0) + 1
         shs = list(cnt)
-        bucket = np.fromiter((zlib.crc32(s.encode("utf-8")) % _PAIR_BUCKETS
+        bucket = np.fromiter((zlib.crc32(s.encode("utf-8")) % nb
                               for s in shs), dtype=np.int64, count=len(shs))
         return pa.table({"bucket": pa.array(bucket, pa.int64()),
                          "sh": pa.array(shs, pa.string()),
@@ -515,7 +540,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     hot: set[str] = set()
     for t in bucket_exchange(ds.map_batches(df_partials,
                                             batch_format="pyarrow"),
-                             _PAIR_BUCKETS, hot_bucket):
+                             nb, hot_bucket):
         hot.update(t["sh"].to_pylist())
     hot_ref = ray.put(hot)
 
@@ -537,43 +562,67 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     # vectorized self-merge per bucket, not one Python call per shingle
     def add_bucket(b: pa.Table) -> pa.Table:
         import zlib
-        bucket = np.fromiter((zlib.crc32(s.encode("utf-8")) % _PAIR_BUCKETS
+        bucket = np.fromiter((zlib.crc32(s.encode("utf-8")) % nb
                               for s in b["sh"].to_pylist()),
                              dtype=np.int64, count=b.num_rows)
         return b.append_column("bucket", pa.array(bucket, pa.int64()))
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # Exchange 1 (keyed by shingle hash): self-merge each bucket's posting
+    # rows into co-occurring pairs and PRE-COUNT them locally — each shared
+    # shingle lives in exactly one shingle bucket, so per-bucket counts are
+    # disjoint partials of the true intersection size. Re-keyed by pair hash
+    # for exchange 2. (Previously two sort-based groupbys; exchange.py's
+    # measured ~3x cheaper reduce does both legs.)
+    def emit_pair_partials(t: pa.Table) -> pa.Table | None:
+        g = t.select(["id", "sh", "nd"]).to_pandas()
         m = g.merge(g, on="sh")
         m = m[m["id_x"] < m["id_y"]]
-        return (m[["id_x", "id_y", "nd_x", "nd_y"]]
-                .rename(columns={"id_x": "id_a", "id_y": "id_b",
-                                 "nd_x": "ca", "nd_y": "cb"}))
+        if m.empty:
+            return None
+        co = (m.groupby(["id_x", "id_y", "nd_x", "nd_y"], sort=False)
+              .size().reset_index(name="co"))
+        pb = (_id_bucket(co["id_x"].to_numpy(), nb) * 31
+              + _id_bucket(co["id_y"].to_numpy(), nb)) % nb
+        return pa.table({
+            "id_a": pa.array(co["id_x"].to_numpy()),
+            "id_b": pa.array(co["id_y"].to_numpy()),
+            "ca": pa.array(co["nd_x"].to_numpy(), pa.int64()),
+            "cb": pa.array(co["nd_y"].to_numpy(), pa.int64()),
+            "co": pa.array(co["co"].to_numpy(), pa.int64()),
+            "bucket": pa.array(pb.astype(np.int64), pa.int64())})
 
-    co = (sh_ds.map_batches(add_bucket, batch_format="pyarrow")
-          .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
-          .groupby(["id_a", "id_b", "ca", "cb"]).count())
+    # Exchange 2 (keyed by pair hash): sum the partial intersection counts
+    # and apply the jaccard threshold inside the reduce — the candidate
+    # pair table (~quadratic in natural shingle overlap) never lands on
+    # the driver; only verified pairs return.
+    def sum_and_filter(t: pa.Table) -> pa.Table | None:
+        df = (t.select(["id_a", "id_b", "ca", "cb", "co"]).to_pandas()
+              .groupby(["id_a", "id_b", "ca", "cb"], sort=False)["co"].sum()
+              .reset_index())
+        c = df["co"].to_numpy().astype(np.float64)
+        j = c / (df["ca"].to_numpy() + df["cb"].to_numpy() - c)
+        keep = j >= threshold                 # unrounded: int ratio is
+        if not keep.any():                    # bit-identical in SQL too
+            return None
+        return pa.table({
+            "id_a": pa.array(df["id_a"].to_numpy()[keep], pa.int64()),
+            "id_b": pa.array(df["id_b"].to_numpy()[keep], pa.int64()),
+            "jaccard": pa.array(j[keep], pa.float64())})
 
-    # final jaccard + threshold filter stays distributed: the candidate
-    # pair-count table is ~quadratic in natural shingle overlap (1M+ rows
-    # on the synthetic corpus) and must not be row-looped on the driver.
-
-    def jfilter(b: pa.Table) -> pa.Table:
-        a = b["id_a"].to_numpy(zero_copy_only=False)
-        bb = b["id_b"].to_numpy(zero_copy_only=False)
-        c = b["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
-        ca = b["ca"].to_numpy(zero_copy_only=False).astype(np.float64)
-        cb = b["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
-        j = c / (ca + cb - c)                 # unrounded: int ratio is
-        keep = j >= threshold                 # bit-identical in SQL too
-        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
-                         "id_b": pa.array(bb[keep], pa.int64()),
-                         "jaccard": pa.array(j[keep], pa.float64())})
-
-    out = co.map_batches(jfilter, batch_format="pyarrow").to_pandas()
-    if out.empty:
+    partials_empty = pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "ca": pa.array([], pa.int64()), "cb": pa.array([], pa.int64()),
+        "co": pa.array([], pa.int64()), "bucket": pa.array([], pa.int64())})
+    partials = bucket_exchange_dataset(
+        sh_ds.map_batches(add_bucket, batch_format="pyarrow"),
+        nb, emit_pair_partials, partials_empty)
+    tabs = [t for t in bucket_exchange(partials, nb,
+                                       sum_and_filter) if t.num_rows]
+    if not tabs:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
+    out = pa.concat_tables(tabs, promote_options="default").to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -626,7 +675,8 @@ def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.99, n_planes: int = 6,
                             seed: int = 42,
-                            max_bucket_rows: int = 20_000) -> pd.DataFrame:
+                            max_bucket_rows: int = 20_000,
+                            n_rows: int | None = None) -> pd.DataFrame:
     """Scale path: random-hyperplane bucket signature -> groupby(bucket) ->
     within-bucket pairwise cosine. Only the shuffle of (bucket, id, vec)
     rows moves data; no full-matrix broadcast. Near-identical vectors land
@@ -638,14 +688,26 @@ def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
     (seeded independently) and the pairwise scan runs per SUB-bucket —
     memory per task stays O(max_bucket_rows x dim) at any cluster size.
     Recall for near-identical vectors is unaffected by the split (they
-    agree on the secondary planes too)."""
+    agree on the secondary planes too).
+
+    The bucket all-to-all is the manual exchange (exchange.py), not a
+    sort-based ``groupby(bucket)``. The exchange bucket is a COARSE hash of
+    the signature (``sig % nbuckets``, scaled with the row-count hint), and
+    each reduce task segments its table back into exact-signature groups
+    with one argsort — so the exchange's fixed cost follows the input size
+    while candidate semantics stay exactly per-signature. Matrices come
+    from the vectorized Arrow flatten (no per-row np.stack loop)."""
+    from .exchange import bucket_exchange
+
+    nb = min(1 << n_planes, _pair_buckets(n_rows))
 
     def to_buckets(b: pa.Table) -> pa.Table:
         rng = np.random.default_rng(seed)
         m = _embed_matrix(b[vec_col])
         planes = rng.standard_normal((m.shape[1], n_planes))
         sig = ((_l2norm(m) @ planes > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
-        return pa.table({"bucket": pa.array(sig, pa.int64()),
+        return pa.table({"bucket": pa.array(sig % nb, pa.int64()),
+                         "sig": pa.array(sig, pa.int64()),
                          "id": b[id_col],
                          "vec": b[vec_col]})
 
@@ -656,29 +718,41 @@ def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
         return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bj][keep],
                              "sim": np.round(sims[ai, bj][keep], 4)})
 
-    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["id"].to_numpy()
-        m = _l2norm(np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]]))
+    def _one_sig(ids: np.ndarray, m: np.ndarray) -> pd.DataFrame:
         if len(ids) <= max_bucket_rows:
             return _pairwise(ids, m)
-        # secondary split: enough extra planes to bring expected sub-bucket
-        # size under the cap
+        # secondary split: enough extra planes to bring expected
+        # sub-bucket size under the cap
         extra = max(1, int(np.ceil(np.log2(len(ids) / max_bucket_rows))) + 1)
         rng2 = np.random.default_rng(seed + 1)
         planes2 = rng2.standard_normal((m.shape[1], extra))
         sub = ((m @ planes2 > 0) @ (1 << np.arange(extra))).astype(np.int64)
-        outs = []
-        for s in np.unique(sub):
-            sel = sub == s
-            outs.append(_pairwise(ids[sel], m[sel]))
+        outs = [_pairwise(ids[sub == s], m[sub == s]) for s in np.unique(sub)]
         return pd.concat(outs) if outs else _pairwise(ids[:0], m[:0])
 
-    out = (ds.map_batches(to_buckets, batch_format="pyarrow")
-           .groupby("bucket").map_groups(in_bucket, batch_format="pandas")
-           .to_pandas())
-    if out.empty:
+    def in_bucket(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        sigs = t["sig"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        m = _l2norm(_embed_matrix(t["vec"]))
+        order = np.argsort(sigs, kind="stable")
+        sorted_sigs = sigs[order]
+        seg = np.flatnonzero(np.r_[True, sorted_sigs[1:] != sorted_sigs[:-1]])
+        outs = [_one_sig(ids[order[s:e]], m[order[s:e]])
+                for s, e in zip(seg, np.r_[seg[1:], len(order)])]
+        out = pd.concat(outs) if outs else _pairwise(ids[:0], m[:0])
+        if out.empty:
+            return None
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tabs = [t for t in bucket_exchange(
+        ds.map_batches(to_buckets, batch_format="pyarrow"),
+        nb, in_bucket) if t.num_rows]
+    if not tabs:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "sim": pd.Series([], dtype="float64")})
+    out = pa.concat_tables(tabs, promote_options="default").to_pandas()
     return (out.drop_duplicates(["id_a", "id_b"])
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
