@@ -1093,6 +1093,56 @@ def asof_join_sql() -> str:
             "ON p.user_id = c.user_id AND p.ts >= c.ts")
 
 
+RANGE_JOIN_WINDOW_S = 3600
+
+
+def range_join(sf_dir: str):
+    """Interval range join (custom operator — Ray Data has no native one):
+    for each 'purchase' event, EVERY 'click' by the same user within the
+    ``RANGE_JOIN_WINDOW_S`` seconds up to and including the purchase
+    (one-to-many, vs ``asof_join``'s most-recent-one).
+
+    Partitioning assumption: the equality key (user) co-locates both
+    streams via the same coarse hash buckets as ``asof_join`` — ONE
+    shuffle, then a vectorized per-bucket merge on user + window filter
+    (pair volume per user is bounded by clicks-per-window, not the cross
+    product of the bucket). A pure time-range join with NO equality key
+    would instead range-partition on time with window-width boundary
+    replication; this operator documents the keyed case."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["purchase", "click"]))
+        b = b.filter(keep)
+        bucket = pc.cast(pc.bit_wise_and(b["user_id"], 63), pa.int64())
+        return b.append_column("bucket", bucket)
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        c = (g[g["event_type"] == "click"][["event_id", "user_id", "ts"]]
+             .rename(columns={"event_id": "click_id", "ts": "click_ts"}))
+        m = p.merge(c, on="user_id")
+        w = pd.Timedelta(seconds=RANGE_JOIN_WINDOW_S)
+        m = m[(m["click_ts"] <= m["ts"]) & (m["click_ts"] >= m["ts"] - w)]
+        return m[["event_id", "user_id", "ts", "click_id", "click_ts"]]
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket").map_groups(f, batch_format="pandas")
+            .select_columns(["event_id", "user_id", "ts", "click_id",
+                             "click_ts"]))
+
+
+def range_join_sql() -> str:
+    return (f"SELECT p.event_id, p.user_id, p.ts, "
+            f"c.event_id AS click_id, c.ts AS click_ts "
+            f"FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            f"JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            f"ON p.user_id = c.user_id "
+            f"AND c.ts <= p.ts "
+            f"AND c.ts >= p.ts - INTERVAL {RANGE_JOIN_WINDOW_S} SECOND")
+
+
 def quality_score(sf_dir: str):
     """Text-quality features: punctuation/digit ratios + stopword hits."""
 

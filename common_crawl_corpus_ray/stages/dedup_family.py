@@ -493,10 +493,11 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
 
     Shuffle shape: explode each doc to distinct (shingle, id, n_doc) rows
     (the per-doc distinct-shingle count rides along with every exploded
-    row — no driver-side counts dict); ``groupby(shingle)`` posting lists
-    emit co-occurring id pairs carrying both docs' counts; a second
-    ``groupby(pair)`` counts intersections; the final |A|+|B|-co
-    denominator comes straight from the carried columns.
+    row — no driver-side counts dict); a shingle-keyed bucket exchange
+    self-merges posting lists into co-occurring id pairs carrying both
+    docs' counts and pre-counts them per bucket; a pair-keyed exchange
+    sums the partial intersection counts and applies the threshold; the
+    final |A|+|B|-co denominator comes straight from the carried columns.
 
     Posting lists are CAPPED (round-2 judge #4): shingles whose document
     frequency exceeds ``max_df`` are dropped from the representation
@@ -516,6 +517,10 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     from .exchange import bucket_exchange, bucket_exchange_dataset
 
     nb = _pair_buckets(n_rows)
+    # both passes (df-cap count, explode) consume the same (id, text)
+    # projection — materialize it once instead of re-executing the
+    # upstream pipeline per pass (same pattern as minhash_dedup_pairs)
+    ds = ds.select_columns([id_col, text_col]).materialize()
 
     # pass 1: per-block (shingle, doc-count) partials -> per-bucket df sums
     # -> hot shingles only (df > max_df) return to the driver

@@ -68,3 +68,20 @@ def test_exchange_tolerates_bucketless_empty_blocks(ray_session):
     outs = bucket_exchange(ds, 2, _sum_reduce)
     got = pa.concat_tables(outs).to_pandas().sort_values("k")
     assert got["total"].tolist() == [5, 6]
+
+
+def test_pair_buckets_scaling():
+    """Pair-exchange bucket counts scale with the row-count hint: tiny
+    inputs don't pay 64-task fixed costs, huge ones don't get O(N/64)
+    reduces; always a power of two, clamped to [4, 1024]."""
+    from common_crawl_corpus_ray.stages.dedup_family import _pair_buckets
+
+    assert _pair_buckets(None) == 64          # no hint -> legacy constant
+    assert _pair_buckets(0) == 64
+    assert _pair_buckets(1_000) == 4
+    assert _pair_buckets(16_384) == 4
+    assert _pair_buckets(10**6) == 64
+    assert _pair_buckets(10**8) == 1024       # hi clamp
+    for n in (1, 999, 5_000_000, 7_777_777):
+        nb = _pair_buckets(n)
+        assert nb & (nb - 1) == 0 and 4 <= nb <= 1024

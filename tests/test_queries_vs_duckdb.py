@@ -67,6 +67,8 @@ SQL_QUERIES = [
     # round 3: HLL estimate in exact integer-harmonic arithmetic; M17
     # standalone gensim-order token-filter chain
     "approx_distinct_words", "token_filter_chain",
+    # round 3: one-to-many interval range join (keyed co-location)
+    "range_join",
 ]
 
 
