@@ -37,8 +37,8 @@ QUERY_NAMES = [
     "events_window", "sessionize", "ann_cosine_topk", "ann_ivf_topk",
     "lid_documents", "audio_decode_stats", "image_resize",
     "video_frame_sample", "url_parse", "annotate_region",
-    "asof_join", "range_join", "events_sliding_window", "group_topk",
-    "token_count_bpe",
+    "asof_join", "range_join", "stratified_sample", "events_sliding_window",
+    "group_topk", "token_count_bpe",
     "approx_distinct_words", "repetition_score", "codec_validity",
     "winnow_fingerprint",
 ]

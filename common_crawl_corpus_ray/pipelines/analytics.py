@@ -903,6 +903,47 @@ def group_topk_sql() -> str:
             f"PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= {GROUP_TOPK}")
 
 
+STRATIFIED_K = 50
+
+
+def stratified_sample(sf_dir: str, k: int = STRATIFIED_K):
+    """Language-balanced deterministic sample: the ``k`` docs with the
+    smallest stable content hash PER LANGUAGE (the per-stratum version of
+    ``seeded_sample`` — the op a training-data pipeline uses to build a
+    language-balanced subset without an unseeded RNG). Scale shape: the
+    per-block partial select-k runs per group inside ``map_batches``, so
+    at most k x blocks x langs rows reach the final per-group cut — the
+    table never sorts and membership is independent of partitioning."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"], "doc_id": b["doc_id"],
+                      "text_hash": md5_i64_array(b["text"])})
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        out = []
+        for lang in np.unique(langs):
+            sub = t.filter(pc.equal(t["lang"], lang))
+            idx = pc.select_k_unstable(
+                sub, k, [("text_hash", "ascending"), ("doc_id", "ascending")])
+            out.append(sub.take(idx))
+        return pa.concat_tables(out) if out else t.slice(0, 0)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_hash", "doc_id"], kind="stable")
+        return g.head(k)
+
+    return (_read(sf_dir, "documents", ["lang", "doc_id", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(final, batch_format="pandas")
+            .select_columns(["lang", "doc_id", "text_hash"]))
+
+
+def stratified_sample_sql() -> str:
+    return (f"SELECT lang, doc_id, {sql_md5_i64('text')} AS text_hash "
+            f"FROM documents "
+            f"QUALIFY row_number() OVER ("
+            f"PARTITION BY lang ORDER BY text_hash, doc_id) <= {STRATIFIED_K}")
+
+
 def approx_distinct_words(sf_dir: str, p: int = 12):
     """Approximate distinct-word count per source via mergeable HLL
     sketches (functions/hll.py). Scale shape: per-block partials are

@@ -67,8 +67,9 @@ SQL_QUERIES = [
     # round 3: HLL estimate in exact integer-harmonic arithmetic; M17
     # standalone gensim-order token-filter chain
     "approx_distinct_words", "token_filter_chain",
-    # round 3: one-to-many interval range join (keyed co-location)
-    "range_join",
+    # round 3: one-to-many interval range join (keyed co-location);
+    # language-balanced deterministic sampling (per-stratum seeded_sample)
+    "range_join", "stratified_sample",
 ]
 
 
