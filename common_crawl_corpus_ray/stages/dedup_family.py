@@ -162,15 +162,21 @@ _PAIR_BUCKETS = 64
 _VERIFY_BUCKETS = 16
 
 
-def _pair_buckets(n_rows: int | None, docs_per_bucket: int = 16384,
+def _pair_buckets(n_rows: int | None, docs_per_bucket: int = 512,
                   lo: int = 4, hi: int = 1024) -> int:
     """Power-of-2 bucket count for the pair-emission exchanges, targeting
-    ~``docs_per_bucket`` input docs per reduce task (each doc explodes to
-    O(bands) / O(shingles) rows, so 16k docs keeps a reduce's self-merge a
-    few-million-row pandas op). Scaling with the caller's row-count hint
-    replaces the fixed ``_PAIR_BUCKETS`` (the fallback when no cheap count
-    exists): a fixed constant pays ~3x fixed exchange cost on tiny inputs
-    and makes per-reduce volume O(N/constant) on huge ones."""
+    ~``docs_per_bucket`` input docs per reduce task. Two forces: tiny
+    inputs should not pay a fixed 64-task exchange (lo=4), and the reduce
+    width must saturate the cluster as soon as there is real work — the
+    per-doc self-merge work is heavy (O(shingles) rows each), so 512 docs
+    (~100k posting rows) already amortizes a task's ~ms overhead, and at
+    5k docs the exchange runs 16-wide instead of being floored at 4.
+    Scaling with the caller's row-count hint replaces the fixed
+    ``_PAIR_BUCKETS`` (still the fallback when no cheap count exists):
+    a fixed constant pays ~3x fixed cost on tiny inputs and makes
+    per-reduce volume O(N/constant) on huge ones (past hi x
+    docs_per_bucket rows the per-bucket volume grows again — the df cap
+    bounds the quadratic part there)."""
     import math
     if n_rows is None or n_rows <= 0:
         return _PAIR_BUCKETS

@@ -28,12 +28,16 @@ import ray
 
 
 @ray.remote
-def _split_by_bucket(t: pa.Table, nbuckets: int):
+def _split_by_bucket(nbuckets: int, *tabs: pa.Table):
     # empty blocks can pass through upstream map_batches without the UDF
     # running, keeping the raw schema — treat any bucket-less block as empty
-    if t.num_rows == 0 or "bucket" not in t.column_names:
+    present = [t for t in tabs
+               if t.num_rows and "bucket" in t.column_names]
+    if not present:
         out = (None,) * nbuckets
     else:
+        t = (present[0] if len(present) == 1
+             else pa.concat_tables(present, promote_options="default"))
         out = tuple(t.filter(pc.equal(t["bucket"], b)) for b in range(nbuckets))
     return out if nbuckets > 1 else out[0]
 
@@ -57,13 +61,21 @@ def bucket_exchange_refs(ds, nbuckets: int, reduce_fn) -> list:
     in the object store (a list of ObjectRef[pa.Table | None]) — the scale
     path when reducer outputs are row-level (dup flags, joined pairs), not
     tiny stats. Compose further stages from the refs without ever landing
-    the data on the driver."""
-    blocks = ds.repartition(nbuckets).to_arrow_refs()
+    the data on the driver.
+
+    The map side chunks the executed block refs into ~``nbuckets`` split
+    groups and concatenates inside each split task — the same per-task
+    data volume a ``repartition(nbuckets)`` would produce, without paying
+    that AllToAll's full extra pass over the data (one Ray Data job + a
+    serialize/deserialize of every row, ~1s fixed + O(data) per exchange)."""
+    blocks = ds.to_arrow_refs()
     if not blocks:
         return []
+    group = max(1, -(-len(blocks) // nbuckets))
     slices = [
-        _split_by_bucket.options(num_returns=nbuckets).remote(ref, nbuckets)
-        for ref in blocks
+        _split_by_bucket.options(num_returns=nbuckets).remote(
+            nbuckets, *blocks[i:i + group])
+        for i in range(0, len(blocks), group)
     ]
     if nbuckets == 1:
         slices = [[s] for s in slices]

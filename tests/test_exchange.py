@@ -78,9 +78,9 @@ def test_pair_buckets_scaling():
 
     assert _pair_buckets(None) == 64          # no hint -> legacy constant
     assert _pair_buckets(0) == 64
-    assert _pair_buckets(1_000) == 4
-    assert _pair_buckets(16_384) == 4
-    assert _pair_buckets(10**6) == 64
+    assert _pair_buckets(1_000) == 4          # lo clamp: tiny stays cheap
+    assert _pair_buckets(5_050) == 16         # real work widens quickly
+    assert _pair_buckets(16_384) == 32
     assert _pair_buckets(10**8) == 1024       # hi clamp
     for n in (1, 999, 5_000_000, 7_777_777):
         nb = _pair_buckets(n)
