@@ -99,6 +99,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "doc_id", "text", n=3, threshold=0.5,
             n_rows=_table_rows(sf_dir, "documents") + 50)
 
+    def clusters(sf_dir: str):
+        ds = C.mutated_docs(sf_dir)
+        return dedup_family.dedup_clusters(
+            ds, "doc_id", "text", n=3, threshold=0.5,
+            n_rows=_table_rows(sf_dir, "documents") + 50)
+
     def embed_dup(sf_dir: str, lsh: bool = False):
         ds = C.planted_embeddings(sf_dir)
         if lsh:
@@ -161,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": minhash,
         "simhash_dedup": simhash,
         "ngram_jaccard_dedup": ngram_jaccard,
+        "dedup_clusters": clusters,
         "embedding_dup_exact": embed_dup,
         "embedding_dup_lsh": lambda sf: embed_dup(sf, lsh=True),
         # --- aggregations / groupbys (G1-G6) ---
@@ -244,7 +251,7 @@ WITH mutsrc AS (
     # the df cap mirrors dedup_family.NGRAM_DF_CAP: shingles in more than
     # `cap` documents leave the representation on BOTH sides
     from common_crawl_corpus_ray.stages.dedup_family import NGRAM_DF_CAP
-    ngram_jaccard_sql = mutated_docs_cte + r""", wt AS (
+    ngram_pair_ctes = mutated_docs_cte + r""", wt AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM docs
 ), sh0 AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -261,10 +268,35 @@ WITH mutsrc AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+    ngram_jaccard_sql = ngram_pair_ctes + r"""
 SELECT id_a, id_b, co * 1.0 / (ca.c + cb.c - co) AS jaccard
 FROM co JOIN cnt ca ON ca.doc_id = co.id_a JOIN cnt cb ON cb.doc_id = co.id_b
 WHERE co * 1.0 / (ca.c + cb.c - co) >= 0.5"""
+
+    # dedup_clusters = connected components over the verified ngram pairs:
+    # min reachable doc id per node via a recursive transitive-closure CTE
+    # (undirected edges stored both ways), singletons map to themselves —
+    # the exact semantics of dedup_family.connected_components' converged
+    # min-label propagation.
+    dedup_clusters_sql = (
+        ngram_pair_ctes.replace("WITH mutsrc", "WITH RECURSIVE mutsrc", 1)
+        + r""", pairs AS (
+  SELECT id_a, id_b
+  FROM co JOIN cnt ca ON ca.doc_id = co.id_a
+          JOIN cnt cb ON cb.doc_id = co.id_b
+  WHERE co * 1.0 / (ca.c + cb.c - co) >= 0.5
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT s AS node, s AS lab FROM e
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.node
+)
+SELECT d.doc_id, COALESCE(m.lab, d.doc_id) AS cluster
+FROM docs d LEFT JOIN (SELECT node, min(lab) AS lab FROM reach GROUP BY node) m
+  ON m.node = d.doc_id""")
 
     # simhash_dedup expressed EXACTLY in SQL: FNV-1a per word via
     # list_reduce with HUGEINT mod-2^64 arithmetic, per-bit vote sums,
@@ -420,6 +452,7 @@ WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
         "text_search_topk": A.text_search_topk_sql(),
         "ann_cosine_topk": ann_sql,
         "ngram_jaccard_dedup": ngram_jaccard_sql,
+        "dedup_clusters": dedup_clusters_sql,
         "embedding_dup_exact": embed_dup_sql,
         # The LSH near-dup variant provably finds the same pairs as the
         # exact path on this fixture (cos>=0.99 pairs are planted exact

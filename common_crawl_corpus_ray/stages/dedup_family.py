@@ -494,7 +494,8 @@ NGRAM_DF_CAP = 32
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.5,
                         max_df: int = NGRAM_DF_CAP,
-                        n_rows: int | None = None) -> pd.DataFrame:
+                        n_rows: int | None = None,
+                        return_dataset: bool = False):
     """Exact word-n-gram Jaccard near-dup via a distributed inverted index.
 
     Shuffle shape: explode each doc to distinct (shingle, id, n_doc) rows
@@ -627,6 +628,17 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     partials = bucket_exchange_dataset(
         sh_ds.map_batches(add_bucket, batch_format="pyarrow"),
         nb, emit_pair_partials, partials_empty)
+    if return_dataset:
+        # scale path for downstream graph consumers (connected components):
+        # verified pairs stay in the object store as a Dataset — at high dup
+        # rates the pair list is O(dup_rate x N) and must not land on the
+        # driver
+        pairs_empty = pa.table({"id_a": pa.array([], pa.int64()),
+                                "id_b": pa.array([], pa.int64()),
+                                "jaccard": pa.array([], pa.float64())})
+        from .exchange import bucket_exchange_refs, refs_to_dataset
+        return refs_to_dataset(
+            bucket_exchange_refs(partials, nb, sum_and_filter), pairs_empty)
     tabs = [t for t in bucket_exchange(partials, nb,
                                        sum_and_filter) if t.num_rows]
     if not tabs:
@@ -767,3 +779,177 @@ def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
     out = pa.concat_tables(tabs, promote_options="default").to_pandas()
     return (out.drop_duplicates(["id_a", "id_b"])
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# --- near-dup cluster assignment (connected components) ---------------------
+
+_CC_SCHEMA = pa.schema([
+    ("bucket", pa.int64()),
+    ("src", pa.int64()),          # edge source / label's node
+    ("dst", pa.int64()),          # edge target (null on label rows)
+    ("lab", pa.int64()),          # current label  (null on edge rows)
+    ("own", pa.bool_()),          # True = "current label of node" row
+    ("changed", pa.bool_()),      # set by the min-reduce, ignored upstream
+])
+
+
+def _cc_rows(n: int, **cols) -> pa.Table:
+    full = {f.name: cols.get(f.name, pa.nulls(n, f.type)) for f in _CC_SCHEMA}
+    return pa.table(full, schema=_CC_SCHEMA)
+
+
+def connected_components(pairs_ds, ids_ds, id_col: str = "doc_id",
+                         n_rows: int | None = None, max_iters: int = 50):
+    """Cluster assignment over an undirected pair graph: every id maps to
+    the MINIMUM id reachable from it (its connected component's canonical
+    representative). The step a dedup pipeline runs after pair generation —
+    near-dup relations are not transitive, so keep-one-per-pair under-
+    deletes chains; components give one survivor per dup *cluster*.
+
+    Distributed min-label propagation over the manual bucket exchange
+    (``exchange.py``), no driver-side graph at any point:
+
+      init:    each edge is stored in BOTH directions, bucketed by hash(src)
+               and materialized once (reused every round); labels start
+               implicit (lab(v) = v).
+      round r: exchange 1 (keyed by src) joins each edge to its source's
+               current label and emits proposals (dst, lab(src)) plus the
+               own-label rows; exchange 2 (keyed by node) takes the min
+               proposal per node and flags rows whose label decreased.
+               Convergence = zero flags, counted from the reduce-output refs
+               without fetching the label tables.
+      attach:  one final exchange unions ALL ids with the converged labels;
+               ids with no edge become their own singleton cluster. The
+               (id, cluster) result stays a Dataset.
+
+    Rounds needed = the graph diameter (near-dup components are dense —
+    mutated copies of one source document pair with each other — so 2-3
+    rounds in practice; ``max_iters`` guards pathological chains). Per-task
+    memory is one bucket's edges + labels; per-round shuffle volume is
+    O(edges + nodes), scaled across ``_pair_buckets(n_rows)`` reduce tasks.
+    """
+    import ray
+
+    from .exchange import (bucket_exchange_refs, refs_to_dataset,
+                           total_rows)
+
+    nb = _pair_buckets(n_rows)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, c])
+        dst = np.concatenate([c, a])
+        return _cc_rows(len(src),
+                        bucket=pa.array(_id_bucket(src, nb), pa.int64()),
+                        src=pa.array(src, pa.int64()),
+                        dst=pa.array(dst, pa.int64()))
+
+    edges = pairs_ds.map_batches(to_edges,
+                                 batch_format="pyarrow").materialize()
+
+    def propagate(t: pa.Table) -> pa.Table | None:
+        """Exchange-1 reduce: attach lab(src) to edges, emit proposals."""
+        is_lab = pc.is_valid(t["lab"])
+        e = t.filter(pc.invert(is_lab)).select(["src", "dst"]).to_pandas()
+        lab = (t.filter(is_lab).select(["src", "lab"]).to_pandas()
+               .drop_duplicates("src"))
+        if e.empty and lab.empty:
+            return None
+        e = e.merge(lab, on="src", how="left")
+        e["lab"] = e["lab"].fillna(e["src"]).astype(np.int64)
+        own = (pd.concat([lab, e[["src", "lab"]]])
+               .drop_duplicates("src", keep="first"))
+        node = np.concatenate([e["dst"].to_numpy(np.int64),
+                               own["src"].to_numpy(np.int64)])
+        labs = np.concatenate([e["lab"].to_numpy(np.int64),
+                               own["lab"].to_numpy(np.int64)])
+        is_own = np.zeros(len(node), dtype=bool)
+        is_own[len(e):] = True
+        return _cc_rows(len(node),
+                        bucket=pa.array(_id_bucket(node, nb), pa.int64()),
+                        src=pa.array(node, pa.int64()),
+                        lab=pa.array(labs, pa.int64()),
+                        own=pa.array(is_own, pa.bool_()))
+
+    def min_label(t: pa.Table) -> pa.Table | None:
+        """Exchange-2 reduce: new lab(v) = min proposals; flag decreases."""
+        df = t.select(["src", "lab", "own"]).to_pandas()
+        if df.empty:
+            return None
+        g = df.groupby("src", sort=False)["lab"].min()
+        old = (df[df["own"].fillna(False)]
+               .groupby("src", sort=False)["lab"].min())
+        new = g.reset_index()
+        old = old.reindex(new["src"]).to_numpy()
+        labs = new["lab"].to_numpy(np.int64)
+        chg = labs < old                       # nodes with no own row: NaN
+        chg = np.where(np.isnan(old), True, chg)
+        node = new["src"].to_numpy(np.int64)
+        return _cc_rows(len(node),
+                        bucket=pa.array(_id_bucket(node, nb), pa.int64()),
+                        src=pa.array(node, pa.int64()),
+                        lab=pa.array(labs, pa.int64()),
+                        own=pa.array(np.ones(len(node), bool), pa.bool_()),
+                        changed=pa.array(chg, pa.bool_()))
+
+    @ray.remote
+    def _n_changed(t: pa.Table | None) -> int:
+        if t is None or t.num_rows == 0:
+            return 0
+        return int(pc.sum(t["changed"]).as_py() or 0)
+
+    labels = None
+    empty = _CC_SCHEMA.empty_table()
+    for _ in range(max_iters):
+        mixed = edges if labels is None else edges.union(labels)
+        props = refs_to_dataset(bucket_exchange_refs(mixed, nb, propagate),
+                                empty)
+        refs = bucket_exchange_refs(props, nb, min_label)
+        changed = sum(ray.get([_n_changed.remote(r) for r in refs]))
+        labels = refs_to_dataset(refs, empty).materialize()
+        if changed == 0:
+            break
+
+    def to_id_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _cc_rows(len(ids),
+                        bucket=pa.array(_id_bucket(ids, nb), pa.int64()),
+                        src=pa.array(ids, pa.int64()))
+
+    def attach(t: pa.Table) -> pa.Table | None:
+        is_lab = pc.is_valid(t["lab"])
+        ids = (t.filter(pc.invert(is_lab)).select(["src"]).to_pandas()
+               .drop_duplicates("src"))
+        if ids.empty:
+            return None
+        lab = (t.filter(is_lab).select(["src", "lab"]).to_pandas()
+               .drop_duplicates("src"))
+        m = ids.merge(lab, on="src", how="left")
+        m["lab"] = m["lab"].fillna(m["src"]).astype(np.int64)
+        return pa.table({id_col: pa.array(m["src"].to_numpy(np.int64),
+                                          pa.int64()),
+                         "cluster": pa.array(m["lab"].to_numpy(np.int64),
+                                             pa.int64())})
+
+    id_rows = ids_ds.map_batches(to_id_rows, batch_format="pyarrow")
+    out_empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64())})
+    return refs_to_dataset(
+        bucket_exchange_refs(id_rows.union(labels) if labels is not None
+                             else id_rows, nb, attach),
+        out_empty)
+
+
+def dedup_clusters(ds, id_col: str, text_col: str, n: int = 3,
+                   threshold: float = 0.5, n_rows: int | None = None):
+    """(id, cluster) for EVERY document: near-dup pairs from the exact
+    n-gram-Jaccard detector (hash-verified against SQL), components via
+    :func:`connected_components`. ``cluster`` is the min doc id of the
+    component — keep rows where ``id == cluster`` for cluster-level dedup."""
+    ds = ds.select_columns([id_col, text_col]).materialize()
+    pairs = ngram_jaccard_pairs(ds, id_col, text_col, n=n,
+                                threshold=threshold, n_rows=n_rows,
+                                return_dataset=True)
+    return connected_components(pairs, ds.select_columns([id_col]),
+                                id_col=id_col, n_rows=n_rows)

@@ -141,3 +141,51 @@ def test_hamming_batch_parity():
     got = df.hamming64_batch(x, y)
     want = np.array([df.hamming64(int(a), int(b)) for a, b in zip(x, y)])
     assert (got == want).all()
+
+
+def test_connected_components_chain_clique_singleton(ray_session):
+    """Min-label propagation must converge past a single round: a 6-node
+    CHAIN (diameter 5) needs several propagation rounds; a clique resolves
+    in one; nodes with no edges become their own singleton clusters."""
+    import pandas as pd
+    import ray.data as rd
+
+    pairs = pd.DataFrame({
+        # chain 10-11-12-13-14-15 (edges only between neighbours)
+        "id_a": [10, 11, 12, 13, 14,
+                 # clique {20, 21, 22}
+                 20, 20, 21,
+                 # two-node component {30, 31}
+                 30],
+        "id_b": [11, 12, 13, 14, 15,
+                 21, 22, 22,
+                 31],
+    })
+    ids = pd.DataFrame({"doc_id": [10, 11, 12, 13, 14, 15,
+                                   20, 21, 22, 30, 31,
+                                   40, 41]})       # 40, 41: singletons
+    out = df.connected_components(
+        rd.from_pandas(pairs), rd.from_pandas(ids), "doc_id",
+        n_rows=len(ids)).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["cluster"].astype(int)))
+    want = {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+            20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 40: 40, 41: 41}
+    assert got == want
+
+
+def test_dedup_clusters_matches_pair_graph(ray_session):
+    """Cluster assignment over the mutated fixture: every verified ngram
+    pair's two sides must share a cluster, and the canonical id is the
+    component minimum."""
+    from common_crawl_corpus_ray.pipelines import clips_queries as C
+    ds = C.mutated_docs(SF)
+    pairs = df.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
+    out = df.dedup_clusters(ds, "doc_id", "text", threshold=0.5).to_pandas()
+    lab = dict(zip(out["doc_id"].astype(int), out["cluster"].astype(int)))
+    assert len(out) == ds.count()
+    for a, b in zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)):
+        assert lab[a] == lab[b]
+    # canonical representative is a member of its own cluster
+    for v, c in lab.items():
+        assert lab[c] == c
+        assert c <= v

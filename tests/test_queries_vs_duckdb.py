@@ -70,6 +70,9 @@ SQL_QUERIES = [
     # round 3: one-to-many interval range join (keyed co-location);
     # language-balanced deterministic sampling (per-stratum seeded_sample)
     "range_join", "stratified_sample",
+    # round 3: connected components over verified near-dup pairs
+    # (recursive-CTE transitive-closure oracle)
+    "dedup_clusters",
 ]
 
 
