@@ -783,21 +783,6 @@ def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
 
 # --- near-dup cluster assignment (connected components) ---------------------
 
-_CC_SCHEMA = pa.schema([
-    ("bucket", pa.int64()),
-    ("src", pa.int64()),          # edge source / label's node
-    ("dst", pa.int64()),          # edge target (null on label rows)
-    ("lab", pa.int64()),          # current label  (null on edge rows)
-    ("own", pa.bool_()),          # True = "current label of node" row
-    ("changed", pa.bool_()),      # set by the min-reduce, ignored upstream
-])
-
-
-def _cc_rows(n: int, **cols) -> pa.Table:
-    full = {f.name: cols.get(f.name, pa.nulls(n, f.type)) for f in _CC_SCHEMA}
-    return pa.table(full, schema=_CC_SCHEMA)
-
-
 def connected_components(pairs_ds, ids_ds, id_col: str = "doc_id",
                          n_rows: int | None = None, max_iters: int = 50):
     """Cluster assignment over an undirected pair graph: every id maps to
@@ -806,32 +791,37 @@ def connected_components(pairs_ds, ids_ds, id_col: str = "doc_id",
     near-dup relations are not transitive, so keep-one-per-pair under-
     deletes chains; components give one survivor per dup *cluster*.
 
-    Distributed min-label propagation over the manual bucket exchange
-    (``exchange.py``), no driver-side graph at any point:
+    Distributed min-label propagation. The ITERATION runs on raw Ray tasks
+    chained by per-bucket ObjectRefs — the escape hatch SURVEY §2 reserves
+    for semantics the Dataset API can't express: a data-dependent loop
+    whose per-round payload (the label table) must stay partitioned in the
+    object store. Routing each round through Dataset exchanges paid ~2
+    executor jobs of fixed cost per round (measured 6.5s at sf0.1, ~70%
+    round overhead); the ref-chained rounds are pure task latency.
 
-      init:    each edge is stored in BOTH directions, bucketed by hash(src)
-               and materialized once (reused every round); labels start
-               implicit (lab(v) = v).
-      round r: exchange 1 (keyed by src) joins each edge to its source's
-               current label and emits proposals (dst, lab(src)) plus the
-               own-label rows; exchange 2 (keyed by node) takes the min
-               proposal per node and flags rows whose label decreased.
-               Convergence = zero flags, counted from the reduce-output refs
-               without fetching the label tables.
-      attach:  one final exchange unions ALL ids with the converged labels;
-               ids with no edge become their own singleton cluster. The
-               (id, cluster) result stays a Dataset.
+      init:    each edge is stored in BOTH directions and hash-bucketed by
+               src through one Dataset exchange; per-bucket edge tables
+               stay in the object store and are REUSED every round.
+      round r: wave 1 (one task per src-bucket) joins edges to their
+               source's current label (absent = the node itself), emitting
+               per-dst-bucket proposal slices via ``num_returns`` fan-out —
+               a reducer fetches only its bucket's bytes; wave 2 (one task
+               per node-bucket) takes the min label per node and counts
+               labels that decreased. Convergence = zero decreases, read
+               from tiny count refs — label tables never leave the store.
+      attach:  ids_ds is bucketed the same way; one final task wave left-
+               joins the converged labels (no edge -> own singleton
+               cluster) and the (id, cluster) result becomes a Dataset.
 
     Rounds needed = the graph diameter (near-dup components are dense —
     mutated copies of one source document pair with each other — so 2-3
     rounds in practice; ``max_iters`` guards pathological chains). Per-task
-    memory is one bucket's edges + labels; per-round shuffle volume is
-    O(edges + nodes), scaled across ``_pair_buckets(n_rows)`` reduce tasks.
+    memory is one bucket's edges + labels; per-round exchange volume is
+    O(edges + nodes) across ``_pair_buckets(n_rows)`` buckets.
     """
     import ray
 
-    from .exchange import (bucket_exchange_refs, refs_to_dataset,
-                           total_rows)
+    from .exchange import bucket_exchange_refs, refs_to_dataset
 
     nb = _pair_buckets(n_rows)
 
@@ -840,22 +830,27 @@ def connected_components(pairs_ds, ids_ds, id_col: str = "doc_id",
         c = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         src = np.concatenate([a, c])
         dst = np.concatenate([c, a])
-        return _cc_rows(len(src),
-                        bucket=pa.array(_id_bucket(src, nb), pa.int64()),
-                        src=pa.array(src, pa.int64()),
-                        dst=pa.array(dst, pa.int64()))
+        return pa.table({"bucket": pa.array(_id_bucket(src, nb), pa.int64()),
+                         "src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
 
-    edges = pairs_ds.map_batches(to_edges,
-                                 batch_format="pyarrow").materialize()
+    edge_refs = bucket_exchange_refs(
+        pairs_ds.map_batches(to_edges, batch_format="pyarrow"),
+        nb, lambda t: t)
+    if not edge_refs:                          # no pairs at all
+        edge_refs = [None] * nb
 
-    def propagate(t: pa.Table) -> pa.Table | None:
-        """Exchange-1 reduce: attach lab(src) to edges, emit proposals."""
-        is_lab = pc.is_valid(t["lab"])
-        e = t.filter(pc.invert(is_lab)).select(["src", "dst"]).to_pandas()
-        lab = (t.filter(is_lab).select(["src", "lab"]).to_pandas()
-               .drop_duplicates("src"))
-        if e.empty and lab.empty:
-            return None
+    @ray.remote
+    def propagate(edges: pa.Table | None, labels: pa.Table | None):
+        """Wave-1 task: emit (node, lab, own) slices per dst-bucket."""
+        if edges is None and labels is None:
+            return (None,) * nb if nb > 1 else None
+        e = (edges.select(["src", "dst"]).to_pandas() if edges is not None
+             else pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                "dst": pd.Series([], dtype=np.int64)}))
+        lab = (labels.to_pandas() if labels is not None
+               else pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                  "lab": pd.Series([], dtype=np.int64)}))
         e = e.merge(lab, on="src", how="left")
         e["lab"] = e["lab"].fillna(e["src"]).astype(np.int64)
         own = (pd.concat([lab, e[["src", "lab"]]])
@@ -866,79 +861,75 @@ def connected_components(pairs_ds, ids_ds, id_col: str = "doc_id",
                                own["lab"].to_numpy(np.int64)])
         is_own = np.zeros(len(node), dtype=bool)
         is_own[len(e):] = True
-        return _cc_rows(len(node),
-                        bucket=pa.array(_id_bucket(node, nb), pa.int64()),
-                        src=pa.array(node, pa.int64()),
-                        lab=pa.array(labs, pa.int64()),
-                        own=pa.array(is_own, pa.bool_()))
+        t = pa.table({"node": pa.array(node, pa.int64()),
+                      "lab": pa.array(labs, pa.int64()),
+                      "own": pa.array(is_own, pa.bool_())})
+        bkt = _id_bucket(node, nb)
+        out = tuple(t.filter(pa.array(bkt == b)) for b in range(nb))
+        return out if nb > 1 else out[0]
 
-    def min_label(t: pa.Table) -> pa.Table | None:
-        """Exchange-2 reduce: new lab(v) = min proposals; flag decreases."""
-        df = t.select(["src", "lab", "own"]).to_pandas()
-        if df.empty:
-            return None
-        g = df.groupby("src", sort=False)["lab"].min()
-        old = (df[df["own"].fillna(False)]
-               .groupby("src", sort=False)["lab"].min())
-        new = g.reset_index()
-        old = old.reindex(new["src"]).to_numpy()
+    @ray.remote(num_returns=2)
+    def min_label(*slices):
+        """Wave-2 task: (new per-node label table, n labels decreased)."""
+        present = [s for s in slices if s is not None and s.num_rows]
+        if not present:
+            return None, 0
+        df = pa.concat_tables(present).to_pandas()
+        new = df.groupby("node", sort=False)["lab"].min().reset_index()
+        old = (df[df["own"]].groupby("node", sort=False)["lab"].min()
+               .reindex(new["node"]).to_numpy())
         labs = new["lab"].to_numpy(np.int64)
-        chg = labs < old                       # nodes with no own row: NaN
-        chg = np.where(np.isnan(old), True, chg)
-        node = new["src"].to_numpy(np.int64)
-        return _cc_rows(len(node),
-                        bucket=pa.array(_id_bucket(node, nb), pa.int64()),
-                        src=pa.array(node, pa.int64()),
-                        lab=pa.array(labs, pa.int64()),
-                        own=pa.array(np.ones(len(node), bool), pa.bool_()),
-                        changed=pa.array(chg, pa.bool_()))
+        changed = int(np.sum(np.where(np.isnan(old), True, labs < old)))
+        out = pa.table({"src": pa.array(new["node"].to_numpy(np.int64)),
+                        "lab": pa.array(labs, pa.int64())})
+        return out, changed
 
-    @ray.remote
-    def _n_changed(t: pa.Table | None) -> int:
-        if t is None or t.num_rows == 0:
-            return 0
-        return int(pc.sum(t["changed"]).as_py() or 0)
-
-    labels = None
-    empty = _CC_SCHEMA.empty_table()
+    label_refs: list = [None] * nb
     for _ in range(max_iters):
-        mixed = edges if labels is None else edges.union(labels)
-        props = refs_to_dataset(bucket_exchange_refs(mixed, nb, propagate),
-                                empty)
-        refs = bucket_exchange_refs(props, nb, min_label)
-        changed = sum(ray.get([_n_changed.remote(r) for r in refs]))
-        labels = refs_to_dataset(refs, empty).materialize()
-        if changed == 0:
+        slices = [propagate.options(num_returns=nb).remote(edge_refs[b],
+                                                           label_refs[b])
+                  for b in range(nb)]
+        if nb == 1:
+            slices = [[s] for s in slices]
+        new_labels, counts = [], []
+        for b in range(nb):
+            lr, cr = min_label.remote(*[m[b] for m in slices])
+            new_labels.append(lr)
+            counts.append(cr)
+        label_refs = new_labels
+        if sum(ray.get(counts)) == 0:
             break
 
     def to_id_rows(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return _cc_rows(len(ids),
-                        bucket=pa.array(_id_bucket(ids, nb), pa.int64()),
-                        src=pa.array(ids, pa.int64()))
+        return pa.table({"bucket": pa.array(_id_bucket(ids, nb), pa.int64()),
+                         "id": pa.array(ids, pa.int64())})
 
-    def attach(t: pa.Table) -> pa.Table | None:
-        is_lab = pc.is_valid(t["lab"])
-        ids = (t.filter(pc.invert(is_lab)).select(["src"]).to_pandas()
-               .drop_duplicates("src"))
-        if ids.empty:
+    id_refs = bucket_exchange_refs(
+        ids_ds.map_batches(to_id_rows, batch_format="pyarrow"),
+        nb, lambda t: t)
+
+    @ray.remote
+    def attach(ids_t: pa.Table | None,
+               labels_t: pa.Table | None) -> pa.Table | None:
+        if ids_t is None or ids_t.num_rows == 0:
             return None
-        lab = (t.filter(is_lab).select(["src", "lab"]).to_pandas()
-               .drop_duplicates("src"))
-        m = ids.merge(lab, on="src", how="left")
-        m["lab"] = m["lab"].fillna(m["src"]).astype(np.int64)
-        return pa.table({id_col: pa.array(m["src"].to_numpy(np.int64),
-                                          pa.int64()),
-                         "cluster": pa.array(m["lab"].to_numpy(np.int64),
-                                             pa.int64())})
+        m = ids_t.select(["id"]).to_pandas().drop_duplicates("id")
+        lab = (labels_t.to_pandas().rename(columns={"src": "id"})
+               if labels_t is not None
+               else pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                                  "lab": pd.Series([], dtype=np.int64)}))
+        m = m.merge(lab, on="id", how="left")
+        m["lab"] = m["lab"].fillna(m["id"]).astype(np.int64)
+        return pa.table({id_col: pa.array(m["id"].to_numpy(np.int64)),
+                         "cluster": pa.array(m["lab"].to_numpy(np.int64))})
 
-    id_rows = ids_ds.map_batches(to_id_rows, batch_format="pyarrow")
     out_empty = pa.table({id_col: pa.array([], pa.int64()),
                           "cluster": pa.array([], pa.int64())})
-    return refs_to_dataset(
-        bucket_exchange_refs(id_rows.union(labels) if labels is not None
-                             else id_rows, nb, attach),
-        out_empty)
+    out_refs = [attach.remote(id_refs[b] if b < len(id_refs) else None,
+                              label_refs[b])
+                for b in range(max(len(id_refs), 1))]
+    return refs_to_dataset(out_refs, out_empty)
 
 
 def dedup_clusters(ds, id_col: str, text_col: str, n: int = 3,
