@@ -105,6 +105,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "doc_id", "text", n=3, threshold=0.5,
             n_rows=_table_rows(sf_dir, "documents") + 50)
 
+    def keep_best(sf_dir: str):
+        ds = C.mutated_docs(sf_dir)
+        return dedup_family.dedup_keep_best(
+            ds, "doc_id", "text", n=3, threshold=0.5,
+            n_rows=_table_rows(sf_dir, "documents") + 50)
+
     def embed_dup(sf_dir: str, lsh: bool = False):
         ds = C.planted_embeddings(sf_dir)
         if lsh:
@@ -168,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": simhash,
         "ngram_jaccard_dedup": ngram_jaccard,
         "dedup_clusters": clusters,
+        "dedup_keep_best": keep_best,
         "embedding_dup_exact": embed_dup,
         "embedding_dup_lsh": lambda sf: embed_dup(sf, lsh=True),
         # --- aggregations / groupbys (G1-G6) ---
@@ -279,7 +286,7 @@ WHERE co * 1.0 / (ca.c + cb.c - co) >= 0.5"""
     # (undirected edges stored both ways), singletons map to themselves —
     # the exact semantics of dedup_family.connected_components' converged
     # min-label propagation.
-    dedup_clusters_sql = (
+    cluster_ctes = (
         ngram_pair_ctes.replace("WITH mutsrc", "WITH RECURSIVE mutsrc", 1)
         + r""", pairs AS (
   SELECT id_a, id_b
@@ -293,10 +300,26 @@ WHERE co * 1.0 / (ca.c + cb.c - co) >= 0.5"""
   SELECT s AS node, s AS lab FROM e
   UNION
   SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.node
+), clusters AS (
+  SELECT d.doc_id, COALESCE(m.lab, d.doc_id) AS cluster
+  FROM docs d
+  LEFT JOIN (SELECT node, min(lab) AS lab FROM reach GROUP BY node) m
+    ON m.node = d.doc_id
+)""")
+    dedup_clusters_sql = cluster_ctes + "\nSELECT doc_id, cluster FROM clusters"
+
+    # keep-best composition: longest member (ties -> min doc_id) survives
+    # per cluster; n_members = cluster size
+    dedup_keep_best_sql = cluster_ctes + r""", m AS (
+  SELECT c.cluster, c.doc_id, length(d.text) AS n_chars
+  FROM clusters c JOIN docs d ON d.doc_id = c.doc_id
 )
-SELECT d.doc_id, COALESCE(m.lab, d.doc_id) AS cluster
-FROM docs d LEFT JOIN (SELECT node, min(lab) AS lab FROM reach GROUP BY node) m
-  ON m.node = d.doc_id""")
+SELECT cluster, doc_id, n_chars, n_members FROM (
+  SELECT cluster, doc_id, n_chars,
+         count(*) OVER (PARTITION BY cluster) AS n_members,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM m) WHERE rn = 1"""
 
     # simhash_dedup expressed EXACTLY in SQL: FNV-1a per word via
     # list_reduce with HUGEINT mod-2^64 arithmetic, per-bit vote sums,
@@ -453,6 +476,7 @@ WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
         "ann_cosine_topk": ann_sql,
         "ngram_jaccard_dedup": ngram_jaccard_sql,
         "dedup_clusters": dedup_clusters_sql,
+        "dedup_keep_best": dedup_keep_best_sql,
         "embedding_dup_exact": embed_dup_sql,
         # The LSH near-dup variant provably finds the same pairs as the
         # exact path on this fixture (cos>=0.99 pairs are planted exact

@@ -900,10 +900,19 @@ def connected_components(pairs_ds, ids_ds, id_col: str = "doc_id",
         if sum(ray.get(counts)) == 0:
             break
 
+    # extra ids_ds columns (e.g. a quality metric) ride along and reappear
+    # in the output — lets per-cluster reducers (dedup_keep_best) run off
+    # this result without a second join against the source table
+    extra_cols = [c for c in ids_ds.schema().base_schema.names
+                  if c != id_col]
+
     def to_id_rows(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"bucket": pa.array(_id_bucket(ids, nb), pa.int64()),
-                         "id": pa.array(ids, pa.int64())})
+        t = pa.table({"bucket": pa.array(_id_bucket(ids, nb), pa.int64()),
+                      "id": pa.array(ids, pa.int64())})
+        for c in extra_cols:
+            t = t.append_column(c, b[c])
+        return t
 
     id_refs = bucket_exchange_refs(
         ids_ds.map_batches(to_id_rows, batch_format="pyarrow"),
@@ -914,18 +923,27 @@ def connected_components(pairs_ds, ids_ds, id_col: str = "doc_id",
                labels_t: pa.Table | None) -> pa.Table | None:
         if ids_t is None or ids_t.num_rows == 0:
             return None
-        m = ids_t.select(["id"]).to_pandas().drop_duplicates("id")
+        m = (ids_t.drop_columns(["bucket"]).to_pandas()
+             .drop_duplicates("id"))
         lab = (labels_t.to_pandas().rename(columns={"src": "id"})
                if labels_t is not None
                else pd.DataFrame({"id": pd.Series([], dtype=np.int64),
                                   "lab": pd.Series([], dtype=np.int64)}))
         m = m.merge(lab, on="id", how="left")
         m["lab"] = m["lab"].fillna(m["id"]).astype(np.int64)
-        return pa.table({id_col: pa.array(m["id"].to_numpy(np.int64)),
-                         "cluster": pa.array(m["lab"].to_numpy(np.int64))})
+        out = pa.table({id_col: pa.array(m["id"].to_numpy(np.int64)),
+                        "cluster": pa.array(m["lab"].to_numpy(np.int64))})
+        for c in extra_cols:
+            out = out.append_column(
+                c, pa.Array.from_pandas(m[c],
+                                        type=ids_t.schema.field(c).type))
+        return out
 
-    out_empty = pa.table({id_col: pa.array([], pa.int64()),
-                          "cluster": pa.array([], pa.int64())})
+    out_empty = pa.table(
+        {id_col: pa.array([], pa.int64()),
+         "cluster": pa.array([], pa.int64()),
+         **{c: pa.array([], ids_ds.schema().base_schema.field(c).type)
+            for c in extra_cols}})
     out_refs = [attach.remote(id_refs[b] if b < len(id_refs) else None,
                               label_refs[b])
                 for b in range(max(len(id_refs), 1))]
@@ -944,3 +962,62 @@ def dedup_clusters(ds, id_col: str, text_col: str, n: int = 3,
                                 return_dataset=True)
     return connected_components(pairs, ds.select_columns([id_col]),
                                 id_col=id_col, n_rows=n_rows)
+
+
+def dedup_keep_best(ds, id_col: str, text_col: str, n: int = 3,
+                    threshold: float = 0.5, n_rows: int | None = None):
+    """Cluster-level dedup DECISION: one surviving row per near-dup
+    cluster, keeping the highest-quality member (longest text, ties to the
+    smallest id) — the policy real training-data dedup uses instead of
+    min-id-wins (boilerplate-stripped fragments should lose to the full
+    document they duplicate).
+
+    Composition: :func:`dedup_clusters` carrying ``n_chars`` through the
+    component attach, then one bucket exchange keyed by cluster whose
+    reduce is a vectorized per-cluster argmax. All members of a cluster
+    share its bucket, so the winner and member count are exact. Returns a
+    Dataset of (cluster, doc_id, n_chars, n_members), one row per cluster.
+    """
+    from .exchange import bucket_exchange_dataset
+
+    nb = _pair_buckets(n_rows)
+    ds = ds.select_columns([id_col, text_col]).materialize()
+    pairs = ngram_jaccard_pairs(ds, id_col, text_col, n=n,
+                                threshold=threshold, n_rows=n_rows,
+                                return_dataset=True)
+
+    def with_len(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b[id_col],
+                         "n_chars": pc.utf8_length(b[text_col])
+                         .cast(pa.int64())})
+
+    members = connected_components(pairs, ds.map_batches(
+        with_len, batch_format="pyarrow"), id_col=id_col, n_rows=n_rows)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        cl = b["cluster"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket",
+                               pa.array(_id_bucket(cl, nb), pa.int64()))
+
+    def best(t: pa.Table) -> pa.Table | None:
+        df = t.select([id_col, "cluster", "n_chars"]).to_pandas()
+        if df.empty:
+            return None
+        sizes = df.groupby("cluster", sort=False)[id_col].size()
+        df = df.sort_values(["cluster", "n_chars", id_col],
+                            ascending=[True, False, True])
+        k = df.drop_duplicates("cluster", keep="first")
+        return pa.table({
+            "cluster": pa.array(k["cluster"].to_numpy(np.int64)),
+            id_col: pa.array(k[id_col].to_numpy(np.int64)),
+            "n_chars": pa.array(k["n_chars"].to_numpy(np.int64)),
+            "n_members": pa.array(
+                sizes.reindex(k["cluster"]).to_numpy(np.int64))})
+
+    empty = pa.table({"cluster": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "n_chars": pa.array([], pa.int64()),
+                      "n_members": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(
+        members.map_batches(bucketize, batch_format="pyarrow"),
+        nb, best, empty)

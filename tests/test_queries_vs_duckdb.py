@@ -71,8 +71,8 @@ SQL_QUERIES = [
     # language-balanced deterministic sampling (per-stratum seeded_sample)
     "range_join", "stratified_sample",
     # round 3: connected components over verified near-dup pairs
-    # (recursive-CTE transitive-closure oracle)
-    "dedup_clusters",
+    # (recursive-CTE transitive-closure oracle) + keep-best-per-cluster
+    "dedup_clusters", "dedup_keep_best",
 ]
 
 
