@@ -202,7 +202,8 @@ def _list_rows(col) -> list[np.ndarray]:
 
 
 def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
-                        num_perm: int = 64, bands: int = 8) -> pd.DataFrame:
+                        num_perm: int = 64, bands: int = 8,
+                        return_dataset: bool = False):
     """Full near-dup: LSH candidates, exact-Jaccard verified >= threshold.
 
     Banding default is 8 bands x 8 rows: the LSH S-curve midpoint
@@ -328,6 +329,15 @@ def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
                          "id_b": pa.array(out_b, id_type),
                          "jaccard": pa.array(out_j, pa.float64())})
 
+    if return_dataset:
+        # verified pairs stay distributed for graph consumers
+        # (connected_components) — never a driver-side pair list
+        pairs_empty = pa.table({"id_a": pa.array([], id_type),
+                                "id_b": pa.array([], id_type),
+                                "jaccard": pa.array([], pa.float64())})
+        return refs_to_dataset(
+            bucket_exchange_refs(round1.union(sh_ds), nb, join_b),
+            pairs_empty)
     verified = [t for t in bucket_exchange(round1.union(sh_ds), nb, join_b)
                 if t.num_rows]
     if not verified:
@@ -951,15 +961,23 @@ def connected_components(pairs_ds, ids_ds, id_col: str = "doc_id",
 
 
 def dedup_clusters(ds, id_col: str, text_col: str, n: int = 3,
-                   threshold: float = 0.5, n_rows: int | None = None):
-    """(id, cluster) for EVERY document: near-dup pairs from the exact
-    n-gram-Jaccard detector (hash-verified against SQL), components via
-    :func:`connected_components`. ``cluster`` is the min doc id of the
-    component — keep rows where ``id == cluster`` for cluster-level dedup."""
+                   threshold: float = 0.5, n_rows: int | None = None,
+                   detector: str = "ngram"):
+    """(id, cluster) for EVERY document: near-dup pairs from the chosen
+    detector ("ngram" = exact word-n-gram Jaccard, hash-verified against
+    SQL; "minhash" = LSH-candidates + exact-Jaccard verify at scale),
+    components via :func:`connected_components`. ``cluster`` is the min
+    doc id of the component — keep rows where ``id == cluster`` for
+    cluster-level dedup. Pairs stay in the object store either way."""
     ds = ds.select_columns([id_col, text_col]).materialize()
-    pairs = ngram_jaccard_pairs(ds, id_col, text_col, n=n,
-                                threshold=threshold, n_rows=n_rows,
-                                return_dataset=True)
+    if detector == "minhash":
+        pairs = minhash_dedup_pairs(ds, id_col, text_col,
+                                    threshold=threshold,
+                                    return_dataset=True)
+    else:
+        pairs = ngram_jaccard_pairs(ds, id_col, text_col, n=n,
+                                    threshold=threshold, n_rows=n_rows,
+                                    return_dataset=True)
     return connected_components(pairs, ds.select_columns([id_col]),
                                 id_col=id_col, n_rows=n_rows)
 

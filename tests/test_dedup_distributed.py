@@ -189,3 +189,19 @@ def test_dedup_clusters_matches_pair_graph(ray_session):
     for v, c in lab.items():
         assert lab[c] == c
         assert c <= v
+
+
+def test_dedup_clusters_minhash_detector(ray_session):
+    """The minhash detector composes with connected components without the
+    pair list ever landing on the driver; every verified minhash pair's
+    sides share a cluster."""
+    from common_crawl_corpus_ray.pipelines import clips_queries as C
+    ds = C.mutated_docs(SF)
+    pairs = df.minhash_dedup_pairs(ds, "doc_id", "text", threshold=THRESHOLD)
+    out = df.dedup_clusters(ds, "doc_id", "text", threshold=THRESHOLD,
+                            detector="minhash").to_pandas()
+    lab = dict(zip(out["doc_id"].astype(int), out["cluster"].astype(int)))
+    assert len(out) == ds.count()
+    assert len(pairs) > 0
+    for a, b in zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)):
+        assert lab[a] == lab[b]
