@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": A.asof_join,
         "range_join": A.range_join,
         "stratified_sample": A.stratified_sample,
+        "shard_assign": A.shard_assign,
         "group_topk": A.group_topk,
         "token_count_bpe": A.token_count_bpe,
         # --- similarity search ---
@@ -464,6 +465,7 @@ WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
         "asof_join": A.asof_join_sql(),
         "range_join": A.range_join_sql(),
         "stratified_sample": A.stratified_sample_sql(),
+        "shard_assign": A.shard_assign_sql(),
         "group_topk": A.group_topk_sql(),
         "token_count_bpe": A.token_count_bpe_sql(),
         "repetition_score": A.repetition_score_sql(),

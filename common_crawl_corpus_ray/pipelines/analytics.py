@@ -369,6 +369,64 @@ def seeded_sample_sql() -> str:
             "ORDER BY text_hash, doc_id LIMIT 150")
 
 
+SHARD_SEED = 42
+N_SHARDS = 8
+
+
+def shard_assign(sf_dir: str, n_shards: int = N_SHARDS,
+                 seed: int = SHARD_SEED):
+    """Training-export sharding: a deterministic seeded global shuffle
+    expressed as hash ORDER, not an unseeded ``random_shuffle`` — every doc
+    gets (shard, pos) with shard = md5(doc_id:seed) % n_shards and pos =
+    rank of the hash within its shard. Reproducible across runs, cluster
+    sizes and partitionings (the property geoWAC.py:149-152's unseeded
+    shuffle lacks, SURVEY 2.11), resumable per shard, and SQL-checkable.
+
+    Scale shape: one bucket exchange keyed by shard; each reduce task
+    sorts only its own shard (at 100 TB pick n_shards = data / target
+    shard bytes, so the per-task sort stays bounded — shards ARE the
+    output files, so their count scales with data size by construction).
+    """
+    from ..stages.exchange import bucket_exchange_dataset
+
+    def keyed(b: pa.Table) -> pa.Table:
+        sk = pc.binary_join_element_wise(
+            pc.cast(b["doc_id"], pa.string()), f":{seed}", "")
+        h = md5_i64_array(sk).to_numpy()
+        shard = h % n_shards
+        return pa.table({"doc_id": b["doc_id"],
+                         "k": pa.array(h, pa.int64()),
+                         "shard": pa.array(shard, pa.int64()),
+                         "bucket": pa.array(shard, pa.int64())})
+
+    def order(t: pa.Table) -> pa.Table | None:
+        df = t.select(["doc_id", "k", "shard"]).to_pandas()
+        if df.empty:
+            return None
+        df = df.sort_values(["k", "doc_id"])
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "shard": pa.array(df["shard"].to_numpy(np.int64)),
+            "pos": pa.array(np.arange(len(df), dtype=np.int64))})
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "shard": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            keyed, batch_format="pyarrow"),
+        n_shards, order, empty)
+
+
+def shard_assign_sql() -> str:
+    k = sql_md5_i64(f"CONCAT(doc_id, ':{SHARD_SEED}')")
+    return (
+        "SELECT doc_id, shard, CAST(row_number() OVER "
+        "(PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos "
+        f"FROM (SELECT doc_id, {k} AS k, {k} % {N_SHARDS} AS shard "
+        "FROM documents)")
+
+
 def semi_anti_join(sf_dir: str):
     """M3/M4/J1-J4: broadcast semi-join on lang, anti-join on source."""
     semi = set(SEMI_LANGS)

@@ -73,6 +73,8 @@ SQL_QUERIES = [
     # round 3: connected components over verified near-dup pairs
     # (recursive-CTE transitive-closure oracle) + keep-best-per-cluster
     "dedup_clusters", "dedup_keep_best",
+    # round 3: deterministic training-export sharding (seeded hash order)
+    "shard_assign",
 ]
 
 
