@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": A.range_join,
         "stratified_sample": A.stratified_sample,
         "shard_assign": A.shard_assign,
+        "dedup_incremental": A.dedup_incremental,
         "group_topk": A.group_topk,
         "token_count_bpe": A.token_count_bpe,
         # --- similarity search ---
@@ -466,6 +467,7 @@ WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
         "range_join": A.range_join_sql(),
         "stratified_sample": A.stratified_sample_sql(),
         "shard_assign": A.shard_assign_sql(),
+        "dedup_incremental": A.dedup_incremental_sql(),
         "group_topk": A.group_topk_sql(),
         "token_count_bpe": A.token_count_bpe_sql(),
         "repetition_score": A.repetition_score_sql(),

@@ -40,7 +40,8 @@ QUERY_NAMES = [
     "asof_join", "range_join", "stratified_sample", "events_sliding_window",
     "group_topk", "token_count_bpe",
     "approx_distinct_words", "repetition_score", "codec_validity",
-    "winnow_fingerprint", "dedup_clusters",
+    "winnow_fingerprint", "dedup_clusters", "dedup_incremental",
+    "shard_assign",
 ]
 
 

@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 
 from ..functions import spec
 from ..functions.hashing import md5_i64_array, sql_md5_i64
+from ..sources.keyed import KeyedBatchJoiner
 
 WS_RE = spec.WS_CLASS + "+"
 
@@ -371,6 +372,124 @@ def seeded_sample_sql() -> str:
 
 SHARD_SEED = 42
 N_SHARDS = 8
+
+# incremental-dedup fixture split points (documents with doc_id < 50 are
+# duplicated verbatim into the "new" stream; 50-99 arrive genuinely new)
+_INC_DUP_MAX = 50
+_INC_NEW_MAX = 100
+_INC_PAIR_ID = 100
+
+
+def incremental_docs(sf_dir: str):
+    """The "next crawl" stream for incremental dedup, derived
+    deterministically from documents: exact copies of doc_id<50 (dups vs
+    the prior corpus), doc_id 50-99 with ' v2' appended (genuinely new),
+    and TWO copies of doc 100's text under fresh ids (an intra-stream dup
+    that keep-first must resolve)."""
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        out_ids: list[int] = []
+        out_txt: list[str] = []
+        for i, t in zip(ids, texts):
+            if i < _INC_DUP_MAX:
+                out_ids.append(int(i) + 1_000_000)
+                out_txt.append(t)
+            elif i < _INC_NEW_MAX:
+                out_ids.append(int(i) + 2_000_000)
+                out_txt.append(t + " v2")
+            if i == _INC_PAIR_ID:
+                # a text NEW to the corpus, twice: exercises keep-first
+                # within the stream (not just the prior anti-join)
+                out_ids += [3_000_000, 3_000_001]
+                out_txt += [t + " v3", t + " v3"]
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+class _AntiProbe:
+    """Actor-pool anti-join against the prior corpus's keyed hash table:
+    one searchsorted probe per batch, per-actor fragment LRU (the same
+    machinery as the flagship phase-D join, sources/keyed.py)."""
+
+    def __init__(self, index):
+        # KeyedBatchJoiner is a module-level import: an import statement in
+        # this worker-executed body would re-run on the worker and fail
+        # without the repo on its path (verify-skill trap #2)
+        self.joiner = KeyedBatchJoiner(index, columns=["text_hash"])
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        hv = md5_i64_array(b["text"])
+        _, found, _ = self.joiner.probe(hv)
+        t = b.append_column("text_hash", hv).filter(pa.array(~found))
+        return t.select(["doc_id", "text_hash"])
+
+
+def dedup_incremental(sf_dir: str):
+    """Cross-crawl incremental dedup: the step the reference runs when a
+    NEW crawl lands on an existing corpus (deduplication.py dedups the
+    union by rescanning everything — O(corpus) per increment). Here the
+    prior corpus is distilled ONCE into a hash side table sorted by
+    text_hash with per-fragment [min, max] manifest stats; the new stream
+    anti-probes it with an actor-pool searchsorted lookup (no rescan of
+    prior documents, no shuffle of the prior corpus), then a keep-first
+    exact dedup resolves duplicates *within* the new stream itself.
+
+    100-TB shape: the prior index is O(corpus) on DISK but each task
+    touches only the fragments overlapping its batch's hash range; the
+    per-increment cost is O(new data), which is the point of incremental
+    dedup. Output: (text_hash, doc_id) survivors of the new stream."""
+    import os
+    import re
+
+    from ray.data.aggregate import Min
+
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedFragmentIndex
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
+    uri = f"/tmp/ccc_prior_hash_idx_{tag}"
+    if not os.path.exists(os.path.join(uri, "_versions")):
+        def h(b: pa.Table) -> pa.Table:
+            return pa.table({"text_hash": md5_i64_array(b["text"])})
+        prior = (_read(sf_dir, "documents", ["text"])
+                 .map_batches(h, batch_format="pyarrow")
+                 .sort("text_hash"))
+        lancelite.write_dataset(prior, uri, key_stats="text_hash")
+
+    index = KeyedFragmentIndex(uri, "text_hash")
+    fresh = incremental_docs(sf_dir).map_batches(
+        _AntiProbe, batch_format="pyarrow", batch_size=4096,
+        fn_constructor_args=(index,), concurrency=(1, 4), num_cpus=1)
+
+    def partials(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["min_id", "text_hash"])
+
+    return (fresh.map_batches(partials, batch_format="pyarrow")
+            .groupby("text_hash")
+            .aggregate(Min("min_id", alias_name="doc_id")))
+
+
+def dedup_incremental_sql() -> str:
+    h = sql_md5_i64("text")
+    return f"""
+WITH newdocs AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id < {_INC_DUP_MAX}
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' v2' FROM documents
+  WHERE doc_id >= {_INC_DUP_MAX} AND doc_id < {_INC_NEW_MAX}
+  UNION ALL
+  SELECT 3000000 + i.i, text || ' v3' FROM documents
+  CROSS JOIN (SELECT unnest([0, 1]) AS i) i WHERE doc_id = {_INC_PAIR_ID}
+)
+SELECT {h} AS text_hash, min(doc_id) AS doc_id FROM newdocs
+WHERE {h} NOT IN (SELECT {h} FROM documents)
+GROUP BY text"""
 
 
 def shard_assign(sf_dir: str, n_shards: int = N_SHARDS,

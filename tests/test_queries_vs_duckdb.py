@@ -73,8 +73,9 @@ SQL_QUERIES = [
     # round 3: connected components over verified near-dup pairs
     # (recursive-CTE transitive-closure oracle) + keep-best-per-cluster
     "dedup_clusters", "dedup_keep_best",
-    # round 3: deterministic training-export sharding (seeded hash order)
-    "shard_assign",
+    # round 3: deterministic training-export sharding (seeded hash order);
+    # incremental dedup vs a persisted prior-corpus hash index
+    "shard_assign", "dedup_incremental",
 ]
 
 
