@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": A.stratified_sample,
         "shard_assign": A.shard_assign,
         "dedup_incremental": A.dedup_incremental,
+        "tpch_q1": A.tpch_q1,
+        "hash_join": A.hash_join,
         "group_topk": A.group_topk,
         "token_count_bpe": A.token_count_bpe,
         # --- similarity search ---
@@ -468,6 +470,8 @@ WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
         "stratified_sample": A.stratified_sample_sql(),
         "shard_assign": A.shard_assign_sql(),
         "dedup_incremental": A.dedup_incremental_sql(),
+        "tpch_q1": A.tpch_q1_sql(),
+        "hash_join": A.hash_join_sql(),
         "group_topk": A.group_topk_sql(),
         "token_count_bpe": A.token_count_bpe_sql(),
         "repetition_score": A.repetition_score_sql(),

@@ -41,7 +41,7 @@ QUERY_NAMES = [
     "group_topk", "token_count_bpe",
     "approx_distinct_words", "repetition_score", "codec_validity",
     "winnow_fingerprint", "dedup_clusters", "dedup_incremental",
-    "shard_assign",
+    "shard_assign", "tpch_q1", "hash_join",
 ]
 
 

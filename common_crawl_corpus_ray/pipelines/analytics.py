@@ -373,6 +373,157 @@ def seeded_sample_sql() -> str:
 SHARD_SEED = 42
 N_SHARDS = 8
 
+Q1_CUTOFF = "1998-09-02"
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero integer cents (values are positive prices/rates;
+    matches DuckDB round()) — money math stays in int64 so distributed
+    partial sums are associative and bit-identical to SQL regardless of
+    summation order (float sums are not)."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def tpch_q1(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary over lineitem: the canonical
+    pre-aggregate-then-tiny-groupby pattern. The per-batch map converts
+    money to integer cents and derives the discount/charge products in
+    integer micro-units; Ray's native Sum/Count aggregates then combine
+    per-block partials into a ~6-row result — the shuffle carries only
+    partial sums, never lineitem rows."""
+    import datetime as dt
+
+    from ray.data.aggregate import Count, Sum
+
+    cutoff = dt.datetime.fromisoformat(Q1_CUTOFF)
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(cutoff)))
+        qty_c = _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
+        price_c = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        tax_c = _cents(t["l_tax"].to_numpy(zero_copy_only=False))
+        disc_micro = price_c * (100 - disc_c)
+        charge_micro2 = disc_micro * (100 + tax_c)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_c": pa.array(qty_c, pa.int64()),
+            "base_c": pa.array(price_c, pa.int64()),
+            "disc_micro": pa.array(disc_micro, pa.int64()),
+            "charge_micro2": pa.array(charge_micro2, pa.int64())})
+
+    cols = ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus"]
+    return (_read(sf_dir, "lineitem", cols)
+            .map_batches(f, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
+                       Sum("base_c", alias_name="sum_base_c"),
+                       Sum("disc_micro", alias_name="sum_disc_micro"),
+                       Sum("charge_micro2", alias_name="sum_charge_micro2"),
+                       Count(alias_name="n_rows")))
+
+
+def tpch_q1_sql() -> str:
+    pc_ = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    dc = "CAST(round(l_discount * 100) AS BIGINT)"
+    tc = "CAST(round(l_tax * 100) AS BIGINT)"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       SUM({pc_}) AS sum_base_c,
+       SUM({pc_} * (100 - {dc})) AS sum_disc_micro,
+       SUM({pc_} * (100 - {dc}) * (100 + {tc})) AS sum_charge_micro2,
+       COUNT(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+_JOIN_BUCKETS = 32
+
+
+def hash_join(sf_dir: str):
+    """Large-large distributed hash equi-join (the inventory's missing
+    general join): open orders joined to their lineitems on orderkey,
+    revenue aggregated per order. Both sides hash-partition on the join
+    key through ONE bucket exchange; the lineitem side is pre-aggregated
+    per (batch, orderkey) in the map (combiner), so the exchange carries
+    one partial row per key per block, not raw lineitems. The reduce is a
+    vectorized pandas merge per bucket — co-partitioning guarantees every
+    key's rows meet in exactly one task. Broadcast joins (annotate_region)
+    remain the right tool when one side is small; this is the path when
+    NEITHER side fits a broadcast."""
+    from ..stages.exchange import bucket_exchange_dataset
+
+    nb = _JOIN_BUCKETS
+
+    mix = pa.schema([("bucket", pa.int64()), ("okey", pa.int64()),
+                     ("prio", pa.string()), ("rev", pa.int64()),
+                     ("n", pa.int64())])
+
+    def _mix(nrows: int, **cols) -> pa.Table:
+        return pa.table({f.name: cols.get(f.name, pa.nulls(nrows, f.type))
+                         for f in mix}, schema=mix)
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderstatus"], "O"))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return _mix(len(k), bucket=pa.array(k % nb, pa.int64()),
+                    okey=pa.array(k, pa.int64()),
+                    prio=t["o_orderpriority"].combine_chunks())
+
+    def l_rows(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        price_c = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(b["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"okey": k, "rev": price_c * (100 - disc_c)})
+        g = df.groupby("okey", sort=False)["rev"].agg(["sum", "size"])
+        kk = g.index.to_numpy(np.int64)
+        return _mix(len(kk), bucket=pa.array(kk % nb, pa.int64()),
+                    okey=pa.array(kk, pa.int64()),
+                    rev=pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
+                    n=pa.array(g["size"].to_numpy(np.int64), pa.int64()))
+
+    def join(t: pa.Table) -> pa.Table | None:
+        is_l = pc.is_valid(t["rev"])
+        li = (t.filter(is_l).select(["okey", "rev", "n"]).to_pandas()
+              .groupby("okey", sort=False).sum().reset_index())
+        od = (t.filter(pc.invert(is_l)).select(["okey", "prio"]).to_pandas()
+              .drop_duplicates("okey"))
+        m = od.merge(li, on="okey")
+        if m.empty:
+            return None
+        return pa.table({
+            "o_orderkey": pa.array(m["okey"].to_numpy(np.int64)),
+            "o_orderpriority": pa.array(m["prio"], pa.string()),
+            "revenue_micro": pa.array(m["rev"].to_numpy(np.int64)),
+            "n_items": pa.array(m["n"].to_numpy(np.int64))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+                   ).map_batches(o_rows, batch_format="pyarrow")
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount"]
+                  ).map_batches(l_rows, batch_format="pyarrow")
+    empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_orderpriority": pa.array([], pa.string()),
+                      "revenue_micro": pa.array([], pa.int64()),
+                      "n_items": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(orders.union(items), nb, join, empty)
+
+
+def hash_join_sql() -> str:
+    rev = ("CAST(round(l_extendedprice * 100) AS BIGINT) * "
+           "(100 - CAST(round(l_discount * 100) AS BIGINT))")
+    return f"""
+SELECT o_orderkey, o_orderpriority, SUM({rev}) AS revenue_micro,
+       COUNT(*) AS n_items
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderkey, o_orderpriority"""
+
+
 # incremental-dedup fixture split points (documents with doc_id < 50 are
 # duplicated verbatim into the "new" stream; 50-99 arrive genuinely new)
 _INC_DUP_MAX = 50

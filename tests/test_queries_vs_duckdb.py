@@ -76,6 +76,9 @@ SQL_QUERIES = [
     # round 3: deterministic training-export sharding (seeded hash order);
     # incremental dedup vs a persisted prior-corpus hash index
     "shard_assign", "dedup_incremental",
+    # round 3: integer-exact pricing rollup + large-large hash equi-join
+    # over the TPC-H-shaped tables
+    "tpch_q1", "hash_join",
 ]
 
 
