@@ -454,9 +454,15 @@ def hash_join(sf_dir: str):
     key's rows meet in exactly one task. Broadcast joins (annotate_region)
     remain the right tool when one side is small; this is the path when
     NEITHER side fits a broadcast."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
     from ..stages.exchange import bucket_exchange_dataset
 
-    nb = _JOIN_BUCKETS
+    # per-reduce memory is O(rows / nb): scale the bucket count with the
+    # fat side's known row count instead of a fixed constant
+    n_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    nb = scaled_buckets(n_rows, rows_per_bucket=2_000_000, lo=_JOIN_BUCKETS)
 
     mix = pa.schema([("bucket", pa.int64()), ("okey", pa.int64()),
                      ("prio", pa.string()), ("rev", pa.int64()),
