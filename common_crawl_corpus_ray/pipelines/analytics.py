@@ -431,10 +431,11 @@ def tpch_q1_sql() -> str:
     tc = "CAST(round(l_tax * 100) AS BIGINT)"
     return f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       SUM({pc_}) AS sum_base_c,
-       SUM({pc_} * (100 - {dc})) AS sum_disc_micro,
-       SUM({pc_} * (100 - {dc}) * (100 + {tc})) AS sum_charge_micro2,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM({pc_}) AS BIGINT) AS sum_base_c,
+       CAST(SUM({pc_} * (100 - {dc})) AS BIGINT) AS sum_disc_micro,
+       CAST(SUM({pc_} * (100 - {dc}) * (100 + {tc})) AS BIGINT)
+         AS sum_charge_micro2,
        COUNT(*) AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus"""
@@ -523,7 +524,8 @@ def hash_join_sql() -> str:
     rev = ("CAST(round(l_extendedprice * 100) AS BIGINT) * "
            "(100 - CAST(round(l_discount * 100) AS BIGINT))")
     return f"""
-SELECT o_orderkey, o_orderpriority, SUM({rev}) AS revenue_micro,
+SELECT o_orderkey, o_orderpriority,
+       CAST(SUM({rev}) AS BIGINT) AS revenue_micro,
        COUNT(*) AS n_items
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE o_orderstatus = 'O'
