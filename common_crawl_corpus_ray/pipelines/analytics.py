@@ -573,7 +573,11 @@ def incremental_docs(sf_dir: str):
 class _AntiProbe:
     """Actor-pool anti-join against the prior corpus's keyed hash table:
     one searchsorted probe per batch, per-actor fragment LRU (the same
-    machinery as the flagship phase-D join, sources/keyed.py)."""
+    machinery as the flagship phase-D join, sources/keyed.py). Input
+    batches MUST be hash-range-clustered (the caller sorts the stream on
+    text_hash first): md5 keys are uniform, so an unsorted batch spans the
+    full key range and fragments_for would match — and the joiner would
+    materialize — the ENTIRE prior index per actor."""
 
     def __init__(self, index):
         # KeyedBatchJoiner is a module-level import: an import statement in
@@ -582,10 +586,8 @@ class _AntiProbe:
         self.joiner = KeyedBatchJoiner(index, columns=["text_hash"])
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        hv = md5_i64_array(b["text"])
-        _, found, _ = self.joiner.probe(hv)
-        t = b.append_column("text_hash", hv).filter(pa.array(~found))
-        return t.select(["doc_id", "text_hash"])
+        _, found, _ = self.joiner.probe(b["text_hash"])
+        return b.filter(pa.array(~found))
 
 
 def dedup_incremental(sf_dir: str):
@@ -599,9 +601,13 @@ def dedup_incremental(sf_dir: str):
     exact dedup resolves duplicates *within* the new stream itself.
 
     100-TB shape: the prior index is O(corpus) on DISK but each task
-    touches only the fragments overlapping its batch's hash range; the
-    per-increment cost is O(new data), which is the point of incremental
-    dedup. Output: (text_hash, doc_id) survivors of the new stream."""
+    touches only the fragments overlapping its batch's hash range. That
+    pruning only holds if probe batches are hash-range-clustered — md5
+    keys are uniform, so the new stream is range-SORTED on text_hash
+    first (an O(new) shuffle of (id, hash) pairs, never the prior corpus
+    and never document text); the per-increment cost stays O(new data),
+    which is the point of incremental dedup. Output: (text_hash, doc_id)
+    survivors of the new stream."""
     import os
     import re
 
@@ -621,9 +627,17 @@ def dedup_incremental(sf_dir: str):
         lancelite.write_dataset(prior, uri, key_stats="text_hash")
 
     index = KeyedFragmentIndex(uri, "text_hash")
-    fresh = incremental_docs(sf_dir).map_batches(
-        _AntiProbe, batch_format="pyarrow", batch_size=4096,
-        fn_constructor_args=(index,), concurrency=(1, 4), num_cpus=1)
+
+    def h_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "text_hash": md5_i64_array(b["text"])})
+
+    fresh = (incremental_docs(sf_dir)
+             .map_batches(h_rows, batch_format="pyarrow")
+             .sort("text_hash")
+             .map_batches(_AntiProbe, batch_format="pyarrow",
+                          batch_size=4096, fn_constructor_args=(index,),
+                          concurrency=(1, 4), num_cpus=1))
 
     def partials(b: pa.Table) -> pa.Table:
         return b.rename_columns(["min_id", "text_hash"])

@@ -241,8 +241,16 @@ def _sorted_side(*tabs: pa.Table):
     driver never holds the rows); the (sorted keys, table) pair stays in
     the object store for every attach actor to share."""
     import numpy as np
-    t = pa.concat_tables([t for t in tabs if t is not None and t.num_rows],
-                         promote_options="default")
+    present = [t for t in tabs if t is not None and t.num_rows]
+    if not present:
+        # empty pipeline: keep the schema from any ref (all-empty blocks
+        # still carry it) so the probe path sees typed columns, not a crash
+        empty = next((t for t in tabs if t is not None), None)
+        if empty is None:
+            empty = pa.table({"clip_id": pa.array([], pa.string())})
+        keys = empty["clip_id"].to_numpy(zero_copy_only=False)
+        return keys, empty
+    t = pa.concat_tables(present, promote_options="default")
     keys = t["clip_id"].to_numpy(zero_copy_only=False)
     order = np.argsort(keys, kind="stable")
     return keys[order], t.take(pa.array(order)).combine_chunks()
@@ -267,7 +275,10 @@ class AttachDecisionsBroadcast:
         k = batch["clip_id"].to_numpy(zero_copy_only=False)
         if k.dtype.kind in "US":
             k = k.astype(object)
-        idx = np.clip(np.searchsorted(self.keys, k), 0, len(self.keys) - 1)
+        if len(k) and len(self.keys) == 0:
+            raise KeyError("decision table is missing clip_ids in the batch")
+        idx = np.clip(np.searchsorted(self.keys, k), 0,
+                      max(len(self.keys) - 1, 0))
         if len(k) and not (self.keys[idx] == k).all():
             raise KeyError("decision table is missing clip_ids in the batch")
         take = pa.array(idx)
@@ -290,13 +301,19 @@ def attach_decisions(clips_ds, dec, batch_size: int = 1024,
       the sf0.1 headline).
     * above (or unknown volume): land the decision table as a keyed
       lancelite table (clip_id range stats per fragment) and stream the
-      full clip rows past it — bounded memory at any table size."""
+      full clip rows past it — bounded memory at any table size.
+
+    An explicitly requested ``decisions_uri`` always takes the keyed path:
+    the caller asked for the decision side table on disk (inspection,
+    resume), so the broadcast shortcut — which never writes it — would
+    silently break that contract."""
     n_act = max(2, _cluster_cpus() - 2)
     # batch_size=None on both paths: joining whole input blocks avoids
     # re-batching — re-forming fixed-size batches COPIES the payload bytes
     # (measured ~345ms/batch of pure slicing/concat on 30MB audio batches
     # vs ~4ms for the join itself); join cost is independent of batch shape
-    if n_decisions is not None and n_decisions <= dec_broadcast_max:
+    if (decisions_uri is None and n_decisions is not None
+            and n_decisions <= dec_broadcast_max):
         side_ref = _sorted_side.remote(*dec.to_arrow_refs())
         return clips_ds.map_batches(
             AttachDecisionsBroadcast, batch_format="pyarrow", batch_size=None,

@@ -176,12 +176,14 @@ def _pair_buckets(n_rows: int | None, docs_per_bucket: int = 512,
     a fixed constant pays ~3x fixed cost on tiny inputs and makes
     per-reduce volume O(N/constant) on huge ones (past hi x
     docs_per_bucket rows the per-bucket volume grows again — the df cap
-    bounds the quadratic part there)."""
-    import math
+    bounds the quadratic part there). The arithmetic is
+    ``decide.scaled_buckets`` (one implementation, not two that drift);
+    only the no-hint fallback differs (_PAIR_BUCKETS, not lo)."""
+    from .decide import scaled_buckets
     if n_rows is None or n_rows <= 0:
         return _PAIR_BUCKETS
-    want = max(lo, (n_rows + docs_per_bucket - 1) // docs_per_bucket)
-    return min(hi, 1 << math.ceil(math.log2(want)))
+    return scaled_buckets(n_rows, rows_per_bucket=docs_per_bucket,
+                          lo=lo, hi=hi)
 
 
 def _id_bucket(vals: np.ndarray, nbuckets: int) -> np.ndarray:
@@ -203,7 +205,8 @@ def _list_rows(col) -> list[np.ndarray]:
 
 def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
                         num_perm: int = 64, bands: int = 8,
-                        return_dataset: bool = False):
+                        return_dataset: bool = False,
+                        assume_projected: bool = False):
     """Full near-dup: LSH candidates, exact-Jaccard verified >= threshold.
 
     Banding default is 8 bands x 8 rows: the LSH S-curve midpoint
@@ -227,8 +230,11 @@ def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
 
     # both passes (banding, shingle arrays for verify) consume the same
     # (id, text) projection; materialize it once instead of re-executing the
-    # upstream pipeline per pass
-    ds = ds.select_columns([id_col, text_col]).materialize()
+    # upstream pipeline per pass (assume_projected: the caller already did
+    # exactly this — a second materialize would pin a second full copy of
+    # the text projection in the object store)
+    if not assume_projected:
+        ds = ds.select_columns([id_col, text_col]).materialize()
     # verify-bucket rows are FAT (one shingle array per doc, ~8B x chars):
     # scale the bucket count so one reduce task holds ~100k docs' shingles
     # (~1-2GB at web text lengths), not O(N / fixed-constant)
@@ -505,7 +511,8 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.5,
                         max_df: int = NGRAM_DF_CAP,
                         n_rows: int | None = None,
-                        return_dataset: bool = False):
+                        return_dataset: bool = False,
+                        assume_projected: bool = False):
     """Exact word-n-gram Jaccard near-dup via a distributed inverted index.
 
     Shuffle shape: explode each doc to distinct (shingle, id, n_doc) rows
@@ -536,8 +543,11 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     nb = _pair_buckets(n_rows)
     # both passes (df-cap count, explode) consume the same (id, text)
     # projection — materialize it once instead of re-executing the
-    # upstream pipeline per pass (same pattern as minhash_dedup_pairs)
-    ds = ds.select_columns([id_col, text_col]).materialize()
+    # upstream pipeline per pass (same pattern as minhash_dedup_pairs;
+    # assume_projected skips the duplicate copy when the caller already
+    # materialized this exact projection)
+    if not assume_projected:
+        ds = ds.select_columns([id_col, text_col]).materialize()
 
     # pass 1: per-block (shingle, doc-count) partials -> per-bucket df sums
     # -> hot shingles only (df > max_df) return to the driver
@@ -871,11 +881,19 @@ def connected_components(pairs_ds, ids_ds, id_col: str = "doc_id",
                                own["lab"].to_numpy(np.int64)])
         is_own = np.zeros(len(node), dtype=bool)
         is_own[len(e):] = True
-        t = pa.table({"node": pa.array(node, pa.int64()),
-                      "lab": pa.array(labs, pa.int64()),
-                      "own": pa.array(is_own, pa.bool_())})
+        # ONE argsort by destination bucket, then zero-copy slices — not
+        # nb boolean-filter passes over the proposal table per task per
+        # round (at nb=1024 that is 1024 full passes, every round)
         bkt = _id_bucket(node, nb)
-        out = tuple(t.filter(pa.array(bkt == b)) for b in range(nb))
+        order = np.argsort(bkt, kind="stable")
+        t = pa.table({"node": pa.array(node[order], pa.int64()),
+                      "lab": pa.array(labs[order], pa.int64()),
+                      "own": pa.array(is_own[order], pa.bool_())})
+        bounds = np.searchsorted(bkt[order], np.arange(nb + 1))
+        out = tuple(
+            t.slice(bounds[b], bounds[b + 1] - bounds[b])
+            if bounds[b + 1] > bounds[b] else None
+            for b in range(nb))
         return out if nb > 1 else out[0]
 
     @ray.remote(num_returns=2)
@@ -909,6 +927,13 @@ def connected_components(pairs_ds, ids_ds, id_col: str = "doc_id",
         label_refs = new_labels
         if sum(ray.get(counts)) == 0:
             break
+    else:
+        # silently-wrong cluster ids are worse than failing: a component
+        # whose diameter exceeds max_iters would keep two labels and
+        # dedup_keep_best would keep two "survivors" of one dup cluster
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(a pair graph with diameter > {max_iters}); raise max_iters")
 
     # extra ids_ds columns (e.g. a quality metric) ride along and reappear
     # in the output — lets per-cluster reducers (dedup_keep_best) run off
@@ -973,11 +998,13 @@ def dedup_clusters(ds, id_col: str, text_col: str, n: int = 3,
     if detector == "minhash":
         pairs = minhash_dedup_pairs(ds, id_col, text_col,
                                     threshold=threshold,
-                                    return_dataset=True)
+                                    return_dataset=True,
+                                    assume_projected=True)
     else:
         pairs = ngram_jaccard_pairs(ds, id_col, text_col, n=n,
                                     threshold=threshold, n_rows=n_rows,
-                                    return_dataset=True)
+                                    return_dataset=True,
+                                    assume_projected=True)
     return connected_components(pairs, ds.select_columns([id_col]),
                                 id_col=id_col, n_rows=n_rows)
 
@@ -1002,7 +1029,7 @@ def dedup_keep_best(ds, id_col: str, text_col: str, n: int = 3,
     ds = ds.select_columns([id_col, text_col]).materialize()
     pairs = ngram_jaccard_pairs(ds, id_col, text_col, n=n,
                                 threshold=threshold, n_rows=n_rows,
-                                return_dataset=True)
+                                return_dataset=True, assume_projected=True)
 
     def with_len(b: pa.Table) -> pa.Table:
         return pa.table({id_col: b[id_col],

@@ -306,3 +306,23 @@ def test_sketch_quantiles_accuracy():
     mad_e = float(np.median(np.abs(x - med_e)))
     assert med == pytest.approx(med_e, rel=0.02)
     assert mad == pytest.approx(mad_e, rel=0.05)
+
+
+def test_explicit_decisions_uri_always_lands_side_table(clips_ds, tmp_path):
+    """An explicitly requested decisions_uri must be honored even when the
+    decision volume is under the broadcast threshold: the caller asked for
+    the side table on disk (inspection/resume) — the broadcast shortcut
+    must not silently skip writing it."""
+    import os
+
+    from common_crawl_corpus_ray.pipelines import quality_filter
+    from common_crawl_corpus_ray.sources import lancelite
+
+    uri = str(tmp_path / "dec_explicit")
+    final = quality_filter.run(clips_ds, attach_payload=True,
+                               decisions_uri=uri)   # 600 rows << 2M default
+    n = sum(b.num_rows for b in final.iter_batches(batch_size=4096,
+                                                   batch_format="pyarrow"))
+    assert n == 600
+    assert os.path.isdir(uri)
+    assert lancelite.count_rows(uri) == 600
