@@ -104,21 +104,84 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+LSH_GROUP_CAP = 1024
+
+
+def _collapse_and_pair(g: pd.DataFrame, key_cols: list[str],
+                       star_key: str, carry: tuple[str, ...] = (),
+                       cap: int = LSH_GROUP_CAP):
+    """Shared hot-group-safe pair emission for the LSH banding reduces.
+
+    ``g`` holds one bucket's banding rows with columns [id, *key_cols, th,
+    *carry] where ``th`` is the text's content hash (D1 semantics: rows
+    exact-dedup treats as identical collapse here too) and ``carry`` names
+    columns constant per text (e.g. the simhash signature). Byte-identical
+    texts share EVERY band/chunk hash, so within a (key, th) group the min
+    id is the text's GLOBAL min id — the collapse is local yet exact.
+
+      * star edges: one (rep -> member) pair per extra copy of a text,
+        emitted from the ``star_key == 0`` group only (each text lives in
+        exactly one band-0 / chunk-0 group). A dup flood of 10^6
+        byte-identical docs emits 10^6 - 1 star rows — not the 10^12
+        all-pairs the uncollapsed self-merge produced.
+      * candidate edges: the all-pairs self-merge runs over per-text REPS
+        only. Groups whose rep count still exceeds ``cap`` (a
+        near-identical-but-not-byte-identical flood) fall back to the star
+        on their min rep — O(g) pairs that still get Jaccard/Hamming
+        verified downstream, so cluster connectivity through the hub is
+        preserved for true dup floods; the truncation is logged.
+
+    Returns (stars, cands): stars has columns [a, b]; cands has columns
+    [rep_x, rep_y, *carry_x, *carry_y] with rep_x < rep_y.
+    """
+    agg = {"rep": ("id", "min"), **{c: (c, "first") for c in carry}}
+    reps = g.groupby([*key_cols, "th"], sort=False, as_index=False).agg(**agg)
+    g0 = g[g[star_key] == 0].merge(
+        reps.loc[reps[star_key] == 0, [*key_cols, "th", "rep"]],
+        on=[*key_cols, "th"])
+    stars = (g0[g0["id"] != g0["rep"]]
+             .rename(columns={"rep": "a", "id": "b"})[["a", "b"]])
+    sizes = reps.groupby(key_cols, sort=False)["rep"].transform("size")
+    small = reps.loc[sizes <= cap, [*key_cols, "rep", *carry]]
+    m = small.merge(small, on=key_cols, suffixes=("_x", "_y"))
+    m = m[m["rep_x"] < m["rep_y"]]
+    big = reps[sizes > cap]
+    if len(big):
+        import logging
+        logging.getLogger(__name__).warning(
+            "LSH banding: %d hot group(s) over cap=%d (max rep count %d); "
+            "emitting hub-star candidates instead of all pairs",
+            big.groupby(key_cols, sort=False).ngroups, cap,
+            int(sizes.max()))
+        hubs = (big.sort_values("rep").drop_duplicates(key_cols)
+                [[*key_cols, "rep", *carry]])
+        bm = (big[[*key_cols, "rep", *carry]]
+              .merge(hubs, on=key_cols, suffixes=("_y", "_x")))
+        bm = bm[bm["rep_x"] != bm["rep_y"]]
+        m = pd.concat([m, bm[m.columns]], ignore_index=True)
+    return stars, m.drop_duplicates(["rep_x", "rep_y"])
+
+
 def minhash_candidate_pairs(ds, id_col: str, text_col: str,
                             num_perm: int = 64, bands: int = 16,
                             seed: int = 42, nbuckets: int | None = None):
     """LSH banding: ids sharing any band bucket become candidate pairs.
-    Returns a ``ray.data.Dataset`` of distinct-per-bucket (a, b) pairs —
-    never a driver-side set (at web scale the candidate count is
-    O(dup_rate * N)).
+    Returns a ``ray.data.Dataset`` of distinct-per-bucket (a, b, exact)
+    pairs — never a driver-side set (at web scale the candidate count is
+    O(dup_rate * N)). ``exact=True`` rows are (rep -> member) star edges of
+    byte-identical texts — correct-by-construction duplicates (Jaccard 1.0)
+    that need no verification; see :func:`_collapse_and_pair` for why the
+    collapse is what keeps a 10^6-copy dup flood from emitting O(n^2)
+    pairs inside one reduce task.
 
     The (band, band_hash) exchange runs through the manual bucket exchange
     (``exchange.py``), not ``groupby().map_groups``: the sort-based shuffle
     machinery alone costs ~12s at packed-row counts in this sandbox (the
     measured reason exchange.py exists), while the band rows here are tiny
-    (id, band, bh). Inside a bucket the per-key self-merge is one
+    (id, band, bh, th). Inside a bucket the per-key self-merge is one
     vectorized pandas join — NOT one map_groups call per (band, bh)
     (~1ms Python per group, ~one group per doc x band)."""
+    from ..functions.hashing import md5_i64_array
     from .exchange import bucket_exchange_dataset
 
     a, b = _perm_params(num_perm, seed)
@@ -132,8 +195,10 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
             return pa.table({"id": batch[id_col],
                              "band": pa.array([], pa.int32()),
                              "bh": pa.array([], pa.uint64()),
+                             "th": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64())})
         sigs = minhash_signatures_batch(batch[text_col].to_pylist(), a, b)
+        th = md5_i64_array(batch[text_col]).to_numpy()
         bh = sigs.reshape(len(ids), bands, rows_per_band).sum(axis=2)  # wrap64
         band_ix = np.tile(np.arange(bands, dtype=np.uint64), len(ids))
         flat_bh = bh.reshape(-1)
@@ -143,16 +208,20 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
             "id": pa.array(np.repeat(ids, bands)),
             "band": pa.array(band_ix.astype(np.int32), pa.int32()),
             "bh": pa.array(flat_bh, pa.uint64()),
+            "th": pa.array(np.repeat(th, bands), pa.int64()),
             "bucket": pa.array(bucket, pa.int64())})
 
     def emit_pairs(t: pa.Table) -> pa.Table:
-        g = t.select(["id", "band", "bh"]).to_pandas()
-        m = g.merge(g, on=["band", "bh"])
-        m = m[m["id_x"] < m["id_y"]][["id_x", "id_y"]].drop_duplicates()
-        return pa.table({"a": pa.array(m["id_x"].to_numpy(), id_type),
-                         "b": pa.array(m["id_y"].to_numpy(), id_type)})
+        g = t.select(["id", "band", "bh", "th"]).to_pandas()
+        stars, cands = _collapse_and_pair(g, ["band", "bh"], "band")
+        n_s, n_c = len(stars), len(cands)
+        return pa.table({
+            "a": pa.array(list(stars["a"]) + list(cands["rep_x"]), id_type),
+            "b": pa.array(list(stars["b"]) + list(cands["rep_y"]), id_type),
+            "exact": pa.array(np.r_[np.ones(n_s, bool), np.zeros(n_c, bool)])})
 
-    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type)})
+    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
+                      "exact": pa.array([], pa.bool_())})
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
     return bucket_exchange_dataset(banded, nb_pairs, emit_pairs, empty)
 
@@ -244,6 +313,39 @@ def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
     id_type = ds.schema().base_schema.field(id_col).type
     pairs_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands,
                                        nbuckets=_pair_buckets(n_docs))
+
+    # exact star pairs (byte-identical texts, see _collapse_and_pair) skip
+    # the verify exchanges entirely: identical texts share their whole
+    # shingle set, so Jaccard is 1.0 by construction — routing a 10^6-copy
+    # dup flood's stars through the verify would also re-create a hot
+    # bucket (every star shares its `a`). The split runs as raw remote
+    # tasks over the pair-block refs, NOT map_batches: an empty block can
+    # skip a map_batches UDF and keep the (a, b, exact) schema, which
+    # would poison the final union's schema.
+    import ray
+
+    from .exchange import refs_to_dataset as _refs_to_ds
+
+    pairs_empty = pa.table({"id_a": pa.array([], id_type),
+                            "id_b": pa.array([], id_type),
+                            "jaccard": pa.array([], pa.float64())})
+
+    @ray.remote
+    def _exact_block(b: pa.Table) -> pa.Table:
+        t = b.filter(b["exact"].combine_chunks())
+        return pa.table({"id_a": t["a"].combine_chunks().cast(id_type),
+                         "id_b": t["b"].combine_chunks().cast(id_type),
+                         "jaccard": pa.array(np.ones(t.num_rows),
+                                             pa.float64())})
+
+    def cand_only(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.invert(b["exact"].combine_chunks()))
+                .drop_columns(["exact"]))
+
+    pair_refs = pairs_ds.to_arrow_refs()
+    exact_ds = _refs_to_ds([_exact_block.remote(r) for r in pair_refs],
+                           pairs_empty)
+    pairs_ds = pairs_ds.map_batches(cand_only, batch_format="pyarrow")
 
     # one canonical schema for every exchange input, so Dataset.union /
     # repartition never see block-schema mismatches: pair rows carry
@@ -338,14 +440,13 @@ def minhash_dedup_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7,
     if return_dataset:
         # verified pairs stay distributed for graph consumers
         # (connected_components) — never a driver-side pair list
-        pairs_empty = pa.table({"id_a": pa.array([], id_type),
-                                "id_b": pa.array([], id_type),
-                                "jaccard": pa.array([], pa.float64())})
         return refs_to_dataset(
             bucket_exchange_refs(round1.union(sh_ds), nb, join_b),
-            pairs_empty)
+            pairs_empty).union(exact_ds)
+    import ray
     verified = [t for t in bucket_exchange(round1.union(sh_ds), nb, join_b)
                 if t.num_rows]
+    verified += [t for t in ray.get(exact_ds.to_arrow_refs()) if t.num_rows]
     if not verified:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     out = pa.concat_tables(verified, promote_options="default").to_pandas()
@@ -450,7 +551,15 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
     row counts in this sandbox (exchange.py's reason to exist) and was the
     remaining wall-time of this query in round 2 (2.4s while the hashing
     itself is ~0.1s). Each bucket's reduce is one vectorized self-merge
-    (NOT one call per (chunk, cv) group: ~1ms Python per group)."""
+    (NOT one call per (chunk, cv) group: ~1ms Python per group).
+
+    Hot groups are collapsed/capped (see :func:`_collapse_and_pair`):
+    byte-identical texts pair as a star on their min id (hamming 0 by
+    construction — identical text means identical signature), and
+    near-identical floods above ``LSH_GROUP_CAP`` distinct texts per
+    (chunk, cv) group fall back to hub-star candidates, Hamming-verified
+    as usual."""
+    from ..functions.hashing import md5_i64_array
     from .exchange import bucket_exchange
 
     nb = _pair_buckets(n_rows)
@@ -458,6 +567,7 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
     def to_chunks(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sigs = simhash64_batch(batch[text_col].to_pylist())
+        th = md5_i64_array(batch[text_col]).to_numpy()
         n = len(ids)
         # vectorized 4-way chunk explode: rows [i*4 + c]
         rep_ids = np.repeat(ids, 4)
@@ -470,22 +580,28 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
                          "chunk": pa.array(chunks, pa.int32()),
                          "cv": pa.array(cv, pa.int64()),
                          "sig": pa.array(rep_sigs, pa.uint64()),
+                         "th": pa.array(np.repeat(th, 4), pa.int64()),
                          "bucket": pa.array(bucket, pa.int64())})
 
     def emit_pairs(t: pa.Table) -> pa.Table | None:
-        g = t.select(["id", "chunk", "cv", "sig"]).to_pandas()
-        m = g.merge(g, on=["chunk", "cv"])
-        m = m[m["id_x"] < m["id_y"]].drop_duplicates(["id_x", "id_y"])
-        if m.empty:
+        g = t.select(["id", "chunk", "cv", "sig", "th"]).to_pandas()
+        stars, cands = _collapse_and_pair(g, ["chunk", "cv"], "chunk",
+                                          carry=("sig",))
+        if len(cands):
+            ham = hamming64_batch(cands["sig_x"].to_numpy(dtype=np.uint64),
+                                  cands["sig_y"].to_numpy(dtype=np.uint64))
+            cands = cands.assign(hamming=ham)
+            cands = cands[cands["hamming"] <= max_hamming]
+        out = pd.DataFrame({
+            "id_a": list(stars["a"]) + list(cands["rep_x"] if len(cands)
+                                            else []),
+            "id_b": list(stars["b"]) + list(cands["rep_y"] if len(cands)
+                                            else []),
+            "hamming": ([0] * len(stars)) + (list(cands["hamming"])
+                                             if len(cands) else [])})
+        if out.empty:
             return None
-        ham = hamming64_batch(m["sig_x"].to_numpy(dtype=np.uint64),
-                              m["sig_y"].to_numpy(dtype=np.uint64))
-        m = m.assign(hamming=ham)
-        m = m[m["hamming"] <= max_hamming]
-        return pa.Table.from_pandas(
-            m[["id_x", "id_y", "hamming"]]
-            .rename(columns={"id_x": "id_a", "id_y": "id_b"}),
-            preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     banded = ds.map_batches(to_chunks, batch_format="pyarrow")
     tabs = [t for t in bucket_exchange(banded, nb, emit_pairs)

@@ -22,8 +22,8 @@ returned to the driver.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 
 
@@ -38,7 +38,19 @@ def _split_by_bucket(nbuckets: int, *tabs: pa.Table):
     else:
         t = (present[0] if len(present) == 1
              else pa.concat_tables(present, promote_options="default"))
-        out = tuple(t.filter(pc.equal(t["bucket"], b)) for b in range(nbuckets))
+        # one argsort + one gather + searchsorted boundary slices — NOT one
+        # full pc.equal filter pass per bucket (O(nbuckets x rows) compares;
+        # with bucket counts scaled up to 1024 that loop was the map-side
+        # hot path of every exchange). Same pattern as
+        # connected_components.propagate's dst-bucket fan-out.
+        bkt = t["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bkt, kind="stable")
+        ts = t.take(pa.array(order)).combine_chunks()
+        bounds = np.searchsorted(bkt[order], np.arange(nbuckets + 1))
+        out = tuple(
+            ts.slice(bounds[b], bounds[b + 1] - bounds[b])
+            if bounds[b + 1] > bounds[b] else None
+            for b in range(nbuckets))
     return out if nbuckets > 1 else out[0]
 
 

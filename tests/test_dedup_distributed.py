@@ -115,6 +115,74 @@ def test_ngram_df_cap_bounds_universal_shingle(ray_session):
     assert len(got_pairs) < 100
 
 
+def test_identical_doc_flood_collapses(ray_session):
+    """The 100-TB scale-killer guard: 10k byte-identical docs must emit
+    O(n) star pairs (rep -> member, J=1.0), never the O(n^2) all-pairs the
+    naive (band, bh) self-merge would produce inside one reduce task."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n_flood = 10_000
+    text = "the same boilerplate sentence repeated across the whole crawl"
+    texts = [text] * n_flood
+    # one genuine near-dup pair of a DIFFERENT text, to prove collapse
+    # doesn't break ordinary candidates
+    other = "completely different content about rivers and mountains " * 3
+    texts += [other, other + " extra"]
+    ids = list(range(n_flood + 2))
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    got = df.minhash_dedup_pairs(ds, "doc_id", "text", threshold=THRESHOLD)
+    stars = got[(got["id_a"] == 0) & (got["jaccard"] == 1.0)]
+    assert len(stars) == n_flood - 1          # one star edge per extra copy
+    assert (n_flood, n_flood + 1) in set(
+        zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    # bounded output: stars + the near-dup pair, NOT ~5e7 all-pairs
+    assert len(got) == n_flood
+
+    # cluster assignment re-expands members through the star edges
+    clusters = df.dedup_clusters(ds, "doc_id", "text", threshold=THRESHOLD,
+                                 detector="minhash",
+                                 n_rows=len(ids)).to_pandas()
+    lab = dict(zip(clusters["doc_id"].astype(int),
+                   clusters["cluster"].astype(int)))
+    assert all(lab[i] == 0 for i in range(n_flood))
+    assert lab[n_flood] == lab[n_flood + 1] == n_flood
+
+
+def test_identical_doc_flood_simhash(ray_session):
+    """Same collapse guarantee for the simhash banding: identical texts
+    star on their min id with hamming 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n_flood = 5_000
+    text = "another boilerplate block that floods the simhash banding"
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n_flood)),
+                                 "text": [text] * n_flood}))
+    got = df.simhash_dedup_pairs(ds, "doc_id", "text", max_hamming=8,
+                                 n_rows=n_flood)
+    assert len(got) == n_flood - 1
+    assert (got["id_a"] == 0).all() and (got["hamming"] == 0).all()
+
+
+def test_collapse_hot_group_cap():
+    """Near-identical floods (distinct texts, one shared (band, bh) group)
+    above LSH_GROUP_CAP emit hub-star candidates — O(g), not O(g^2)."""
+    import pandas as pd
+
+    g = pd.DataFrame({
+        "id": list(range(3000)),
+        "band": [0] * 3000,
+        "bh": [7] * 3000,
+        "th": list(range(3000)),          # all texts distinct
+    })
+    stars, cands = df._collapse_and_pair(g, ["band", "bh"], "band", cap=100)
+    assert len(stars) == 0
+    assert len(cands) == 2999             # hub-star, not ~4.5M all-pairs
+    assert (cands["rep_x"] == 0).all()
+
+
 def test_minhash_batch_parity():
     """The vectorized signature path must be bit-identical to the scalar
     reference (including the <k-char space-padding edge)."""
