@@ -111,6 +111,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "doc_id", "text", n=3, threshold=0.5,
             n_rows=_table_rows(sf_dir, "documents") + 50)
 
+    def keep_best_minhash(sf_dir: str):
+        # the production composition: keep-best policy over the minhash
+        # detector (LSH candidates + exact-Jaccard verify at 0.7)
+        ds = C.mutated_docs(sf_dir)
+        return dedup_family.dedup_keep_best(
+            ds, "doc_id", "text", threshold=0.7, detector="minhash",
+            n_rows=_table_rows(sf_dir, "documents") + 50)
+
     def embed_dup(sf_dir: str, lsh: bool = False):
         ds = C.planted_embeddings(sf_dir)
         if lsh:
@@ -175,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": ngram_jaccard,
         "dedup_clusters": clusters,
         "dedup_keep_best": keep_best,
+        "dedup_keep_best_minhash": keep_best_minhash,
         "embedding_dup_exact": embed_dup,
         "embedding_dup_lsh": lambda sf: embed_dup(sf, lsh=True),
         # --- aggregations / groupbys (G1-G6) ---
@@ -205,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": A.stratified_sample,
         "shard_assign": A.shard_assign,
         "dedup_incremental": A.dedup_incremental,
+        "dedup_incremental_near": A.dedup_incremental_near,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -406,7 +416,7 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.99"""
     mh_shingle = " + ".join(
         f"CAST(ascii(substring(txt, i + {j}, 1)) AS BIGINT) * {mh_mults[j]}"
         for j in range(5))
-    minhash_sql = mutated_docs_cte + f""", t AS (
+    minhash_pair_ctes = mutated_docs_cte + f""", t AS (
   SELECT doc_id, CASE WHEN length(text) < 5
                       THEN text || repeat(' ', 5 - length(text))
                       ELSE text END AS txt
@@ -433,13 +443,109 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.99"""
   FROM cand JOIN sh x ON x.doc_id = cand.id_a
             JOIN sh y ON y.doc_id = cand.id_b AND y.h = x.h
   GROUP BY 1, 2
-)
+)"""
+    minhash_sql = minhash_pair_ctes + """
 SELECT c0.id_a, c0.id_b,
        floor((c0.co * 1.0 / (ca.c + cb.c - c0.co)) * 1000 + 0.5) / 1000.0
          AS jaccard
 FROM co c0 JOIN cnt ca ON ca.doc_id = c0.id_a
            JOIN cnt cb ON cb.doc_id = c0.id_b
 WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
+
+    # keep-best over the MINHASH detector (the production composition):
+    # the same recursive-closure clustering as dedup_keep_best, with the
+    # pairs CTE swapped from the ngram SQL to the bit-identical minhash
+    # candidate+verify SQL at threshold 0.7
+    mh_cluster_ctes = (
+        minhash_pair_ctes.replace("WITH mutsrc", "WITH RECURSIVE mutsrc", 1)
+        + r""", pairs AS (
+  SELECT c0.id_a, c0.id_b
+  FROM co c0 JOIN cnt ca ON ca.doc_id = c0.id_a
+             JOIN cnt cb ON cb.doc_id = c0.id_b
+  WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT s AS node, s AS lab FROM e
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.node
+), clusters AS (
+  SELECT d.doc_id, COALESCE(m.lab, d.doc_id) AS cluster
+  FROM docs d
+  LEFT JOIN (SELECT node, min(lab) AS lab FROM reach GROUP BY node) m
+    ON m.node = d.doc_id
+)""")
+    # incremental NEAR-dup: the same minhash candidate+verify machinery,
+    # run new-stream-vs-prior-corpus instead of self-pairs; survivors are
+    # new docs with no verified (J >= 0.7) prior match. Mirrors
+    # analytics.dedup_incremental_near bit-for-bit (same perms, bands,
+    # shingles, fixture transforms).
+    dedup_incremental_near_sql = f"""
+WITH mutsrc AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id < {A._INC_NEAR_MUT}
+), mut AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN len(w) > 4
+              THEN array_to_string(w[1:3], ' ') || ' mutated ' || array_to_string(w[5:], ' ')
+              ELSE array_to_string(w, ' ') END AS text
+  FROM mutsrc
+), scr AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' ') AS text
+  FROM documents
+  WHERE doc_id >= {A._INC_NEAR_SCR_LO} AND doc_id < {A._INC_NEAR_SCR_HI}
+), newdocs AS (
+  SELECT * FROM mut UNION ALL SELECT * FROM scr
+), docs AS (
+  SELECT doc_id, text, 0 AS isn FROM documents
+  UNION ALL SELECT doc_id, text, 1 AS isn FROM newdocs
+), t AS (
+  SELECT doc_id, isn, CASE WHEN length(text) < 5
+                      THEN text || repeat(' ', 5 - length(text))
+                      ELSE text END AS txt
+  FROM docs
+), sh AS (
+  SELECT DISTINCT doc_id, isn, ({mh_shingle}) % {_MERSENNE} AS h
+  FROM (SELECT doc_id, isn, txt,
+               unnest(generate_series(1, length(txt) - 4)) AS i FROM t)
+), perm(r, pa, pb) AS (VALUES {perm_rows}
+), sig AS (
+  SELECT doc_id, isn, r, min((pa * h + pb) % 18446744073709551616) AS s
+  FROM sh CROSS JOIN perm GROUP BY 1, 2, 3
+), band AS (
+  SELECT doc_id, isn, r // 8 AS band, SUM(s) % 18446744073709551616 AS bh
+  FROM sig GROUP BY 1, 2, 3
+), cand AS (
+  SELECT DISTINCT n.doc_id AS nid, p.doc_id AS pid
+  FROM band p JOIN band n ON p.band = n.band AND p.bh = n.bh
+  WHERE p.isn = 0 AND n.isn = 1
+), cnt AS (
+  SELECT doc_id, isn, count(*) AS c FROM sh GROUP BY 1, 2
+), co AS (
+  SELECT nid, pid, count(*) AS co
+  FROM cand JOIN sh x ON x.doc_id = cand.nid AND x.isn = 1
+            JOIN sh y ON y.doc_id = cand.pid AND y.isn = 0 AND y.h = x.h
+  GROUP BY 1, 2
+), ver AS (
+  SELECT DISTINCT c0.nid
+  FROM co c0 JOIN cnt ca ON ca.doc_id = c0.nid AND ca.isn = 1
+             JOIN cnt cb ON cb.doc_id = c0.pid AND cb.isn = 0
+  WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= {A._NEAR_THRESHOLD}
+)
+SELECT doc_id FROM newdocs WHERE doc_id NOT IN (SELECT nid FROM ver)"""
+
+    dedup_keep_best_minhash_sql = mh_cluster_ctes + r""", m AS (
+  SELECT c.cluster, c.doc_id, length(d.text) AS n_chars
+  FROM clusters c JOIN docs d ON d.doc_id = c.doc_id
+)
+SELECT cluster, doc_id, n_chars, n_members FROM (
+  SELECT cluster, doc_id, n_chars,
+         count(*) OVER (PARTITION BY cluster) AS n_members,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM m) WHERE rn = 1"""
 
     return {
         "scrub_regex": A.scrub_docs_sql(),
@@ -470,6 +576,7 @@ WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
         "stratified_sample": A.stratified_sample_sql(),
         "shard_assign": A.shard_assign_sql(),
         "dedup_incremental": A.dedup_incremental_sql(),
+        "dedup_incremental_near": dedup_incremental_near_sql,
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),
         "group_topk": A.group_topk_sql(),
@@ -485,6 +592,7 @@ WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
         "ngram_jaccard_dedup": ngram_jaccard_sql,
         "dedup_clusters": dedup_clusters_sql,
         "dedup_keep_best": dedup_keep_best_sql,
+        "dedup_keep_best_minhash": dedup_keep_best_minhash_sql,
         "embedding_dup_exact": embed_dup_sql,
         # The LSH near-dup variant provably finds the same pairs as the
         # exact path on this fixture (cos>=0.99 pairs are planted exact

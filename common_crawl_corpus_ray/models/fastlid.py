@@ -54,20 +54,28 @@ class FastLid:
         return cls(labels, W.astype(np.float32))
 
     def predict(self, texts: list[str]) -> list[str]:
+        return self.predict_scores(texts)[0]
+
+    def predict_scores(self, texts: list[str]) -> tuple[list[str], np.ndarray]:
         """Batch prediction, vectorized across the whole batch: all texts'
         utf-8 bytes are concatenated once, gram ids are computed on the
         concatenation with cross-text grams masked out, and per-text score
         accumulation is one weighted ``bincount`` per language — no Python
         loop over texts (was ~200us/text; the batch path is ~10x faster
-        at map_batches batch sizes)."""
+        at map_batches batch sizes).
+
+        Returns (labels, argmax scores). The score of text i is the sum of
+        its own grams' weights in index order — independent of how the
+        batch is composed, so scores are bit-stable across any batching
+        (pinned by the committed lid fixture parquet)."""
         T = len(texts)
         if T == 0:
-            return []
+            return [], np.zeros(0, dtype=np.float64)
         enc = [t.encode("utf-8") for t in texts]
         lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=T)
         buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
         if buf.size == 0:
-            return [self.labels[0]] * T
+            return [self.labels[0]] * T, np.zeros(T, dtype=np.float64)
         seg = np.repeat(np.arange(T, dtype=np.int64), lens)
 
         grams = [(buf, seg)]
@@ -90,7 +98,8 @@ class FastLid:
         best = np.argmax(scores, axis=1)
         best[lens == 0] = 0             # empty text -> labels[0] (as before)
         labels = self.labels
-        return [labels[i] for i in best]
+        return ([labels[i] for i in best],
+                scores[np.arange(T), best])
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, labels=np.array(self.labels), W=self.W)

@@ -190,9 +190,10 @@ def lid_documents(sf_dir: str):
             self.model = ray.get(model_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            preds = self.model.predict(b["text"].to_pylist())
+            preds, scores = self.model.predict_scores(b["text"].to_pylist())
             return pa.table({"doc_id": b["doc_id"],
-                             "lang_pred": pa.array(preds, pa.string())})
+                             "lang_pred": pa.array(preds, pa.string()),
+                             "score": pa.array(scores, pa.float64())})
 
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"]).map_batches(

@@ -241,6 +241,37 @@ def test_connected_components_chain_clique_singleton(ray_session):
     assert got == want
 
 
+def test_connected_components_two_level_scatter(ray_session):
+    """Forcing >32 buckets exercises the sqrt(nb) scatter wave (the
+    bounded-ref-fan-out path); results must equal the direct path's."""
+    import pandas as pd
+    import ray.data as rd
+
+    pairs = pd.DataFrame({"id_a": [10, 11, 12, 13, 14, 20, 20, 21, 30],
+                          "id_b": [11, 12, 13, 14, 15, 21, 22, 22, 31]})
+    ids = pd.DataFrame({"doc_id": [10, 11, 12, 13, 14, 15,
+                                   20, 21, 22, 30, 31, 40, 41]})
+    out = df.connected_components(
+        rd.from_pandas(pairs), rd.from_pandas(ids), "doc_id",
+        n_rows=40_000).to_pandas()          # nb=128 -> scatter path
+    got = dict(zip(out["doc_id"].astype(int), out["cluster"].astype(int)))
+    want = {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+            20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 40: 40, 41: 41}
+    assert got == want
+
+
+def test_connected_components_rejects_string_ids(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    pairs = pd.DataFrame({"id_a": ["a"], "id_b": ["b"]})
+    ids = pd.DataFrame({"doc_id": ["a", "b"]})
+    with pytest.raises(TypeError, match="integer"):
+        df.connected_components(rd.from_pandas(pairs), rd.from_pandas(ids),
+                                "doc_id", n_rows=2)
+
+
 def test_dedup_clusters_matches_pair_graph(ray_session):
     """Cluster assignment over the mutated fixture: every verified ngram
     pair's two sides must share a cluster, and the canonical id is the

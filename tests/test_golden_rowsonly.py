@@ -23,7 +23,7 @@ SF = "/root/testdata/sf0.001"
 GOLDEN = {
     "ann_lsh_topk": (100, "64d67bd31fec4adca27ccba4ac4a9fb8"),
     "ann_ivf_topk": (100, "fb484d91e16e94fd30e476d303f2f3bb"),
-    "lid_documents": (500, "2a55aa98f0097ddd22d22ccec154176b"),
+    "lid_documents": (500, "e85d1c13cd6400ec854ed2ffcdbd7e0b"),
     "audio_decode_stats": (3, "fe736e8551cb3fa25aca3b69d02bb865"),
     "image_resize": (200, "96f43c844bfb1bbd89e93ac887f2e9c9"),
     "image_features": (200, "cab5df915095413aacc581b398e6d63a"),
@@ -110,3 +110,23 @@ def test_ann_recall_floor(entry_mod, name):
     hits = sum(len(got.get(q, set()) & want[q]) for q in want.index)
     recall = hits / want.map(len).sum()
     assert recall >= RECALL_FLOOR[name], f"{name} recall@k {recall:.3f}"
+
+
+def test_lid_documents_matches_committed_fixture(entry_mod):
+    """Full-frame equality against a committed expected parquet at sf0.01
+    (stronger and more debuggable than the hash pin: a drift shows WHICH
+    doc changed). The NB/FastLid models are deterministic linear algebra
+    and per-text scores are batch-composition-independent, so the frame is
+    bit-stable run to run. Regenerate the fixture only with an intentional
+    semantic change, in the same commit."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    got = _to_df(entry_mod.queries()["lid_documents"]("/root/testdata/sf0.01"))
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = pq.read_table(os.path.join(os.path.dirname(__file__), "fixtures",
+                                      "lid_documents_sf0.01.parquet")
+                         ).to_pandas()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want)
