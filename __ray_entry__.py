@@ -119,6 +119,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "doc_id", "text", threshold=0.7, detector="minhash",
             n_rows=_table_rows(sf_dir, "documents") + 50)
 
+    def minhash_exactdups(sf_dir: str):
+        # pins the exact-dup collapse semantics under the driver's hash
+        # gate: byte-identical texts star on their min id, near-dups pair
+        # at the per-text representative level
+        ds = C.exactdup_docs(sf_dir)
+        return dedup_family.minhash_dedup_pairs(ds, "doc_id", "text",
+                                                threshold=0.7)
+
     def embed_dup(sf_dir: str, lsh: bool = False):
         ds = C.planted_embeddings(sf_dir)
         if lsh:
@@ -181,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": minhash,
         "simhash_dedup": simhash,
         "ngram_jaccard_dedup": ngram_jaccard,
+        "minhash_dedup_exactdups": minhash_exactdups,
         "dedup_clusters": clusters,
         "dedup_keep_best": keep_best,
         "dedup_keep_best_minhash": keep_best_minhash,
@@ -452,6 +461,70 @@ FROM co c0 JOIN cnt ca ON ca.doc_id = c0.id_a
            JOIN cnt cb ON cb.doc_id = c0.id_b
 WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
 
+    # exact-dup collapse semantics under the driver's hash gate: on a
+    # fixture with planted byte-identical copies, the pair output is the
+    # COLLAPSED representation dedup_family._collapse_and_pair documents —
+    # one (min-id rep -> member) star edge per extra copy at J = 1.0, and
+    # minhash near-dup pairs among per-text representatives only (never
+    # the O(copies^2) all-pairs a naive LSH self-merge would emit).
+    exactdups_sql = f"""
+WITH mutsrc AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id < 50
+), mut AS (
+  SELECT doc_id + 3000000 AS doc_id,
+         CASE WHEN len(w) > 4
+              THEN array_to_string(w[1:3], ' ') || ' mutated ' || array_to_string(w[5:], ' ')
+              ELSE array_to_string(w, ' ') END AS text
+  FROM mutsrc
+), docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 25
+  UNION ALL SELECT doc_id, text FROM mut
+), grp AS (
+  SELECT text, min(doc_id) AS rep FROM docs GROUP BY text
+), stars AS (
+  SELECT g.rep AS id_a, d.doc_id AS id_b, 1.0 AS jaccard
+  FROM docs d JOIN grp g ON g.text = d.text WHERE d.doc_id != g.rep
+), reps AS (
+  SELECT rep AS doc_id, text FROM grp
+), t AS (
+  SELECT doc_id, CASE WHEN length(text) < 5
+                      THEN text || repeat(' ', 5 - length(text))
+                      ELSE text END AS txt
+  FROM reps
+), sh AS (
+  SELECT DISTINCT doc_id, ({mh_shingle}) % {_MERSENNE} AS h
+  FROM (SELECT doc_id, txt,
+               unnest(generate_series(1, length(txt) - 4)) AS i FROM t)
+), perm(r, pa, pb) AS (VALUES {perm_rows}
+), sig AS (
+  SELECT doc_id, r, min((pa * h + pb) % 18446744073709551616) AS s
+  FROM sh CROSS JOIN perm GROUP BY 1, 2
+), band AS (
+  SELECT doc_id, r // 8 AS band, SUM(s) % 18446744073709551616 AS bh
+  FROM sig GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), cnt AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY 1
+), co AS (
+  SELECT id_a, id_b, count(*) AS co
+  FROM cand JOIN sh x ON x.doc_id = cand.id_a
+            JOIN sh y ON y.doc_id = cand.id_b AND y.h = x.h
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard FROM stars
+UNION ALL
+SELECT c0.id_a, c0.id_b,
+       floor((c0.co * 1.0 / (ca.c + cb.c - c0.co)) * 1000 + 0.5) / 1000.0
+FROM co c0 JOIN cnt ca ON ca.doc_id = c0.id_a
+           JOIN cnt cb ON cb.doc_id = c0.id_b
+WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
+
     # keep-best over the MINHASH detector (the production composition):
     # the same recursive-closure clustering as dedup_keep_best, with the
     # pairs CTE swapped from the ngram SQL to the bit-identical minhash
@@ -602,6 +675,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "embedding_dup_lsh": embed_dup_sql,
         "simhash_dedup": simhash_sql,
         "minhash_dedup": minhash_sql,
+        "minhash_dedup_exactdups": exactdups_sql,
         # codec_validity is pure payload-length arithmetic over the
         # deterministic derived clips fixture — the SQL reads the same
         # parquet the Ray query reads (C.codec_validity_sql ensures the

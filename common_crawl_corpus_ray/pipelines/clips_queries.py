@@ -279,6 +279,37 @@ def mutated_docs(sf_dir: str, n_mutate: int = 50):
     return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))
 
 
+def exactdup_docs(sf_dir: str, n_copy: int = 25, n_mutate: int = 50):
+    """documents UNION two exact copies of doc_id < n_copy (ids 1M+i and
+    2M+i) UNION near-dup mutated copies of doc_id < n_mutate (ids 3M+i) —
+    fixture for the LSH exact-dup collapse semantics: byte-identical texts
+    must pair as a star on their min id (J=1.0), near-dups pair at the
+    per-text representative level only."""
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def extra(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        out_ids: list[int] = []
+        out_txt: list[str] = []
+        for i, t in zip(ids, texts):
+            if i < n_copy:
+                out_ids += [int(i) + 1_000_000, int(i) + 2_000_000]
+                out_txt += [t, t]
+            if i < n_mutate:
+                words = t.split()
+                if len(words) > 4:
+                    words[3] = "mutated"
+                out_ids.append(int(i) + 3_000_000)
+                out_txt.append(" ".join(words))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    return ds.union(ds.map_batches(extra, batch_format="pyarrow"))
+
+
 def planted_embeddings(sf_dir: str, n_plant: int = 20):
     """embeddings UNION exact copies of the first n_plant vectors under new
     ids — fixture for the embedding-cosine near-dup detectors (the copies
