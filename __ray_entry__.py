@@ -105,6 +105,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "doc_id", "text", n=3, threshold=0.5,
             n_rows=_table_rows(sf_dir, "documents") + 50)
 
+    def clusters_minhash(sf_dir: str):
+        ds = C.mutated_docs(sf_dir)
+        return dedup_family.dedup_clusters(
+            ds, "doc_id", "text", threshold=0.7, detector="minhash",
+            n_rows=_table_rows(sf_dir, "documents") + 50)
+
     def keep_best(sf_dir: str):
         ds = C.mutated_docs(sf_dir)
         return dedup_family.dedup_keep_best(
@@ -191,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": ngram_jaccard,
         "minhash_dedup_exactdups": minhash_exactdups,
         "dedup_clusters": clusters,
+        "dedup_clusters_minhash": clusters_minhash,
         "dedup_keep_best": keep_best,
         "dedup_keep_best_minhash": keep_best_minhash,
         "embedding_dup_exact": embed_dup,
@@ -224,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assign": A.shard_assign,
         "dedup_incremental": A.dedup_incremental,
         "dedup_incremental_near": A.dedup_incremental_near,
+        "sentence_dedup": A.sentence_dedup,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -650,6 +658,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "shard_assign": A.shard_assign_sql(),
         "dedup_incremental": A.dedup_incremental_sql(),
         "dedup_incremental_near": dedup_incremental_near_sql,
+        "sentence_dedup": A.sentence_dedup_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),
         "group_topk": A.group_topk_sql(),
@@ -664,6 +673,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "ann_cosine_topk": ann_sql,
         "ngram_jaccard_dedup": ngram_jaccard_sql,
         "dedup_clusters": dedup_clusters_sql,
+        "dedup_clusters_minhash": mh_cluster_ctes
+        + "\nSELECT doc_id, cluster FROM clusters",
         "dedup_keep_best": dedup_keep_best_sql,
         "dedup_keep_best_minhash": dedup_keep_best_minhash_sql,
         "embedding_dup_exact": embed_dup_sql,

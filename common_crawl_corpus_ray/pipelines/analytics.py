@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import spec
-from ..functions.hashing import md5_i64_array, sql_md5_i64
+from ..functions.hashing import md5_i64, md5_i64_array, sql_md5_i64
 from ..sources.keyed import KeyedBatchJoiner
 # module-level (worker bodies below call these; a function-level import
 # would re-run ON the worker and fail without the repo on its path)
@@ -678,6 +678,150 @@ WITH newdocs AS (
 SELECT {h} AS text_hash, min(doc_id) AS doc_id FROM newdocs
 WHERE {h} NOT IN (SELECT {h} FROM documents)
 GROUP BY text"""
+
+
+# --- global sentence-level exact dedup --------------------------------------
+
+_SENT_SEP = ". "
+_SENT_BOILER = "subscribe to our newsletter today. "
+
+
+def sentence_dedup(sf_dir: str):
+    """Sub-document exact dedup (the practical cousin of substring dedup a
+    training-data pipeline runs to strip boilerplate): every document
+    splits into sentences; each distinct sentence survives only at its
+    FIRST global occurrence (min (doc_id, position)); documents reassemble
+    from their surviving sentences. The fixture plants a boilerplate
+    sentence in every third document, so the op demonstrably strips it
+    everywhere but its first occurrence.
+
+    Scale shape — two slim-to-fat bucket exchanges, no driver state:
+      1. (sentence_hash, doc_id, pos) rows — slim, ~24B each — exchange
+         keyed by sentence hash; each reduce picks the min (doc_id, pos)
+         per hash and re-emits winner coordinates keyed by doc_id.
+      2. (doc_id, pos, sentence) rows — the corpus text, moved ONCE, the
+         volume of a repartition — exchange keyed by doc_id; each reduce
+         joins its docs' sentences to the winner flags and reassembles.
+    Per-task memory is one bucket's docs/hashes; bucket counts scale with
+    the row-count hint. No winner set ever lands on the driver (a distinct-
+    sentence broadcast would be O(corpus))."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=200_000, lo=8)
+
+    def boilered(b: pa.Table):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        return ids, [(_SENT_BOILER + t) if i % 3 == 0 else t
+                     for i, t in zip(ids, texts)]
+
+    def explode_hash(b: pa.Table) -> pa.Table:
+        ids, texts = boilered(b)
+        d, p, h = [], [], []
+        for i, t in zip(ids, texts):
+            for k, sent in enumerate(t.split(_SENT_SEP)):
+                d.append(int(i)); p.append(k + 1)
+                h.append(md5_i64(sent))
+        hv = np.asarray(h, dtype=np.int64)
+        return pa.table({"bucket": pa.array(hv % nb, pa.int64()),
+                         "h": pa.array(hv, pa.int64()),
+                         "doc_id": pa.array(d, pa.int64()),
+                         "pos": pa.array(p, pa.int64())})
+
+    def winners(t: pa.Table) -> pa.Table | None:
+        df = t.select(["h", "doc_id", "pos"]).to_pandas()
+        if df.empty:
+            return None
+        w = (df.sort_values(["h", "doc_id", "pos"])
+             .drop_duplicates("h", keep="first"))
+        return pa.table({
+            "bucket": pa.array(w["doc_id"].to_numpy(np.int64) % nb,
+                               pa.int64()),
+            "doc_id": pa.array(w["doc_id"].to_numpy(np.int64)),
+            "pos": pa.array(w["pos"].to_numpy(np.int64)),
+            "sent": pa.nulls(len(w), pa.string())})
+
+    flags_empty = pa.table({"bucket": pa.array([], pa.int64()),
+                            "doc_id": pa.array([], pa.int64()),
+                            "pos": pa.array([], pa.int64()),
+                            "sent": pa.array([], pa.string())})
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    flags = bucket_exchange_dataset(
+        docs.map_batches(explode_hash, batch_format="pyarrow"),
+        nb, winners, flags_empty)
+
+    def explode_sent(b: pa.Table) -> pa.Table:
+        ids, texts = boilered(b)
+        d, p, s = [], [], []
+        for i, t in zip(ids, texts):
+            for k, sent in enumerate(t.split(_SENT_SEP)):
+                d.append(int(i)); p.append(k + 1); s.append(sent)
+        dv = np.asarray(d, dtype=np.int64)
+        return pa.table({"bucket": pa.array(dv % nb, pa.int64()),
+                         "doc_id": pa.array(dv),
+                         "pos": pa.array(p, pa.int64()),
+                         "sent": pa.array(s, pa.string())})
+
+    def reassemble(t: pa.Table) -> pa.Table | None:
+        df = t.select(["doc_id", "pos", "sent"]).to_pandas()
+        sents = df[df["sent"].notna()]
+        if sents.empty:
+            return None
+        keys = df[df["sent"].isna()][["doc_id", "pos"]]
+        kept = sents.merge(keys, on=["doc_id", "pos"]).sort_values(
+            ["doc_id", "pos"])
+        joined = (kept.groupby("doc_id", sort=True)["sent"]
+                  .agg(_SENT_SEP.join))
+        n_kept = kept.groupby("doc_id", sort=True).size()
+        n_total = sents.groupby("doc_id", sort=True).size()
+        out = pd.DataFrame({"n_total": n_total})
+        out["text_dedup"] = joined.reindex(out.index).fillna("")
+        out["n_kept"] = n_kept.reindex(out.index).fillna(0).astype(np.int64)
+        out = out.reset_index()
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "text_dedup": pa.array(out["text_dedup"], pa.string()),
+            "n_kept": pa.array(out["n_kept"].to_numpy(np.int64)),
+            "n_total": pa.array(out["n_total"].to_numpy(np.int64))})
+
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text_dedup": pa.array([], pa.string()),
+                          "n_kept": pa.array([], pa.int64()),
+                          "n_total": pa.array([], pa.int64())})
+    mixed = docs.map_batches(explode_sent, batch_format="pyarrow").union(flags)
+    return bucket_exchange_dataset(mixed, nb, reassemble, out_empty)
+
+
+def sentence_dedup_sql() -> str:
+    h = sql_md5_i64("sent")
+    return f"""
+WITH src AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                      THEN '{_SENT_BOILER}' || text ELSE text END AS text
+  FROM documents
+), parts AS (
+  SELECT doc_id, string_split(text, '{_SENT_SEP}') AS p FROM src
+), s AS (
+  SELECT doc_id, i AS pos, p[i] AS sent
+  FROM (SELECT doc_id, p, unnest(generate_series(1, len(p))) AS i FROM parts)
+), win AS (
+  SELECT doc_id, pos, sent,
+         row_number() OVER (PARTITION BY {h}
+                            ORDER BY doc_id, pos) AS rn
+  FROM s
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, '{_SENT_SEP}'
+                           ORDER BY pos), '') AS text_dedup,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM win GROUP BY doc_id"""
 
 
 # --- incremental NEAR-dup (cross-crawl minhash probe) -----------------------
