@@ -79,6 +79,11 @@ SQL_QUERIES = [
     # round 3: integer-exact pricing rollup + large-large hash equi-join
     # over the TPC-H-shaped tables
     "tpch_q1", "hash_join",
+    # round 4: keep-best over the minhash detector; cross-crawl NEAR-dup
+    # vs a persisted prior band index; clustering driven by minhash; the
+    # exact-dup collapse semantics pin; sub-document sentence dedup
+    "dedup_keep_best_minhash", "dedup_incremental_near",
+    "dedup_clusters_minhash", "minhash_dedup_exactdups", "sentence_dedup",
 ]
 
 
