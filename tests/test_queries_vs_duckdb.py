@@ -128,7 +128,7 @@ def test_rows_only_queries_run(entry_mod, name):
     res = to_pandas(entry_mod.queries()[name](SF_DIR))
     assert res is not None
     if name == "lid_documents":
-        assert len(res) == 500 and set(res.columns) == {"doc_id", "lang_pred"}
+        assert len(res) == 500 and set(res.columns) == {"doc_id", "lang_pred", "score"}
     if name in ("ann_lsh_topk", "ann_ivf_topk"):
         assert set(res.columns) == {"query_id", "neighbor_id", "sim"}
     if name == "codec_validity":
