@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": A.dedup_incremental,
         "dedup_incremental_near": A.dedup_incremental_near,
         "sentence_dedup": A.sentence_dedup,
+        "vocab_topk": A.vocab_topk,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -659,6 +660,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "dedup_incremental": A.dedup_incremental_sql(),
         "dedup_incremental_near": dedup_incremental_near_sql,
         "sentence_dedup": A.sentence_dedup_sql(),
+        "vocab_topk": A.vocab_topk_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),
         "group_topk": A.group_topk_sql(),

@@ -68,7 +68,7 @@ QUERY_NAMES = [
     "winnow_fingerprint", "dedup_clusters", "dedup_incremental",
     "shard_assign", "tpch_q1", "hash_join",
     "dedup_keep_best_minhash", "dedup_incremental_near",
-    "minhash_dedup_exactdups", "sentence_dedup",
+    "minhash_dedup_exactdups", "sentence_dedup", "vocab_topk",
 ]
 
 

@@ -680,6 +680,71 @@ WHERE {h} NOT IN (SELECT {h} FROM documents)
 GROUP BY text"""
 
 
+# --- corpus vocabulary builder ----------------------------------------------
+
+VOCAB_K = 100
+
+
+def vocab_topk(sf_dir: str, k: int = VOCAB_K):
+    """Corpus vocabulary: the top-k words by total count (ties to the
+    lexicographically smaller word) — the vocab/BPE-prep step of a
+    training-data pipeline.
+
+    Scale shape: per-block word counts (combiner — the shuffle moves one
+    row per DISTINCT word per block, never per token), one bucket exchange
+    keyed by word hash (each word wholly in one bucket, so per-bucket
+    top-k lists are exact candidates), driver merges nb tiny k-row lists.
+    Driver memory is O(nb x k); no global sort of the vocabulary."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=100_000, lo=8)
+
+    def partials(b: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for w in t.split():
+                cnt[w] = cnt.get(w, 0) + 1
+        ws = list(cnt)
+        bucket = np.fromiter((zlib.crc32(w.encode("utf-8")) % nb for w in ws),
+                             dtype=np.int64, count=len(ws))
+        return pa.table({"bucket": pa.array(bucket, pa.int64()),
+                         "word": pa.array(ws, pa.string()),
+                         "c": pa.array([cnt[w] for w in ws], pa.int64())})
+
+    def topk_bucket(t: pa.Table) -> pa.Table:
+        g = (t.select(["word", "c"]).to_pandas()
+             .groupby("word", sort=False)["c"].sum().reset_index())
+        g = g.sort_values(["c", "word"], ascending=[False, True]).head(k)
+        return pa.table({"word": pa.array(g["word"], pa.string()),
+                         "n": pa.array(g["c"].to_numpy(np.int64))})
+
+    tabs = [t for t in bucket_exchange(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            partials, batch_format="pyarrow"),
+        nb, topk_bucket) if t.num_rows]
+    if not tabs:
+        return pd.DataFrame({"word": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    out = pa.concat_tables(tabs).to_pandas()
+    return (out.sort_values(["n", "word"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def vocab_topk_sql() -> str:
+    return f"""
+SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x != '')) AS w
+      FROM documents)
+GROUP BY w ORDER BY n DESC, w LIMIT {VOCAB_K}"""
+
+
 # --- global sentence-level exact dedup --------------------------------------
 
 _SENT_SEP = ". "

@@ -10,11 +10,14 @@ WET_processor.py:125-132); these are the standard scale designs:
   * SimHash: 64-bit signature from hashed word features; banding on 4
     16-bit chunks for candidates; Hamming-distance verify.
 
-Candidate sets STAY distributed: banding emits a Dataset of (a, b) pairs
-through the manual bucket exchange, and the minhash verify joins pairs to
-per-doc shingle arrays across two hash-partitioned exchange rounds — no
-driver-side candidate set or shingle dict at any point (see
-``minhash_dedup_pairs``). Driver memory is the final verified pair list.
+Candidate sets STAY distributed: banding emits a Dataset of (a, b, exact)
+pairs through the manual bucket exchange — byte-identical texts collapse
+to ``exact=True`` star edges on their min id inside the banding reduce
+(see :func:`_collapse_and_pair`; the dup-flood guard) — and the minhash
+verify joins the non-exact pairs to per-doc shingle arrays across two
+hash-partitioned exchange rounds — no driver-side candidate set or shingle
+dict at any point (see ``minhash_dedup_pairs``). Driver memory is the
+final verified pair list.
 """
 
 from __future__ import annotations

@@ -84,6 +84,7 @@ SQL_QUERIES = [
     # exact-dup collapse semantics pin; sub-document sentence dedup
     "dedup_keep_best_minhash", "dedup_incremental_near",
     "dedup_clusters_minhash", "minhash_dedup_exactdups", "sentence_dedup",
+    "vocab_topk",
 ]
 
 
