@@ -1113,6 +1113,42 @@ def dedup_incremental_near(sf_dir: str):
              .map_batches(_BandProbe, batch_format="pyarrow",
                           batch_size=4096, fn_constructor_args=(band_idx,),
                           concurrency=(1, 4), num_cpus=1))
+
+    # global candidate dedup BEFORE verification: the same (nid, pid) pair
+    # surfaces from up to `bands` different band matches, and after the bk
+    # sort those sightings land in different batches — without this
+    # exchange every pair would be exact-Jaccard-verified up to 8x. One
+    # slim pair-hash exchange with a distinct reduce bounds verify work at
+    # one per unique pair.
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+    nb_pairs = scaled_buckets(
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows,
+        rows_per_bucket=500_000, lo=4)
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        nid = b["nid"].to_numpy(zero_copy_only=False)
+        pid = b["pid"].to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array((nid * 31 + pid) % nb_pairs,
+                                            pa.int64()),
+                         "nid": b["nid"], "pid": b["pid"]})
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        # pandas single-threaded dedup, not Acero group_by (repo rule:
+        # Acero multi-threads inside already-saturated reduce tasks)
+        df = (t.select(["nid", "pid"]).to_pandas()
+              .drop_duplicates(["nid", "pid"]))
+        return pa.table({"nid": pa.array(df["nid"].to_numpy(np.int64)),
+                         "pid": pa.array(df["pid"].to_numpy(np.int64))})
+
+    cands_empty = pa.table({"nid": pa.array([], pa.int64()),
+                            "pid": pa.array([], pa.int64())})
+    cands = bucket_exchange_dataset(
+        cands.map_batches(pair_bucket, batch_format="pyarrow"),
+        nb_pairs, distinct_pairs, cands_empty)
+
     matched_ds = (cands.sort("pid")
                   .map_batches(_NearVerify, batch_format="pyarrow",
                                batch_size=4096,
