@@ -32,7 +32,8 @@ def _setup() -> None:
     # import the full surface first so every submodule is in sys.modules
     from common_crawl_corpus_ray.functions import (broadcast, hll,  # noqa: F401
                                                    sketch)
-    from common_crawl_corpus_ray.pipelines import (analytics, clips_queries,  # noqa: F401
+    from common_crawl_corpus_ray.pipelines import (analytics, audio_ops,  # noqa: F401
+                                                   clips_queries,
                                                    quality_filter)
     from common_crawl_corpus_ray.sources import keyed  # noqa: F401
     from common_crawl_corpus_ray.stages import (ann, decide, dedup_family,  # noqa: F401
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow.parquet as pq
 
     from common_crawl_corpus_ray.pipelines import analytics as A
+    from common_crawl_corpus_ray.pipelines import audio_ops as AO
     from common_crawl_corpus_ray.pipelines import clips_queries as C
     from common_crawl_corpus_ray.stages import ann, dedup_family
 
@@ -245,6 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lid_documents": C.lid_documents,
         "audio_decode_stats": C.audio_decode_stats,
         "codec_validity": C.codec_validity,
+        "audio_chunk": AO.audio_chunk,
+        "silence_trim": AO.silence_trim,
+        "audio_resample": AO.audio_resample,
+        "audio_dedup": AO.audio_dedup,
         "image_resize": image_resize,
         "image_features": image_features,
         "video_frame_sample": video_frames,
@@ -256,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
     _setup()
     from common_crawl_corpus_ray.functions import spec
     from common_crawl_corpus_ray.pipelines import analytics as A
+    from common_crawl_corpus_ray.pipelines import audio_ops as AO
     from common_crawl_corpus_ray.pipelines import clips_queries as C
 
     z = spec  # keep import obvious
@@ -694,6 +701,17 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         # parquet the Ray query reads (C.codec_validity_sql ensures the
         # sf0.01 cache exists before returning the string):
         "codec_validity": C.codec_validity_sql(),
+        # Audio-modality operators share codec_validity's oracle strategy
+        # (exact SQL over the same derived fixture parquet): chunk
+        # boundaries AND slice content (md5-of-hex — DuckDB's only blob
+        # hash), planted-silence trim frame counts, resample output
+        # lengths (sample-VALUE fidelity is pinned in
+        # tests/test_audio_ops.py; SQL can't interpolate), dedup survivors
+        # over self-join-planted payload duplicates:
+        "audio_chunk": AO.audio_chunk_sql(),
+        "silence_trim": AO.silence_trim_sql(),
+        "audio_resample": AO.audio_resample_sql(),
+        "audio_dedup": AO.audio_dedup_sql(),
         # ann_lsh_topk / ann_ivf_topk (measured: LSH/IVF recall < 1 on
         # this fixture — genuinely approximate) / lid_documents /
         # audio_decode_stats / clips_pipeline: not SQL-expressible or not

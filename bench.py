@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "shard_assign", "tpch_q1", "hash_join",
     "dedup_keep_best_minhash", "dedup_incremental_near",
     "minhash_dedup_exactdups", "sentence_dedup", "vocab_topk",
+    "audio_chunk", "silence_trim", "audio_resample", "audio_dedup",
 ]
 
 

@@ -1,0 +1,360 @@
+"""Audio-modality operators over the clips table: chunking, VAD trim,
+resampling, exact payload dedup.
+
+The reference corpus engine is text-only; these are the audio analogs its
+operators imply once the input table carries an encoded payload per clip
+(BASELINE.json input_hint): ``audio_chunk`` is the payload counterpart of
+the reference's line-split flat-map (cc_corpus.py:241-247, M6 in SURVEY
+§2), ``silence_trim`` of its pre-filters (cc_corpus.py:256), ``audio_dedup``
+of the hash-column dedup (deduplication.py:88-102), and ``audio_resample``
+is the canonical normalize-before-training stage.
+
+Oracle strategy (same as clips_queries.codec_validity): the clips table is
+a deterministic derived fixture, so each query's DuckDB oracle reads the
+sf0.01 fixture parquet directly. Everything the oracle checks is exact —
+chunk boundaries, payload-slice content (as md5-of-hex, DuckDB's only
+blob-hash spelling), planted-silence trim frame counts, resample output
+lengths, dedup survivors. The DSP math SQL cannot express (resampled
+sample values) is pinned separately in pytest (property + golden tests in
+tests/test_audio_ops.py).
+
+Scale shape, shared by all four: payload bytes never enter a shuffle —
+each stage reads (fused read+map, ``batch_size=None``), emits slim rows
+(ids + integers + 32-char digests), and only those shuffle/aggregate.
+Payload access is zero-copy (memoryview slices over the Arrow binary
+buffer); decode and frame math are whole-clip numpy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..audio import codecs
+from .clips_queries import ORACLE_SF, ensure_clips
+
+CHUNK_MS = 1000          # audio_chunk window
+HOP_MS = 500             # audio_chunk stride
+FRAME_MS = 20            # silence_trim analysis frame (sr//50 samples;
+                         # every fixture rate is divisible by 50)
+TRIM_THRESH = 0.02       # frame-RMS silence cut: planted silence is exactly
+                         # 0.0 (zeroed after decode), while the measured
+                         # minimum SIGNAL frame RMS over 4000 fixture clips
+                         # is 0.106 — a 5x margin either side
+RESAMPLE_SR = 16000      # audio_resample target rate
+DUP_STRIDE = 7           # audio_dedup plants: clip i with i%7==3 carries
+                         # clip (i-3)'s payload
+
+
+def _clip_indices(b: pa.Table) -> np.ndarray:
+    import pyarrow.compute as pc
+    return pc.cast(pc.utf8_slice_codeunits(b["clip_id"], 5, 32),
+                   pa.int64()).to_numpy()
+
+
+def _md5_hex_upper(view) -> str:
+    """DuckDB's only blob hash is md5(hex(b)) with UPPERCASE hex; mirror
+    that spelling so digests compare string-equal."""
+    return hashlib.md5(view.hex().upper().encode()).hexdigest()
+
+
+# --- audio_chunk -------------------------------------------------------------
+
+def _chunk_batch(b: pa.Table) -> pa.Table:
+    srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cods = b["codec"].to_pylist()
+    payloads = b["bytes"].combine_chunks()
+    ids = b["clip_id"].to_pylist()
+    out_id: list[str] = []
+    out_k: list[int] = []
+    out_s: list[int] = []
+    out_n: list[int] = []
+    out_h: list[str] = []
+    for r in range(b.num_rows):
+        bps = codecs.BYTES_PER_SAMPLE[cods[r]]
+        buf = memoryview(payloads[r].as_buffer())
+        n = len(buf) // bps
+        win = int(srs[r]) * CHUNK_MS // 1000
+        hop = int(srs[r]) * HOP_MS // 1000
+        nchunks = (n + hop - 1) // hop
+        cid = ids[r]
+        for k in range(nchunks):
+            s = k * hop
+            ln = min(win, n - s)
+            out_id.append(cid)
+            out_k.append(k)
+            out_s.append(s)
+            out_n.append(ln)
+            out_h.append(_md5_hex_upper(buf[s * bps:(s + ln) * bps]))
+    return pa.table({
+        "clip_id": pa.array(out_id, pa.string()),
+        "chunk_idx": pa.array(out_k, pa.int64()),
+        "start_sample": pa.array(out_s, pa.int64()),
+        "n_samp": pa.array(out_n, pa.int64()),
+        "chunk_md5": pa.array(out_h, pa.string()),
+    })
+
+
+def audio_chunk(sf_dir: str):
+    """Split every payload into CHUNK_MS windows at HOP_MS stride — the
+    training-data chunking stage (ASR-style). No decode: all three fixture
+    codecs are fixed-bytes-per-sample, so a chunk is a byte-range slice of
+    the payload; the emitted row carries the slice digest, not the slice,
+    so the wide output never re-ships audio (a real export would write the
+    slice to the chunk shard here instead — same plumbing, fat column).
+
+    Chunk k covers samples [k*hop, min(k*hop+win, n)); every sample is
+    covered, the tail chunk may be short, n_chunks = ceil(n / hop)."""
+    import ray.data as rd
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
+    # batch_size=None: one batch per read block, so Ray fuses read+chunk
+    # into a single task and payloads never get re-batched (copied)
+    return ds.map_batches(_chunk_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def audio_chunk_sql() -> str:
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    per_sample = " ".join(
+        f"WHEN '{c}' THEN {n}" for c, n in codecs.BYTES_PER_SAMPLE.items())
+    return f"""
+WITH c AS (
+  SELECT clip_id, bytes,
+         (CASE codec {per_sample} END) AS bps,
+         CAST(sr_hz AS BIGINT) * {CHUNK_MS} // 1000 AS win,
+         CAST(sr_hz AS BIGINT) * {HOP_MS} // 1000 AS hop,
+         octet_length(bytes) // (CASE codec {per_sample} END) AS n
+  FROM read_parquet('{uri}/*.parquet')
+), k AS (
+  SELECT clip_id, bytes, bps, win, hop, n,
+         unnest(generate_series(0, (n + hop - 1) // hop - 1)) AS chunk_idx
+  FROM c
+)
+SELECT clip_id, chunk_idx, chunk_idx * hop AS start_sample,
+       LEAST(win, n - chunk_idx * hop) AS n_samp,
+       md5(substr(hex(bytes), chunk_idx * hop * bps * 2 + 1,
+                  LEAST(win, n - chunk_idx * hop) * bps * 2)) AS chunk_md5
+FROM k"""
+
+
+# --- silence_trim ------------------------------------------------------------
+
+def trim_scan(x: np.ndarray, fl: int) -> tuple[int, int, int]:
+    """Frame-RMS VAD scan: (n_frames, lead_trim, tail_trim) for signal
+    ``x`` at frame length ``fl``. The ragged (<1 frame) tail is below
+    analysis resolution and always kept."""
+    nf = len(x) // fl
+    fr = x[:nf * fl].reshape(nf, fl)
+    rms = np.sqrt(np.einsum("ij,ij->i", fr, fr) / fl)
+    loud = rms >= TRIM_THRESH
+    if not loud.any():
+        return nf, nf, 0
+    first = int(np.argmax(loud))
+    last = nf - 1 - int(np.argmax(loud[::-1]))
+    return nf, first, nf - 1 - last
+
+
+def _trim_batch(b: pa.Table) -> pa.Table:
+    idx = _clip_indices(b)
+    srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cods = b["codec"].to_pylist()
+    payloads = b["bytes"].combine_chunks()
+    nf_out = np.empty(b.num_rows, np.int64)
+    lead_out = np.empty(b.num_rows, np.int64)
+    tail_out = np.empty(b.num_rows, np.int64)
+    samp_out = np.empty(b.num_rows, np.int64)
+    for r in range(b.num_rows):
+        x = codecs.decode(payloads[r].as_buffer(), cods[r])
+        fl = int(srs[r]) // 50            # FRAME_MS = 20 -> sr/50
+        n = len(x)
+        nf = n // fl
+        i = int(idx[r])
+        lead, tail = i % 4, (i // 4) % 3  # planted silence
+        # dur_ms >= 200 -> nf >= 10 > lead+tail <= 5: never all-silent
+        x = np.array(x[:nf * fl], dtype=np.float64)
+        x[:lead * fl] = 0.0
+        if tail:
+            x[(nf - tail) * fl:] = 0.0
+        nf_out[r], lead_out[r], tail_out[r] = trim_scan(x, fl)
+        samp_out[r] = n - (lead_out[r] + tail_out[r]) * fl
+    return pa.table({
+        "clip_id": b["clip_id"],
+        "n_frames": pa.array(nf_out),
+        "lead_trim": pa.array(lead_out),
+        "tail_trim": pa.array(tail_out),
+        "out_samples": pa.array(samp_out),
+    })
+
+
+def silence_trim(sf_dir: str):
+    """Energy VAD trim: decode, split into FRAME_MS frames, drop leading
+    and trailing frames whose RMS is below TRIM_THRESH. The fixture's
+    clips have no silence, so (codec_validity-style) the query PLANTS it
+    deterministically — clip i gets its first i%4 and last (i//4)%3
+    complete frames zeroed after decode — which makes the trim counts pure
+    integer arithmetic an oracle can state verbatim, while the operator
+    itself runs the real frame-RMS scan (``trim_scan``; its
+    finds-silence-anywhere behavior is pinned in tests/test_audio_ops.py)."""
+    import ray.data as rd
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
+    return ds.map_batches(_trim_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def silence_trim_sql() -> str:
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    per_sample = " ".join(
+        f"WHEN '{c}' THEN {n}" for c, n in codecs.BYTES_PER_SAMPLE.items())
+    return f"""
+WITH c AS (
+  SELECT clip_id,
+         CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) AS i,
+         CAST(sr_hz AS BIGINT) // 50 AS fl,
+         octet_length(bytes) // (CASE codec {per_sample} END) AS n
+  FROM read_parquet('{uri}/*.parquet')
+)
+SELECT clip_id, n // fl AS n_frames,
+       i % 4 AS lead_trim, (i // 4) % 3 AS tail_trim,
+       n - (i % 4 + (i // 4) % 3) * fl AS out_samples
+FROM c"""
+
+
+# --- audio_resample ----------------------------------------------------------
+
+class Resampler:
+    """Actor-pool stage: decode -> linear-interpolate to RESAMPLE_SR ->
+    re-encode pcm_s16le. Per-actor state: time-grid cache keyed by
+    (n_in, sr_in) — the fixture draws durations from a clamped lognormal,
+    so grids repeat and the arange/divide setup amortizes across clips.
+
+    The emitted row is slim (lengths only; the resampled payload would be
+    written to the output shard in a real export). SQL can't state the
+    interpolation, so the oracle pins the exact output LENGTHS
+    (n_out = n_in*sr_out//sr_in) while sample-value fidelity is pinned in
+    pytest: SNR >= 25 dB against the analytically regenerated signal at
+    the target rate, plus a golden digest (tests/test_audio_ops.py)."""
+
+    def __init__(self):
+        self._grids: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def _grid(self, n: int, sr: int) -> tuple[np.ndarray, np.ndarray]:
+        g = self._grids.get((n, sr))
+        if g is None:
+            n_out = n * RESAMPLE_SR // sr
+            t_in = np.arange(n, dtype=np.float64) / sr
+            t_out = np.arange(n_out, dtype=np.float64) / RESAMPLE_SR
+            if len(self._grids) > 4096:
+                self._grids.clear()
+            g = self._grids[(n, sr)] = (t_in, t_out)
+        return g
+
+    def resample(self, x: np.ndarray, sr: int) -> np.ndarray:
+        t_in, t_out = self._grid(len(x), sr)
+        return np.interp(t_out, t_in, x.astype(np.float64))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cods = b["codec"].to_pylist()
+        payloads = b["bytes"].combine_chunks()
+        n_in = np.empty(b.num_rows, np.int64)
+        n_out = np.empty(b.num_rows, np.int64)
+        for r in range(b.num_rows):
+            x = codecs.decode(payloads[r].as_buffer(), cods[r])
+            y = self.resample(x, int(srs[r]))
+            out = codecs.encode_pcm_s16le(y)
+            n_in[r] = len(x)
+            n_out[r] = len(out) // 2
+        return pa.table({
+            "clip_id": b["clip_id"],
+            "n_in": pa.array(n_in),
+            "n_out": pa.array(n_out),
+            "sr_out": pa.array(np.full(b.num_rows, RESAMPLE_SR, np.int64)),
+        })
+
+
+def audio_resample(sf_dir: str):
+    import ray.data as rd
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
+    return ds.map_batches(Resampler, batch_format="pyarrow", batch_size=None,
+                          concurrency=(1, 8), num_cpus=1)
+
+
+def audio_resample_sql() -> str:
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    per_sample = " ".join(
+        f"WHEN '{c}' THEN {n}" for c, n in codecs.BYTES_PER_SAMPLE.items())
+    return f"""
+SELECT clip_id,
+       octet_length(bytes) // (CASE codec {per_sample} END) AS n_in,
+       octet_length(bytes) // (CASE codec {per_sample} END)
+         * {RESAMPLE_SR} // CAST(sr_hz AS BIGINT) AS n_out,
+       CAST({RESAMPLE_SR} AS BIGINT) AS sr_out
+FROM read_parquet('{uri}/*.parquet')"""
+
+
+# --- audio_dedup -------------------------------------------------------------
+
+def audio_dedup(sf_dir: str):
+    """Exact payload dedup, keep-first by clip_id — the audio analog of
+    the reference's hash-column dedup (deduplication.py:88-102). Fixture
+    payloads are all distinct (pure function of the clip index), so the
+    query plants true duplicates the same way codec_validity plants
+    corruption: every clip with i % 7 == 3 is projected to carry clip
+    (i-3)'s payload — a projection SQL states with a self-join, keeping
+    the oracle exact. The Ray side regenerates the donor payload from the
+    synth seed instead of joining (same bytes by construction), so the
+    fat column still never shuffles: only (md5, idx) rows enter the
+    keep-first groupby."""
+    import ray.data as rd
+    from ..synth import clips as synth_clips
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ds = rd.read_parquet(uri, columns=["clip_id", "bytes"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        idx = _clip_indices(b)
+        payloads = b["bytes"].combine_chunks()
+        digests: list[str] = []
+        for r in range(b.num_rows):
+            i = int(idx[r])
+            if i % DUP_STRIDE == 3:
+                donor, _, _, _ = synth_clips._audio_fields(i - 3, 3000)
+                digests.append(_md5_hex_upper(memoryview(donor)))
+            else:
+                digests.append(_md5_hex_upper(
+                    memoryview(payloads[r].as_buffer())))
+        return pa.table({"payload_md5": pa.array(digests, pa.string()),
+                         "idx": pa.array(idx, pa.int64())})
+
+    from ray.data.aggregate import Min
+    keepers = (ds.map_batches(keys, batch_format="pyarrow", batch_size=None)
+               .groupby("payload_md5").aggregate(Min("idx", alias_name="idx")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids = [f"clip-{int(i):012d}" for i in b["idx"].to_pylist()]
+        return pa.table({"payload_md5": b["payload_md5"],
+                         "clip_id": pa.array(ids, pa.string())})
+
+    return keepers.map_batches(finish, batch_format="pyarrow")
+
+
+def audio_dedup_sql() -> str:
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    return f"""
+WITH src AS (
+  SELECT clip_id, bytes,
+         CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) AS i
+  FROM read_parquet('{uri}/*.parquet')
+), planted AS (
+  SELECT a.clip_id,
+         md5(hex(CASE WHEN a.i % {DUP_STRIDE} = 3 THEN d.bytes
+                      ELSE a.bytes END)) AS payload_md5
+  FROM src a
+  LEFT JOIN src d ON a.i % {DUP_STRIDE} = 3 AND d.i = a.i - 3
+)
+SELECT payload_md5, min(clip_id) AS clip_id
+FROM planted GROUP BY payload_md5"""

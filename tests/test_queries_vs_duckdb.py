@@ -106,14 +106,22 @@ def test_query_matches_oracle(entry_mod, con, name):
             assert not mism.any(), f"{c}: {got[c][mism].head(3)} vs {want[c][mism].head(3)}"
 
 
-def test_codec_validity_matches_oracle_at_driver_sf(entry_mod):
-    """codec_validity's oracle reads the derived clips parquet directly,
-    baked at the driver's oracle scale (sf0.01) — so this one compares
-    there instead of SF_DIR."""
+CLIPS_FIXTURE_QUERIES = [
+    "codec_validity",
+    # round 4: audio-modality operators with exact fixture-parquet oracles
+    "audio_chunk", "silence_trim", "audio_resample", "audio_dedup",
+]
+
+
+@pytest.mark.parametrize("name", CLIPS_FIXTURE_QUERIES)
+def test_clips_query_matches_oracle_at_driver_sf(entry_mod, name):
+    """Clip-table queries' oracles read the derived clips parquet
+    directly, baked at the driver's oracle scale (sf0.01) — so these
+    compare there instead of SF_DIR."""
     from common_crawl_corpus_ray.pipelines.clips_queries import ORACLE_SF
-    got = canon(to_pandas(entry_mod.queries()["codec_validity"](ORACLE_SF)))
+    got = canon(to_pandas(entry_mod.queries()[name](ORACLE_SF)))
     want = canon(duckdb.connect().execute(
-        entry_mod.oracle_sql()["codec_validity"]).fetchdf())
+        entry_mod.oracle_sql()[name]).fetchdf())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     for c in got.columns:
