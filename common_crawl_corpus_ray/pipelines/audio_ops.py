@@ -227,34 +227,39 @@ FROM c"""
 
 class Resampler:
     """Actor-pool stage: decode -> linear-interpolate to RESAMPLE_SR ->
-    re-encode pcm_s16le. Per-actor state: time-grid cache keyed by
-    (n_in, sr_in) — the fixture draws durations from a clamped lognormal,
-    so grids repeat and the arange/divide setup amortizes across clips.
+    re-encode pcm_s16le. Output sample k sits at input position
+    k*sr_in/RESAMPLE_SR, held as the exact rational (i0 = k*sr//out,
+    frac = (k*sr mod out)/out) — pure vectorized index arithmetic, no
+    per-point searchsorted (np.interp's binary search made this stage 6x
+    slower at 100k clips). Per-actor state: one growing arange buffer
+    reused across clips (durations vary, so per-(n,sr) grid caches don't
+    hit and would hold O(clips x n_out) memory).
 
     The emitted row is slim (lengths only; the resampled payload would be
     written to the output shard in a real export). SQL can't state the
     interpolation, so the oracle pins the exact output LENGTHS
     (n_out = n_in*sr_out//sr_in) while sample-value fidelity is pinned in
     pytest: SNR >= 25 dB against the analytically regenerated signal at
-    the target rate, plus a golden digest (tests/test_audio_ops.py)."""
+    the target rate, bit-exact passthrough at sr_in == RESAMPLE_SR, plus
+    a golden digest (tests/test_audio_ops.py)."""
 
     def __init__(self):
-        self._grids: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        self._k = np.empty(0, dtype=np.int64)
 
-    def _grid(self, n: int, sr: int) -> tuple[np.ndarray, np.ndarray]:
-        g = self._grids.get((n, sr))
-        if g is None:
-            n_out = n * RESAMPLE_SR // sr
-            t_in = np.arange(n, dtype=np.float64) / sr
-            t_out = np.arange(n_out, dtype=np.float64) / RESAMPLE_SR
-            if len(self._grids) > 4096:
-                self._grids.clear()
-            g = self._grids[(n, sr)] = (t_in, t_out)
-        return g
+    def _indices(self, n_out: int) -> np.ndarray:
+        if len(self._k) < n_out:
+            self._k = np.arange(max(n_out, 2 * len(self._k)), dtype=np.int64)
+        return self._k[:n_out]
 
     def resample(self, x: np.ndarray, sr: int) -> np.ndarray:
-        t_in, t_out = self._grid(len(x), sr)
-        return np.interp(t_out, t_in, x.astype(np.float64))
+        n = len(x)
+        n_out = n * RESAMPLE_SR // sr
+        num = self._indices(n_out) * sr
+        i0 = num // RESAMPLE_SR
+        frac = (num - i0 * RESAMPLE_SR) / float(RESAMPLE_SR)
+        i1 = np.minimum(i0 + 1, n - 1)
+        xf = x.astype(np.float64)
+        return xf[i0] * (1.0 - frac) + xf[i1] * frac
 
     def __call__(self, b: pa.Table) -> pa.Table:
         srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -281,7 +286,7 @@ def audio_resample(sf_dir: str):
     uri = ensure_clips(sf_dir, with_audio=True)
     ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
     return ds.map_batches(Resampler, batch_format="pyarrow", batch_size=None,
-                          concurrency=(1, 8), num_cpus=1)
+                          concurrency=(1, 16), num_cpus=1)
 
 
 def audio_resample_sql() -> str:
