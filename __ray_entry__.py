@@ -37,7 +37,7 @@ def _setup() -> None:
                                                    quality_filter)
     from common_crawl_corpus_ray.sources import keyed  # noqa: F401
     from common_crawl_corpus_ray.stages import (ann, decide, dedup_family,  # noqa: F401
-                                                scoring, scrub_rules)
+                                                kmeans, scoring, scrub_rules)
     if _registered:
         return
     import ray.cloudpickle as rcp
@@ -157,6 +157,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["vec_id", "embedding"])
         return ann.ivf_topk(ds, qids, qmat, k=A.ANN_K)
 
+    def emb_kmeans(sf_dir: str):
+        import ray.data as rd
+
+        from common_crawl_corpus_ray.stages import kmeans
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        return kmeans.kmeans_assign(ds, "vec_id", "embedding",
+                                    k=10, iters=10)
+
     def images_ds(sf_dir: str, n: int = 200):
         import ray.data as rd
         from common_crawl_corpus_ray.stages import multimodal as mm
@@ -251,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silence_trim": AO.silence_trim,
         "audio_resample": AO.audio_resample,
         "audio_dedup": AO.audio_dedup,
+        "speech_rate_filter": AO.speech_rate_filter,
+        "embedding_kmeans": emb_kmeans,
         "image_resize": image_resize,
         "image_features": image_features,
         "video_frame_sample": video_frames,
@@ -712,6 +723,10 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "silence_trim": AO.silence_trim_sql(),
         "audio_resample": AO.audio_resample_sql(),
         "audio_dedup": AO.audio_dedup_sql(),
+        "speech_rate_filter": AO.speech_rate_filter_sql(),
+        # embedding_kmeans: iterative float clustering — not
+        # SQL-expressible; golden-pinned + self-consistency/purity tests
+        # (tests/test_kmeans.py, tests/test_golden_rowsonly.py).
         # ann_lsh_topk / ann_ivf_topk (measured: LSH/IVF recall < 1 on
         # this fixture — genuinely approximate) / lid_documents /
         # audio_decode_stats / clips_pipeline: not SQL-expressible or not

@@ -302,6 +302,57 @@ SELECT clip_id,
 FROM read_parquet('{uri}/*.parquet')"""
 
 
+# --- speech_rate_filter ------------------------------------------------------
+
+WPS_MIN = 5      # words/second bounds: a transcript pacing far outside
+WPS_MAX = 60     # human speech means a misaligned transcript/audio pair
+
+
+def speech_rate_filter(sf_dir: str):
+    """Cross-modal validity rule: drop clips whose transcript word count is
+    implausible for the audio duration (the audio-side sibling of the
+    reference's length heuristics, cc_corpus.py:256,281-284 — there a text
+    is judged against itself; here against its clip). Pure integer
+    arithmetic over two columns, no decode: keep clips with
+    WPS_MIN <= n_words/sec <= WPS_MAX, stated as
+    WPS_MIN * dur_ms <= n_words * 1000 <= WPS_MAX * dur_ms.
+    Output carries wps_milli (n_words*1e6 // dur_ms) for downstream
+    bucketing — integer so the oracle compares exactly."""
+    import ray.data as rd
+    from .analytics import nwords_arrow
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ds = rd.read_parquet(uri, columns=["clip_id", "transcript", "dur_ms"])
+
+    def f(b: pa.Table) -> pa.Table:
+        nw = nwords_arrow(b["transcript"]).to_numpy(zero_copy_only=False)
+        nw = nw.astype(np.int64)
+        dur = b["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (WPS_MIN * dur <= nw * 1000) & (nw * 1000 <= WPS_MAX * dur)
+        return pa.table({
+            "clip_id": b["clip_id"],
+            "n_words": pa.array(nw),
+            "dur_ms": pa.array(dur),
+            "wps_milli": pa.array(nw * 1_000_000 // dur),
+        }).filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def speech_rate_filter_sql() -> str:
+    from .analytics import sql_nwords
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    nw = sql_nwords("transcript")
+    return f"""
+WITH c AS (
+  SELECT clip_id, CAST({nw} AS BIGINT) AS n_words,
+         CAST(dur_ms AS BIGINT) AS dur_ms
+  FROM read_parquet('{uri}/*.parquet')
+)
+SELECT clip_id, n_words, dur_ms, n_words * 1000000 // dur_ms AS wps_milli
+FROM c
+WHERE {WPS_MIN} * dur_ms <= n_words * 1000 AND n_words * 1000 <= {WPS_MAX} * dur_ms"""
+
+
 # --- audio_dedup -------------------------------------------------------------
 
 def audio_dedup(sf_dir: str):

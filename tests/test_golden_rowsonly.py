@@ -29,6 +29,7 @@ GOLDEN = {
     "image_features": (200, "cab5df915095413aacc581b398e6d63a"),
     "video_frame_sample": (400, "9eb0efc69a85ce6ded52e101e95df491"),
     "clips_pipeline": (1000, "2338d1ad8f0f54086efae3320bde4481"),
+    "embedding_kmeans": (500, "fbc513cbd1c70978aa0fd2a7ea72eca2"),
 }
 
 

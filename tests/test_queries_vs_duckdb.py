@@ -110,6 +110,7 @@ CLIPS_FIXTURE_QUERIES = [
     "codec_validity",
     # round 4: audio-modality operators with exact fixture-parquet oracles
     "audio_chunk", "silence_trim", "audio_resample", "audio_dedup",
+    "speech_rate_filter",
 ]
 
 
