@@ -28,6 +28,7 @@ buffer); decode and frame math are whole-clip numpy.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -302,6 +303,83 @@ SELECT clip_id,
 FROM read_parquet('{uri}/*.parquet')"""
 
 
+def _chunk_payload_batch(b: pa.Table) -> pa.Table:
+    """audio_chunk's export sibling: emit the sliced payload itself (the
+    fat column) instead of its digest — the per-batch body of
+    ``export_chunks``."""
+    srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cods = b["codec"].to_pylist()
+    payloads = b["bytes"].combine_chunks()
+    ids = b["clip_id"].to_pylist()
+    out_id: list[str] = []
+    out_k: list[int] = []
+    out_b: list[memoryview] = []
+    out_c: list[str] = []
+    out_sr: list[int] = []
+    for r in range(b.num_rows):
+        bps = codecs.BYTES_PER_SAMPLE[cods[r]]
+        buf = memoryview(payloads[r].as_buffer())
+        n = len(buf) // bps
+        win = int(srs[r]) * CHUNK_MS // 1000
+        hop = int(srs[r]) * HOP_MS // 1000
+        for k in range((n + hop - 1) // hop):
+            s = k * hop
+            ln = min(win, n - s)
+            out_id.append(ids[r])
+            out_k.append(k)
+            out_b.append(buf[s * bps:(s + ln) * bps])
+            out_c.append(cods[r])
+            out_sr.append(int(srs[r]))
+    return pa.table({
+        "clip_id": pa.array(out_id, pa.string()),
+        "chunk_idx": pa.array(out_k, pa.int64()),
+        "codec": pa.array(out_c, pa.string()),
+        "sr_hz": pa.array(out_sr, pa.int32()),
+        "bytes": pa.array(out_b, pa.binary()),
+    })
+
+
+def export_chunks(clips_uri: str, ckpt_uri: str, *, num_partitions: int = 8,
+                  fail_after: int | None = None) -> dict:
+    """Resumable chunk export: the training-shard materialization of
+    ``audio_chunk`` — every clip's windows written out WITH their payload
+    slices, partitioned and committed through the same lineage manifest as
+    the flagship's phase A (pipelines/resumable.py), so a crashed export
+    resumes by skipping committed partitions (the reference's ``check/``
+    marker scheme, cc_corpus.py:142-144, with real transactionality).
+
+    Scale shape: each partition is one group of input fragments streamed
+    read -> slice -> write; chunk payloads go straight from the read block
+    to the partition's parquet — they never shuffle and never accumulate
+    on the driver."""
+    import ray.data as rd
+
+    from ..state import manifest
+    from .resumable import InjectedFailure, _input_files, plan_partitions
+
+    parts = plan_partitions(_input_files(clips_uri), num_partitions)
+    todo = manifest.pending(ckpt_uri, sorted(parts))
+    done_this_call = 0
+    for pid in todo:
+        if fail_after is not None and done_this_call >= fail_after:
+            raise InjectedFailure(
+                f"injected failure after {fail_after} partitions")
+        files = parts[pid]
+        ds = rd.read_parquet(files,
+                             columns=["clip_id", "bytes", "sr_hz", "codec"])
+        chunks = ds.map_batches(_chunk_payload_batch, batch_format="pyarrow",
+                                batch_size=None)
+        manifest.write_partition(
+            ckpt_uri, pid, chunks,
+            input_fragments=[os.path.basename(f) for f in files],
+            stage_version="chunks-v1")
+        done_this_call += 1
+    v = manifest.commit_version(ckpt_uri)
+    vm = manifest.version_manifest(ckpt_uri, v)
+    vm["partitions_run_this_call"] = done_this_call
+    return vm
+
+
 # --- speech_rate_filter ------------------------------------------------------
 
 WPS_MIN = 5      # words/second bounds: a transcript pacing far outside
@@ -383,8 +461,13 @@ def audio_dedup(sf_dir: str):
             else:
                 digests.append(_md5_hex_upper(
                     memoryview(payloads[r].as_buffer())))
-        return pa.table({"payload_md5": pa.array(digests, pa.string()),
-                         "idx": pa.array(idx, pa.int64())})
+        t = pa.table({"payload_md5": pa.array(digests, pa.string()),
+                      "idx": pa.array(idx, pa.int64())})
+        # per-batch partial (the exact_dedup_first pattern,
+        # analytics._hash_partials): collapse within-batch dups before the
+        # shuffle so at most one row per distinct digest leaves the task
+        g = t.group_by("payload_md5").aggregate([("idx", "min")])
+        return g.rename_columns(["payload_md5", "idx"])
 
     from ray.data.aggregate import Min
     keepers = (ds.map_batches(keys, batch_format="pyarrow", batch_size=None)

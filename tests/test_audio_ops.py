@@ -121,6 +121,50 @@ def test_trim_threshold_margin():
         assert rms.min() >= 5 * AO.TRIM_THRESH
 
 
+def test_export_chunks_resume_matches_clean_run(ray_session, tmp_path):
+    """Chunk export through the lineage manifest: a crash after 2 of 4
+    partitions resumes without recomputing them, and the resumed table
+    equals an uninterrupted export (ids, slices, everything)."""
+    from common_crawl_corpus_ray.pipelines import clips_queries
+    from common_crawl_corpus_ray.pipelines.resumable import InjectedFailure
+    from common_crawl_corpus_ray.state import manifest
+
+    clips_uri = clips_queries.ensure_clips("/root/testdata/sf0.001",
+                                           with_audio=True)
+    ckpt = str(tmp_path / "chunks_ckpt")
+    with_crash = str(tmp_path / "chunks_ckpt2")
+
+    vm = AO.export_chunks(clips_uri, ckpt, num_partitions=4)
+    assert vm["partitions_run_this_call"] == 4
+
+    try:
+        AO.export_chunks(clips_uri, with_crash, num_partitions=4,
+                         fail_after=2)
+        raise AssertionError("expected InjectedFailure")
+    except InjectedFailure:
+        pass
+    before = manifest.completed(with_crash)
+    assert len(before) == 2
+    vm2 = AO.export_chunks(clips_uri, with_crash, num_partitions=4)
+    assert vm2["partitions_run_this_call"] == 2
+    after = manifest.completed(with_crash)
+    assert all(e["attempt"] == 1 for e in after.values())
+
+    def frame(uri):
+        df = manifest.read(uri).to_pandas()
+        df["bytes"] = df["bytes"].map(
+            lambda v: hashlib.md5(bytes(v)).hexdigest())
+        return (df.sort_values(["clip_id", "chunk_idx"])
+                .reset_index(drop=True))
+
+    a, b = frame(ckpt), frame(with_crash)
+    assert a.equals(b)
+    # chunk rows agree with the digest query's chunk inventory
+    import ray.data  # noqa: F401  (session fixture owns the init)
+    inv = AO.audio_chunk("/root/testdata/sf0.001").to_pandas()
+    assert len(a) == len(inv)
+
+
 def test_audio_dedup_planted_payloads_byte_identical():
     """The Ray side regenerates the donor payload from the synth seed; the
     SQL side self-joins the parquet. Both are only equal if regeneration
