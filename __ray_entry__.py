@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": AO.audio_resample,
         "audio_dedup": AO.audio_dedup,
         "speech_rate_filter": AO.speech_rate_filter,
+        "transcript_align": AO.transcript_align,
+        "export_chunks_digest": AO.export_chunks_digest,
         "embedding_kmeans": emb_kmeans,
         "image_resize": image_resize,
         "image_features": image_features,
@@ -724,6 +726,10 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "audio_resample": AO.audio_resample_sql(),
         "audio_dedup": AO.audio_dedup_sql(),
         "speech_rate_filter": AO.speech_rate_filter_sql(),
+        "transcript_align": AO.transcript_align_sql(),
+        # export_chunks_digest re-hashes the payload slices that survived
+        # the manifest write->commit->read round trip; same chunk oracle:
+        "export_chunks_digest": AO.export_chunks_digest_sql(),
         # embedding_kmeans: iterative float clustering — not
         # SQL-expressible; golden-pinned + self-consistency/purity tests
         # (tests/test_kmeans.py, tests/test_golden_rowsonly.py).

@@ -70,7 +70,7 @@ QUERY_NAMES = [
     "dedup_keep_best_minhash", "dedup_incremental_near",
     "minhash_dedup_exactdups", "sentence_dedup", "vocab_topk",
     "audio_chunk", "silence_trim", "audio_resample", "audio_dedup",
-    "speech_rate_filter", "embedding_kmeans",
+    "speech_rate_filter", "embedding_kmeans", "transcript_align",
 ]
 
 

@@ -284,10 +284,16 @@ class Resampler:
 
 def audio_resample(sf_dir: str):
     import ray.data as rd
+
+    from .quality_filter import _cluster_cpus
     uri = ensure_clips(sf_dir, with_audio=True)
     ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
+    # pool sized to the cluster: a fixed cap of 16 actors left half a
+    # 32-cpu box idle on this decode-bound stage (measured 14.6s -> the
+    # stage is CPU-bound, so actors should track cores minus headroom)
     return ds.map_batches(Resampler, batch_format="pyarrow", batch_size=None,
-                          concurrency=(1, 16), num_cpus=1)
+                          concurrency=(1, max(2, _cluster_cpus() - 2)),
+                          num_cpus=1)
 
 
 def audio_resample_sql() -> str:
@@ -380,6 +386,144 @@ def export_chunks(clips_uri: str, ckpt_uri: str, *, num_partitions: int = 8,
     return vm
 
 
+def _clips_tag(uri: str) -> str:
+    """Content key for /tmp artifacts derived from a clips table (the
+    analytics._content_tag pattern): path + total parquet bytes + newest
+    mtime, so a regenerated fixture invalidates the cache."""
+    import re
+    files = sorted(f for f in os.listdir(uri) if f.endswith(".parquet"))
+    sz = mt = 0
+    for f in files:
+        st = os.stat(os.path.join(uri, f))
+        sz += st.st_size
+        mt = max(mt, st.st_mtime_ns)
+    base = re.sub(r"[^A-Za-z0-9]+", "_", uri.rstrip("/"))
+    return f"{base}_{sz}_{mt}"
+
+
+def export_chunks_digest(sf_dir: str):
+    """Driver-checked wrapper around ``export_chunks``: export every chunk
+    WITH its payload slice through the lineage manifest into a
+    content-keyed /tmp table (idempotent — a committed export is reused,
+    exercising the resume path), then read the committed shards back and
+    emit each exported slice's digest. Hash-green against the audio_chunk
+    oracle only if the bytes that SURVIVED the write->manifest->read round
+    trip are exactly the chunk windows — the end-to-end pin on the export
+    path itself, not just its planning math."""
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ck = f"/tmp/ccc_chunk_export_{_clips_tag(uri)}"
+    export_chunks(uri, ck, num_partitions=8)
+
+    from ..state import manifest
+
+    def dig(b: pa.Table) -> pa.Table:
+        payloads = b["bytes"].combine_chunks()
+        h = [_md5_hex_upper(memoryview(payloads[r].as_buffer()))
+             for r in range(b.num_rows)]
+        return pa.table({"clip_id": b["clip_id"],
+                         "chunk_idx": b["chunk_idx"],
+                         "chunk_md5": pa.array(h, pa.string())})
+
+    return manifest.read(ck, columns=["clip_id", "chunk_idx", "bytes"]) \
+        .map_batches(dig, batch_format="pyarrow", batch_size=None)
+
+
+def export_chunks_digest_sql() -> str:
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    per_sample = " ".join(
+        f"WHEN '{c}' THEN {n}" for c, n in codecs.BYTES_PER_SAMPLE.items())
+    return f"""
+WITH c AS (
+  SELECT clip_id, bytes,
+         (CASE codec {per_sample} END) AS bps,
+         CAST(sr_hz AS BIGINT) * {CHUNK_MS} // 1000 AS win,
+         CAST(sr_hz AS BIGINT) * {HOP_MS} // 1000 AS hop,
+         octet_length(bytes) // (CASE codec {per_sample} END) AS n
+  FROM read_parquet('{uri}/*.parquet')
+), k AS (
+  SELECT clip_id, bytes, bps, win, hop, n,
+         unnest(generate_series(0, (n + hop - 1) // hop - 1)) AS chunk_idx
+  FROM c
+)
+SELECT clip_id, chunk_idx,
+       md5(substr(hex(bytes), chunk_idx * hop * bps * 2 + 1,
+                  LEAST(win, n - chunk_idx * hop) * bps * 2)) AS chunk_md5
+FROM k"""
+
+
+# --- transcript_align --------------------------------------------------------
+
+def transcript_align(sf_dir: str):
+    """Cross-modal pre-alignment: allocate each clip's transcript words to
+    its audio chunks proportionally by position — the deterministic
+    word->window assignment an ASR training pipeline runs before forced
+    alignment (the reference's line-split flat-map, cc_corpus.py:241-247,
+    crossed with the clip's time axis). Word w of n_words lands in chunk
+    floor(w * n_chunks / n_words); inverting that floor gives each chunk k
+    the word span [ceil(k*nw/nc), ceil((k+1)*nw/nc)) — pure integer
+    arithmetic, so the oracle states it verbatim.
+
+    No payload read: the fixture's sample count is exactly
+    dur_ms*sr//1000 (synth/clips.py:173), so the chunk inventory
+    (ceil(n/hop), the audio_chunk grid) derives from two int32 columns.
+    Fully vectorized: the per-chunk expansion is one np.repeat +
+    intra-group arange; no Python loop over rows or chunks."""
+    import ray.data as rd
+
+    from .analytics import nwords_arrow
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ds = rd.read_parquet(
+        uri, columns=["clip_id", "transcript", "sr_hz", "dur_ms"])
+
+    def f(b: pa.Table) -> pa.Table:
+        nw = nwords_arrow(b["transcript"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sr = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = b["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = dur * sr // 1000
+        hop = sr * HOP_MS // 1000
+        nc = (n + hop - 1) // hop
+        total = int(nc.sum())
+        row = np.repeat(np.arange(len(nc)), nc)
+        k = np.arange(total) - np.repeat(np.cumsum(nc) - nc, nc)
+        nw_r, nc_r = nw[row], nc[row]
+        w_start = (k * nw_r + nc_r - 1) // nc_r
+        w_end = ((k + 1) * nw_r + nc_r - 1) // nc_r
+        return pa.table({
+            "clip_id": b["clip_id"].take(pa.array(row, pa.int64())),
+            "chunk_idx": pa.array(k, pa.int64()),
+            "w_start": pa.array(w_start, pa.int64()),
+            "w_end": pa.array(w_end, pa.int64()),
+            "n_words_chunk": pa.array(w_end - w_start, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def transcript_align_sql() -> str:
+    from .analytics import sql_nwords
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    nw = sql_nwords("transcript")
+    return f"""
+WITH c AS (
+  SELECT clip_id, CAST({nw} AS BIGINT) AS nw,
+         (CAST(dur_ms AS BIGINT) * sr_hz // 1000
+            + CAST(sr_hz AS BIGINT) * {HOP_MS} // 1000 - 1)
+           // (CAST(sr_hz AS BIGINT) * {HOP_MS} // 1000) AS nc
+  FROM read_parquet('{uri}/*.parquet')
+), k AS (
+  SELECT clip_id, nw, nc,
+         unnest(generate_series(0, nc - 1)) AS chunk_idx
+  FROM c
+)
+SELECT clip_id, chunk_idx,
+       (chunk_idx * nw + nc - 1) // nc AS w_start,
+       ((chunk_idx + 1) * nw + nc - 1) // nc AS w_end,
+       ((chunk_idx + 1) * nw + nc - 1) // nc
+         - (chunk_idx * nw + nc - 1) // nc AS n_words_chunk
+FROM k"""
+
+
 # --- speech_rate_filter ------------------------------------------------------
 
 WPS_MIN = 5      # words/second bounds: a transcript pacing far outside
@@ -440,45 +584,63 @@ def audio_dedup(sf_dir: str):
     query plants true duplicates the same way codec_validity plants
     corruption: every clip with i % 7 == 3 is projected to carry clip
     (i-3)'s payload — a projection SQL states with a self-join, keeping
-    the oracle exact. The Ray side regenerates the donor payload from the
-    synth seed instead of joining (same bytes by construction), so the
-    fat column still never shuffles: only (md5, idx) rows enter the
-    keep-first groupby."""
+    the oracle exact.
+
+    The Ray side resolves the planted projection with a SLIM digest
+    exchange instead of regenerating donor audio (the first version
+    re-synthesised the donor payload per dup row — 14k full clip
+    generations at sf0.1, ~5s of pure redundant DSP): every clip hashes
+    only its OWN payload once; dup rows ship a (donor_idx, idx) request
+    into the donor's bucket. A dup group is always {donor, donor+3} and
+    both land in bucket donor%nb by construction, so the per-bucket
+    keep-first min is globally exact — no second groupby. Payload bytes
+    never shuffle; exchange rows are (idx, donor, md5)."""
+    import pandas as pd
     import ray.data as rd
-    from ..synth import clips as synth_clips
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+    from .clips_queries import clips_count
+
     uri = ensure_clips(sf_dir, with_audio=True)
+    nb = scaled_buckets(clips_count(sf_dir), rows_per_bucket=100_000, lo=4)
     ds = rd.read_parquet(uri, columns=["clip_id", "bytes"])
 
     def keys(b: pa.Table) -> pa.Table:
         idx = _clip_indices(b)
         payloads = b["bytes"].combine_chunks()
-        digests: list[str] = []
-        for r in range(b.num_rows):
-            i = int(idx[r])
-            if i % DUP_STRIDE == 3:
-                donor, _, _, _ = synth_clips._audio_fields(i - 3, 3000)
-                digests.append(_md5_hex_upper(memoryview(donor)))
-            else:
-                digests.append(_md5_hex_upper(
-                    memoryview(payloads[r].as_buffer())))
-        t = pa.table({"payload_md5": pa.array(digests, pa.string()),
-                      "idx": pa.array(idx, pa.int64())})
-        # per-batch partial (the exact_dedup_first pattern,
-        # analytics._hash_partials): collapse within-batch dups before the
-        # shuffle so at most one row per distinct digest leaves the task
-        g = t.group_by("payload_md5").aggregate([("idx", "min")])
-        return g.rename_columns(["payload_md5", "idx"])
+        is_dup = idx % DUP_STRIDE == 3
+        donor = np.where(is_dup, idx - 3, idx)
+        # dup rows' own payload is discarded by the planting projection —
+        # don't hash it
+        md5_col = pa.array(
+            [None if is_dup[r] else
+             _md5_hex_upper(memoryview(payloads[r].as_buffer()))
+             for r in range(b.num_rows)], pa.string())
+        return pa.table({
+            "bucket": pa.array(donor % nb, pa.int64()),
+            "idx": pa.array(idx, pa.int64()),
+            "donor": pa.array(donor, pa.int64()),
+            "md5": md5_col,
+        })
 
-    from ray.data.aggregate import Min
-    keepers = (ds.map_batches(keys, batch_format="pyarrow", batch_size=None)
-               .groupby("payload_md5").aggregate(Min("idx", alias_name="idx")))
-
-    def finish(b: pa.Table) -> pa.Table:
-        ids = [f"clip-{int(i):012d}" for i in b["idx"].to_pylist()]
-        return pa.table({"payload_md5": b["payload_md5"],
+    def resolve(t: pa.Table) -> pa.Table:
+        df = t.select(["idx", "donor", "md5"]).to_pandas()
+        own = df[df["md5"].notna()]
+        req = df[df["md5"].isna()].copy()
+        req["md5"] = req["donor"].map(
+            dict(zip(own["idx"], own["md5"])))
+        g = (pd.concat([own[["md5", "idx"]], req[["md5", "idx"]]])
+             .groupby("md5", sort=False)["idx"].min())
+        ids = [f"clip-{int(i):012d}" for i in g.to_numpy()]
+        return pa.table({"payload_md5": pa.array(g.index, pa.string()),
                          "clip_id": pa.array(ids, pa.string())})
 
-    return keepers.map_batches(finish, batch_format="pyarrow")
+    empty = pa.table({"payload_md5": pa.array([], pa.string()),
+                      "clip_id": pa.array([], pa.string())})
+    return bucket_exchange_dataset(
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=None),
+        nb, resolve, empty)
 
 
 def audio_dedup_sql() -> str:

@@ -111,6 +111,9 @@ CLIPS_FIXTURE_QUERIES = [
     # round 4: audio-modality operators with exact fixture-parquet oracles
     "audio_chunk", "silence_trim", "audio_resample", "audio_dedup",
     "speech_rate_filter",
+    # round 4: cross-modal word->chunk alignment; manifest-export round
+    # trip digested back against the chunk oracle
+    "transcript_align", "export_chunks_digest",
 ]
 
 
