@@ -45,6 +45,18 @@ def _quiet_schema_hash_warning():
     logging.getLogger(
         "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
         lambda rec: "Failed to hash the schemas" not in rec.getMessage())
+    # Second cosmetic line, same root cause family (diagnosed round 4):
+    # ray 2.49's streaming executor warns when an operator emits a
+    # zero-ROW RefBundle (whose schema prints empty) after real bundles —
+    # "Previous schema: bk: uint64 ... new schema: ." — which happens
+    # whenever an exchange/probe stage legitimately produces empty
+    # outputs for some blocks (e.g. dedup_incremental_near's 75-doc
+    # increment). Zero-row bundles unify harmlessly; every such query is
+    # hash-green against its oracle.
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state").addFilter(
+        lambda rec: "RefBundle with a different schema"
+        not in rec.getMessage())
 
 
 def _ray_init(ncpu: int) -> None:

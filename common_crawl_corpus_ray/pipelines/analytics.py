@@ -695,8 +695,6 @@ def vocab_topk(sf_dir: str, k: int = VOCAB_K):
     keyed by word hash (each word wholly in one bucket, so per-bucket
     top-k lists are exact candidates), driver merges nb tiny k-row lists.
     Driver memory is O(nb x k); no global sort of the vocabulary."""
-    import zlib
-
     import pyarrow.parquet as pq
 
     from ..stages.decide import scaled_buckets
@@ -706,16 +704,18 @@ def vocab_topk(sf_dir: str, k: int = VOCAB_K):
     nb = scaled_buckets(n_docs, rows_per_bucket=100_000, lo=8)
 
     def partials(b: pa.Table) -> pa.Table:
-        cnt: dict[str, int] = {}
-        for t in b["text"].to_pylist():
-            for w in t.split():
-                cnt[w] = cnt.get(w, 0) + 1
-        ws = list(cnt)
-        bucket = np.fromiter((zlib.crc32(w.encode("utf-8")) % nb for w in ws),
-                             dtype=np.int64, count=len(ws))
+        # all Arrow C kernels — no Python loop over tokens (the first
+        # version's dict-of-str counting loop was the map-side hot path):
+        # split_whitespace merges runs but emits boundary empties, which
+        # the filter drops, matching str.split() / the oracle's regex
+        w = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
+        w = w.filter(pc.not_equal(w, ""))
+        vc = pc.value_counts(w)
+        ws, cs = vc.field("values"), vc.field("counts")
+        bucket = md5_i64_array(ws).to_numpy() % nb
         return pa.table({"bucket": pa.array(bucket, pa.int64()),
-                         "word": pa.array(ws, pa.string()),
-                         "c": pa.array([cnt[w] for w in ws], pa.int64())})
+                         "word": ws,
+                         "c": pc.cast(cs, pa.int64())})
 
     def topk_bucket(t: pa.Table) -> pa.Table:
         g = (t.select(["word", "c"]).to_pandas()
@@ -816,9 +816,14 @@ def sentence_dedup(sf_dir: str):
                             "doc_id": pa.array([], pa.int64()),
                             "pos": pa.array([], pa.int64()),
                             "sent": pa.array([], pa.string())})
-    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    # the corpus is consumed twice (hash pass, then sentence pass); re-read
+    # the immutable parquet each time rather than materialize() — pinning
+    # the whole corpus in the object store is exactly the mid-pipeline
+    # materialization that breaks at 100 TB, while a second pruned read
+    # streams
     flags = bucket_exchange_dataset(
-        docs.map_batches(explode_hash, batch_format="pyarrow"),
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            explode_hash, batch_format="pyarrow"),
         nb, winners, flags_empty)
 
     def explode_sent(b: pa.Table) -> pa.Table:
@@ -859,7 +864,8 @@ def sentence_dedup(sf_dir: str):
                           "text_dedup": pa.array([], pa.string()),
                           "n_kept": pa.array([], pa.int64()),
                           "n_total": pa.array([], pa.int64())})
-    mixed = docs.map_batches(explode_sent, batch_format="pyarrow").union(flags)
+    mixed = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode_sent, batch_format="pyarrow").union(flags)
     return bucket_exchange_dataset(mixed, nb, reassemble, out_empty)
 
 

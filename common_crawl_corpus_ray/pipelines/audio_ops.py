@@ -57,7 +57,9 @@ def _clip_indices(b: pa.Table) -> np.ndarray:
 
 def _md5_hex_upper(view) -> str:
     """DuckDB's only blob hash is md5(hex(b)) with UPPERCASE hex; mirror
-    that spelling so digests compare string-equal."""
+    that spelling so digests compare string-equal. (The hex round trip
+    costs ~3x a raw-bytes md5 — a production dedup would hash the raw
+    payload; this spelling exists solely for oracle comparability.)"""
     return hashlib.md5(view.hex().upper().encode()).hexdigest()
 
 
