@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_near": A.dedup_incremental_near,
         "sentence_dedup": A.sentence_dedup,
         "vocab_topk": A.vocab_topk,
+        "decontaminate": A.decontaminate,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -681,6 +682,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "dedup_incremental_near": dedup_incremental_near_sql,
         "sentence_dedup": A.sentence_dedup_sql(),
         "vocab_topk": A.vocab_topk_sql(),
+        "decontaminate": A.decontaminate_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),
         "group_topk": A.group_topk_sql(),

@@ -745,6 +745,135 @@ FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
 GROUP BY w ORDER BY n DESC, w LIMIT {VOCAB_K}"""
 
 
+# --- benchmark decontamination ------------------------------------------------
+
+_CONTAM_MOD = 17
+_CONTAM_BENCH = 5            # doc_id % 17 == 5 -> benchmark member
+_CONTAM_N = 5                # exact word 5-gram overlap
+_CONTAM_P = np.uint64(1099511628211)   # FNV-64 prime, rolling multiplier
+
+
+def _gram_hash_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_row_index, gram_hash) for every word _CONTAM_N-gram in the
+    batch — all vectorized: Arrow whitespace split, ONE C-level hash pass
+    over the flat word array (pandas hash_array, fixed key), and the
+    n-gram combine as _CONTAM_N shifted multiply-adds in wrapping uint64.
+    Windows crossing a document boundary are masked out."""
+    words = pc.utf8_split_whitespace(t["text"])
+    counts = (pc.list_value_length(words)
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = pc.list_flatten(words)
+    own = np.repeat(np.arange(len(counts)), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        own = own[keep]
+    if len(own) < _CONTAM_N:
+        return own[:0], np.empty(0, np.uint64)
+    h = pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
+    n = _CONTAM_N
+    m = len(h) - n + 1
+    g = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        g = g * _CONTAM_P + h[j:m + j]
+    valid = own[:m] == own[n - 1:n - 1 + m]
+    return own[:m][valid], g[valid]
+
+
+def decontaminate(sf_dir: str):
+    """Benchmark decontamination — the train-set hygiene pass an LLM data
+    pipeline runs before training: flag every training document sharing an
+    exact word {_CONTAM_N}-gram with the held-out benchmark set (here the
+    deterministic corpus slice doc_id % 17 == 5, so the oracle can rebuild
+    it; real pipelines plug in their eval suites). Output: every train doc
+    with its distinct-shared-gram count and a contaminated flag.
+
+    Scale shape: the benchmark gram set builds in one streaming pass
+    (per-block np.unique partials, driver merge of small uniques) and
+    broadcasts ONCE via ray.put — the right pattern because benchmark
+    suites are tiny relative to a 100-TB corpus; a benchmark too large to
+    broadcast composes with the KeyedFragmentIndex side-table probe
+    instead (the dedup_incremental pattern). The train pass is a single
+    map_batches — flat word hash, rolling gram hash, searchsorted
+    membership, per-doc distinct-hit count via lexsort — no shuffle, the
+    corpus read once. Gram identity is a 64-bit rolling hash on both
+    passes (deterministic; a collision would need two distinct grams
+    agreeing in 64 bits inside the same comparison set)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % _CONTAM_MOD == _CONTAM_BENCH))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.uint64())})
+        _, g = _gram_hash_rows(t)
+        return pa.table({"g": pa.array(np.unique(g), pa.uint64())})
+
+    parts = [b["g"].to_numpy(zero_copy_only=False)
+             for b in ds.map_batches(bench_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.uint64))
+    bref = ray.put(bench)
+
+    def probe(b: pa.Table, _ref=bref) -> pa.Table:
+        bg = cached_get(_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % _CONTAM_MOD != _CONTAM_BENCH))
+        n_hits = np.zeros(t.num_rows, dtype=np.int64)
+        if t.num_rows and bg.size:
+            own, g = _gram_hash_rows(t)
+            if len(g):
+                pos = np.clip(np.searchsorted(bg, g), 0, bg.size - 1)
+                hit = bg[pos] == g
+                ho, hg = own[hit], g[hit]
+                if len(ho):
+                    order = np.lexsort((hg, ho))
+                    ho, hg = ho[order], hg[order]
+                    first = np.ones(len(ho), dtype=bool)
+                    first[1:] = (ho[1:] != ho[:-1]) | (hg[1:] != hg[:-1])
+                    n_hits = np.bincount(ho[first], minlength=t.num_rows)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_hits": pa.array(n_hits.astype(np.int64)),
+            "contaminated": pa.array(n_hits > 0),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def decontaminate_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x != '') AS p
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(p[i:i+{_CONTAM_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, p,
+               unnest(generate_series(1, len(p) - {_CONTAM_N - 1})) AS i
+        FROM w)
+), b AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {_CONTAM_MOD} = {_CONTAM_BENCH}
+), h AS (
+  SELECT doc_id, count(DISTINCT gram) AS n_hits
+  FROM g
+  WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_BENCH}
+    AND gram IN (SELECT gram FROM b)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_BENCH}) d
+LEFT JOIN h USING (doc_id)"""
+
+
 # --- global sentence-level exact dedup --------------------------------------
 
 _SENT_SEP = ". "

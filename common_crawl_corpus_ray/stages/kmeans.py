@@ -94,10 +94,12 @@ def kmeans_assign(ds, id_col: str, vec_col: str, k: int = 10,
         pcnt = parts["count"].to_numpy(zero_copy_only=False)
         pclu = parts["cluster"].to_numpy(zero_copy_only=False)
         psum = _to_matrix(parts["sums"])
-        for r in range(parts.num_rows):
-            c = int(pclu[r])
-            counts[c] += pcnt[r]
-            sums[c] += psum[r]
+        # np.add.at accumulates in ROW order (sequential C loop over the
+        # index array), so on the sorted partials it reproduces the
+        # ordered reduce bit-for-bit while keeping the driver-side cost
+        # C-level even at n_blocks x k partial rows
+        np.add.at(counts, pclu, pcnt)
+        np.add.at(sums, pclu, psum)
         nonempty = counts > 0
         cents = cents.copy()
         cents[nonempty] = sums[nonempty] / counts[nonempty, None]

@@ -85,6 +85,9 @@ SQL_QUERIES = [
     "dedup_keep_best_minhash", "dedup_incremental_near",
     "dedup_clusters_minhash", "minhash_dedup_exactdups", "sentence_dedup",
     "vocab_topk",
+    # round 4: benchmark decontamination (exact word-5-gram overlap vs a
+    # deterministic held-out slice, broadcast gram set + rolling hash)
+    "decontaminate",
 ]
 
 
