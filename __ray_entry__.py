@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_dedup": A.sentence_dedup,
         "vocab_topk": A.vocab_topk,
         "decontaminate": A.decontaminate,
+        "pack_sequences": A.pack_sequences,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -263,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dedup": AO.audio_dedup,
         "speech_rate_filter": AO.speech_rate_filter,
         "transcript_align": AO.transcript_align,
+        "audio_batch_pack": AO.audio_batch_pack,
         "export_chunks_digest": AO.export_chunks_digest,
         "embedding_kmeans": emb_kmeans,
         "image_resize": image_resize,
@@ -683,6 +685,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "sentence_dedup": A.sentence_dedup_sql(),
         "vocab_topk": A.vocab_topk_sql(),
         "decontaminate": A.decontaminate_sql(),
+        "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),
         "group_topk": A.group_topk_sql(),
@@ -729,6 +732,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "audio_dedup": AO.audio_dedup_sql(),
         "speech_rate_filter": AO.speech_rate_filter_sql(),
         "transcript_align": AO.transcript_align_sql(),
+        "audio_batch_pack": AO.audio_batch_pack_sql(),
         # export_chunks_digest re-hashes the payload slices that survived
         # the manifest write->commit->read round trip; same chunk oracle:
         "export_chunks_digest": AO.export_chunks_digest_sql(),

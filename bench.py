@@ -83,7 +83,7 @@ QUERY_NAMES = [
     "minhash_dedup_exactdups", "sentence_dedup", "vocab_topk",
     "audio_chunk", "silence_trim", "audio_resample", "audio_dedup",
     "speech_rate_filter", "embedding_kmeans", "transcript_align",
-    "decontaminate",
+    "decontaminate", "pack_sequences", "audio_batch_pack",
 ]
 
 

@@ -1361,6 +1361,90 @@ def shard_assign_sql() -> str:
         "FROM documents)")
 
 
+PACK_SEQ_LEN = 512
+
+
+def pack_sequences(sf_dir: str, n_shards: int = N_SHARDS,
+                   seed: int = SHARD_SEED, seq_len: int = PACK_SEQ_LEN):
+    """GPT-style pretraining sequence packing: concatenate each shard's
+    documents in the deterministic shard_assign order and cut the token
+    stream into fixed ``seq_len`` blocks, documents spanning block
+    boundaries (the standard concat-then-chunk packing; token = whitespace
+    word, the repo's N_Words spelling). Emitted per doc: which output
+    sequences it lands in — first_seq = tokens_before // L, last_seq =
+    (tokens_before + max(tokens,1) - 1) // L — and its offset in the
+    first, all exact integer arithmetic a window-sum oracle states
+    verbatim.
+
+    Scale shape: identical to shard_assign — ONE exchange keyed by shard,
+    per-shard work is a sort + a cumsum over slim (id, hash, token-count)
+    rows; text never shuffles (token counts ride the exchange). Per-task
+    cost is bounded by choosing n_shards proportional to corpus size,
+    which training exports do by construction (shards ARE the output
+    files)."""
+    from ..stages.exchange import bucket_exchange_dataset
+
+    def keyed(b: pa.Table) -> pa.Table:
+        sk = pc.binary_join_element_wise(
+            pc.cast(b["doc_id"], pa.string()), f":{seed}", "")
+        h = md5_i64_array(sk).to_numpy()
+        nw = (nwords_arrow(b["text"])
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"doc_id": b["doc_id"],
+                         "k": pa.array(h, pa.int64()),
+                         "tokens": pa.array(nw),
+                         "bucket": pa.array(h % n_shards, pa.int64())})
+
+    def pack(t: pa.Table) -> pa.Table | None:
+        df = t.select(["doc_id", "k", "tokens", "bucket"]).to_pandas()
+        if df.empty:
+            return None
+        df = df.sort_values(["k", "doc_id"])
+        toks = df["tokens"].to_numpy(np.int64)
+        before = np.concatenate(([0], np.cumsum(toks)[:-1]))
+        last = (before + np.maximum(toks, 1) - 1) // seq_len
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "shard": pa.array(df["bucket"].to_numpy(np.int64)),
+            "first_seq": pa.array(before // seq_len),
+            "last_seq": pa.array(last),
+            "tok_offset": pa.array(before % seq_len)})
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "shard": pa.array([], pa.int64()),
+                      "first_seq": pa.array([], pa.int64()),
+                      "last_seq": pa.array([], pa.int64()),
+                      "tok_offset": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            keyed, batch_format="pyarrow"),
+        n_shards, pack, empty)
+
+
+def pack_sequences_sql() -> str:
+    k = sql_md5_i64(f"CONCAT(doc_id, ':{SHARD_SEED}')")
+    nw = sql_nwords("text")
+    L = PACK_SEQ_LEN
+    return f"""
+WITH t AS (
+  SELECT doc_id, {k} AS k, {k} % {N_SHARDS} AS shard,
+         CAST({nw} AS BIGINT) AS tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, tokens,
+         CAST(coalesce(SUM(tokens) OVER (
+             PARTITION BY shard ORDER BY k, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT doc_id, shard,
+       tokens_before // {L} AS first_seq,
+       (tokens_before + GREATEST(tokens, 1) - 1) // {L} AS last_seq,
+       tokens_before % {L} AS tok_offset
+FROM c"""
+
+
 def semi_anti_join(sf_dir: str):
     """M3/M4/J1-J4: broadcast semi-join on lang, anti-join on source."""
     semi = set(SEMI_LANGS)

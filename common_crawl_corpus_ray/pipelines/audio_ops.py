@@ -577,6 +577,112 @@ FROM c
 WHERE {WPS_MIN} * dur_ms <= n_words * 1000 AND n_words * 1000 <= {WPS_MAX} * dur_ms"""
 
 
+# --- audio_batch_pack ---------------------------------------------------------
+
+BATCH_CLIPS = 32         # clips per training batch
+DUR_BUCKET_MS = 250      # stratum granularity for length bucketing
+
+
+def audio_batch_pack(sf_dir: str):
+    """Length-bucketed batch planning for ASR training: padding a batch to
+    its longest clip wastes compute, so clips are batched among
+    like-duration peers. Strata are (codec, sr_hz, dur_ms // DUR_BUCKET_MS);
+    within a stratum clips rank by (dur_ms, clip_id) and cut into
+    BATCH_CLIPS-sized batches; the emitted row per batch carries its
+    padding cost pad_ms = max_dur*n - sum_dur. Deterministic, no decode,
+    no payload read — the plan is metadata-only.
+
+    Scale shape: one exchange keyed by stratum; per-task work is a
+    pandas sort of one stratum's (dur, id) pairs. Per-stratum row counts
+    are bounded by choosing DUR_BUCKET_MS granularity against the corpus
+    duration distribution (finer buckets at bigger corpora — they also
+    IMPROVE padding efficiency, so scale and quality pull the same way)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+    from .clips_queries import clips_count
+
+    uri = ensure_clips(sf_dir, with_audio=True)
+    nb = scaled_buckets(clips_count(sf_dir), rows_per_bucket=200_000, lo=4)
+    ds = rd.read_parquet(uri, columns=["clip_id", "codec", "sr_hz", "dur_ms"])
+    codec_ix = {c: i for i, c in enumerate(sorted(codecs.BYTES_PER_SAMPLE))}
+
+    def keyed(b: pa.Table) -> pa.Table:
+        sr = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = b["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cix = np.array([codec_ix[c] for c in b["codec"].to_pylist()],
+                       dtype=np.int64)
+        db = dur // DUR_BUCKET_MS
+        return pa.table({
+            "bucket": pa.array((sr * 31 + db * 7 + cix) % nb, pa.int64()),
+            "clip_id": b["clip_id"],
+            "codec": b["codec"],
+            "sr_hz": pa.array(sr),
+            "dur_ms": pa.array(dur),
+            "dur_bucket": pa.array(db)})
+
+    def plan(t: pa.Table) -> pa.Table | None:
+        df = t.select(["clip_id", "codec", "sr_hz", "dur_ms",
+                       "dur_bucket"]).to_pandas()
+        if df.empty:
+            return None
+        df = df.sort_values(["codec", "sr_hz", "dur_bucket",
+                             "dur_ms", "clip_id"])
+        rk = df.groupby(["codec", "sr_hz", "dur_bucket"],
+                        sort=False).cumcount()
+        df["batch_idx"] = (rk // BATCH_CLIPS).to_numpy(np.int64)
+        g = (df.groupby(["codec", "sr_hz", "dur_bucket", "batch_idx"],
+                        sort=False)
+             .agg(n_clips=("dur_ms", "size"), max_dur_ms=("dur_ms", "max"),
+                  sum_dur_ms=("dur_ms", "sum")).reset_index())
+        pad = g["max_dur_ms"] * g["n_clips"] - g["sum_dur_ms"]
+        return pa.table({
+            "codec": pa.array(g["codec"], pa.string()),
+            "sr_hz": pa.array(g["sr_hz"].to_numpy(np.int64)),
+            "dur_bucket": pa.array(g["dur_bucket"].to_numpy(np.int64)),
+            "batch_idx": pa.array(g["batch_idx"].to_numpy(np.int64)),
+            "n_clips": pa.array(g["n_clips"].to_numpy(np.int64)),
+            "max_dur_ms": pa.array(g["max_dur_ms"].to_numpy(np.int64)),
+            "sum_dur_ms": pa.array(g["sum_dur_ms"].to_numpy(np.int64)),
+            "pad_ms": pa.array(pad.to_numpy(np.int64))})
+
+    empty = pa.table({"codec": pa.array([], pa.string()),
+                      "sr_hz": pa.array([], pa.int64()),
+                      "dur_bucket": pa.array([], pa.int64()),
+                      "batch_idx": pa.array([], pa.int64()),
+                      "n_clips": pa.array([], pa.int64()),
+                      "max_dur_ms": pa.array([], pa.int64()),
+                      "sum_dur_ms": pa.array([], pa.int64()),
+                      "pad_ms": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(
+        ds.map_batches(keyed, batch_format="pyarrow"), nb, plan, empty)
+
+
+def audio_batch_pack_sql() -> str:
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    return f"""
+WITH c AS (
+  SELECT clip_id, codec, CAST(sr_hz AS BIGINT) AS sr_hz,
+         CAST(dur_ms AS BIGINT) AS dur_ms,
+         CAST(dur_ms AS BIGINT) // {DUR_BUCKET_MS} AS dur_bucket
+  FROM read_parquet('{uri}/*.parquet')
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY codec, sr_hz, dur_bucket
+      ORDER BY dur_ms, clip_id) - 1 AS BIGINT) AS rk
+  FROM c
+)
+SELECT codec, sr_hz, dur_bucket, rk // {BATCH_CLIPS} AS batch_idx,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       max(dur_ms) AS max_dur_ms,
+       CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms,
+       max(dur_ms) * CAST(count(*) AS BIGINT)
+         - CAST(sum(dur_ms) AS BIGINT) AS pad_ms
+FROM r GROUP BY codec, sr_hz, dur_bucket, rk // {BATCH_CLIPS}"""
+
+
 # --- audio_dedup -------------------------------------------------------------
 
 def audio_dedup(sf_dir: str):

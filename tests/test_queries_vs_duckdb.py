@@ -86,8 +86,9 @@ SQL_QUERIES = [
     "dedup_clusters_minhash", "minhash_dedup_exactdups", "sentence_dedup",
     "vocab_topk",
     # round 4: benchmark decontamination (exact word-5-gram overlap vs a
-    # deterministic held-out slice, broadcast gram set + rolling hash)
-    "decontaminate",
+    # deterministic held-out slice, broadcast gram set + rolling hash);
+    # GPT-style concat-then-chunk sequence packing (window-sum oracle)
+    "decontaminate", "pack_sequences",
 ]
 
 
@@ -115,8 +116,9 @@ CLIPS_FIXTURE_QUERIES = [
     "audio_chunk", "silence_trim", "audio_resample", "audio_dedup",
     "speech_rate_filter",
     # round 4: cross-modal word->chunk alignment; manifest-export round
-    # trip digested back against the chunk oracle
-    "transcript_align", "export_chunks_digest",
+    # trip digested back against the chunk oracle; length-bucketed ASR
+    # batch planning
+    "transcript_align", "export_chunks_digest", "audio_batch_pack",
 ]
 
 
