@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "speech_rate_filter": AO.speech_rate_filter,
         "transcript_align": AO.transcript_align,
         "audio_batch_pack": AO.audio_batch_pack,
+        "audio_dedup_incremental": AO.audio_dedup_incremental,
         "export_chunks_digest": AO.export_chunks_digest,
         "embedding_kmeans": emb_kmeans,
         "image_resize": image_resize,
@@ -733,6 +734,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "speech_rate_filter": AO.speech_rate_filter_sql(),
         "transcript_align": AO.transcript_align_sql(),
         "audio_batch_pack": AO.audio_batch_pack_sql(),
+        "audio_dedup_incremental": AO.audio_dedup_incremental_sql(),
         # export_chunks_digest re-hashes the payload slices that survived
         # the manifest write->commit->read round trip; same chunk oracle:
         "export_chunks_digest": AO.export_chunks_digest_sql(),

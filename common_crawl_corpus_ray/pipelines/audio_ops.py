@@ -34,6 +34,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..audio import codecs
+from ..sources.keyed import KeyedBatchJoiner
 from .clips_queries import ORACLE_SF, ensure_clips
 
 CHUNK_MS = 1000          # audio_chunk window
@@ -577,6 +578,123 @@ FROM c
 WHERE {WPS_MIN} * dur_ms <= n_words * 1000 AND n_words * 1000 <= {WPS_MAX} * dur_ms"""
 
 
+# --- audio_dedup_incremental ---------------------------------------------------
+
+_INC_AUDIO_MOD = 11      # new-stream derivation: i%11==4 -> prior payload
+_INC_AUDIO_DUP = 4       # (cross-crawl duplicate, must drop);
+_INC_AUDIO_NEW = 7       # i%11==7 -> payload || 0x7F (novel, must keep)
+_INC_AUDIO_BASE = 1_000_000_000
+
+
+class _PayloadAntiProbe:
+    """Actor-pool anti-join against the prior corpus's keyed payload-digest
+    table: one searchsorted probe per batch with per-actor fragment LRU
+    (sources/keyed.py — the dedup_incremental pattern on the audio axis).
+    Input batches MUST be key-range-clustered (caller sorts on the digest
+    key first), or fragment pruning degenerates to a full index load."""
+
+    def __init__(self, index):
+        self.joiner = KeyedBatchJoiner(index, columns=["payload_key"])
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        _, found, _ = self.joiner.probe(b["payload_key"])
+        return b.filter(pa.array(~found))
+
+
+def audio_dedup_incremental(sf_dir: str):
+    """Cross-crawl incremental AUDIO dedup: when a new crawl of clips lands
+    on an existing corpus, drop new clips whose PAYLOAD already exists in
+    the prior corpus — without rescanning the prior corpus (the reference
+    rescans the union per crawl, deduplication.py). The prior corpus's
+    payload digests are distilled ONCE into a digest-sorted keyed side
+    table (content-keyed /tmp cache = the persisted state a real prior
+    crawl leaves behind); each increment hashes only NEW payloads, sorts
+    the slim (new_id, digest) stream, and anti-probes with fragment-range
+    pruning — per-increment cost O(new).
+
+    The new stream derives deterministically from the fixture so the
+    oracle can rebuild it: clip i%{_INC_AUDIO_MOD}=={_INC_AUDIO_DUP}
+    re-submits its prior payload (a truck-backup duplicate upload — must
+    drop); i%{_INC_AUDIO_MOD}=={_INC_AUDIO_NEW} appends one byte 0x7F (a
+    genuinely new recording — must keep). Digest = md5_i64 over the
+    UPPERCASE payload hex, the DuckDB-spellable blob hash."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_i64
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedFragmentIndex
+    from ray.data.aggregate import Min
+
+    uri = ensure_clips(sf_dir, with_audio=True)
+    idx_uri = f"/tmp/ccc_prior_audio_idx_{_clips_tag(uri)}"
+
+    def prior_keys(b: pa.Table) -> pa.Table:
+        payloads = b["bytes"].combine_chunks()
+        ks = [md5_i64(memoryview(payloads[r].as_buffer()).hex().upper())
+              for r in range(b.num_rows)]
+        return pa.table({"payload_key": pa.array(ks, pa.int64())})
+
+    if not os.path.exists(os.path.join(idx_uri, "_versions")):
+        prior = (rd.read_parquet(uri, columns=["bytes"])
+                 .map_batches(prior_keys, batch_format="pyarrow",
+                              batch_size=None)
+                 .sort("payload_key"))
+        lancelite.write_dataset(prior, idx_uri, key_stats="payload_key")
+    index = KeyedFragmentIndex(idx_uri, "payload_key")
+
+    def new_stream(b: pa.Table) -> pa.Table:
+        idx = _clip_indices(b)
+        payloads = b["bytes"].combine_chunks()
+        ids: list[int] = []
+        ks: list[int] = []
+        for r in range(b.num_rows):
+            i, m = int(idx[r]), int(idx[r]) % _INC_AUDIO_MOD
+            if m == _INC_AUDIO_DUP:
+                hx = memoryview(payloads[r].as_buffer()).hex().upper()
+            elif m == _INC_AUDIO_NEW:
+                hx = memoryview(payloads[r].as_buffer()).hex().upper() + "7F"
+            else:
+                continue
+            ids.append(_INC_AUDIO_BASE + i)
+            ks.append(md5_i64(hx))
+        return pa.table({"new_id": pa.array(ids, pa.int64()),
+                         "payload_key": pa.array(ks, pa.int64())})
+
+    fresh = (rd.read_parquet(uri, columns=["clip_id", "bytes"])
+             .map_batches(new_stream, batch_format="pyarrow",
+                          batch_size=None)
+             .sort("payload_key")
+             .map_batches(_PayloadAntiProbe, batch_format="pyarrow",
+                          batch_size=4096, fn_constructor_args=(index,),
+                          concurrency=(1, 4), num_cpus=1))
+    return fresh.groupby("payload_key").aggregate(
+        Min("new_id", alias_name="new_id"))
+
+
+def audio_dedup_incremental_sql() -> str:
+    from ..functions.hashing import sql_md5_i64
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    k_prior = sql_md5_i64("hex(bytes)")
+    k_new = sql_md5_i64("CONCAT(hex(bytes), '7F')")
+    return f"""
+WITH src AS (
+  SELECT CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) AS i, bytes
+  FROM read_parquet('{uri}/*.parquet')
+), newstream AS (
+  SELECT {_INC_AUDIO_BASE} + i AS new_id, {k_prior} AS payload_key
+  FROM src WHERE i % {_INC_AUDIO_MOD} = {_INC_AUDIO_DUP}
+  UNION ALL
+  SELECT {_INC_AUDIO_BASE} + i, {k_new}
+  FROM src WHERE i % {_INC_AUDIO_MOD} = {_INC_AUDIO_NEW}
+)
+SELECT payload_key, min(new_id) AS new_id
+FROM newstream
+WHERE payload_key NOT IN (SELECT {k_prior} FROM src)
+GROUP BY payload_key"""
+
+
 # --- audio_batch_pack ---------------------------------------------------------
 
 BATCH_CLIPS = 32         # clips per training batch
@@ -694,18 +812,23 @@ def audio_dedup(sf_dir: str):
     (i-3)'s payload — a projection SQL states with a self-join, keeping
     the oracle exact.
 
-    The Ray side resolves the planted projection with a SLIM digest
-    exchange instead of regenerating donor audio (the first version
+    The Ray side resolves the planted projection with SLIM digest
+    exchanges instead of regenerating donor audio (the first version
     re-synthesised the donor payload per dup row — 14k full clip
-    generations at sf0.1, ~5s of pure redundant DSP): every clip hashes
-    only its OWN payload once; dup rows ship a (donor_idx, idx) request
-    into the donor's bucket. A dup group is always {donor, donor+3} and
-    both land in bucket donor%nb by construction, so the per-bucket
-    keep-first min is globally exact — no second groupby. Payload bytes
-    never shuffle; exchange rows are (idx, donor, md5)."""
+    generations at sf0.1, ~5s of pure redundant DSP). Two stages, both
+    over (idx, digest)-sized rows; payload bytes never shuffle:
+      1. digest resolution, keyed by donor idx — every clip hashes only
+         its OWN payload once; dup rows ship a (donor_idx, idx) request
+         into the donor's bucket and pick the digest up there, with a
+         per-bucket partial min per digest;
+      2. keep-first, keyed by digest hash — globally exact for ANY
+         payload distribution (stage 1's bucket key is the donor id, so
+         payloads that happened to collide across donors would otherwise
+         resolve min per bucket only)."""
     import pandas as pd
     import ray.data as rd
 
+    from ..functions.hashing import md5_i64_array
     from ..stages.decide import scaled_buckets
     from ..stages.exchange import bucket_exchange_dataset
     from .clips_queries import clips_count
@@ -739,16 +862,30 @@ def audio_dedup(sf_dir: str):
         req["md5"] = req["donor"].map(
             dict(zip(own["idx"], own["md5"])))
         g = (pd.concat([own[["md5", "idx"]], req[["md5", "idx"]]])
+             .groupby("md5", sort=False)["idx"].min().reset_index())
+        return pa.table({
+            "bucket": pa.array(
+                md5_i64_array(pa.array(g["md5"], pa.string())).to_numpy()
+                % nb, pa.int64()),
+            "md5": pa.array(g["md5"], pa.string()),
+            "idx": pa.array(g["idx"].to_numpy(np.int64))})
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        g = (t.select(["md5", "idx"]).to_pandas()
              .groupby("md5", sort=False)["idx"].min())
         ids = [f"clip-{int(i):012d}" for i in g.to_numpy()]
         return pa.table({"payload_md5": pa.array(g.index, pa.string()),
                          "clip_id": pa.array(ids, pa.string())})
 
+    mid = pa.table({"bucket": pa.array([], pa.int64()),
+                    "md5": pa.array([], pa.string()),
+                    "idx": pa.array([], pa.int64())})
     empty = pa.table({"payload_md5": pa.array([], pa.string()),
                       "clip_id": pa.array([], pa.string())})
-    return bucket_exchange_dataset(
+    resolved = bucket_exchange_dataset(
         ds.map_batches(keys, batch_format="pyarrow", batch_size=None),
-        nb, resolve, empty)
+        nb, resolve, mid)
+    return bucket_exchange_dataset(resolved, nb, keep_first, empty)
 
 
 def audio_dedup_sql() -> str:

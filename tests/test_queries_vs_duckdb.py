@@ -119,6 +119,9 @@ CLIPS_FIXTURE_QUERIES = [
     # trip digested back against the chunk oracle; length-bucketed ASR
     # batch planning
     "transcript_align", "export_chunks_digest", "audio_batch_pack",
+    # round 4: cross-crawl incremental payload dedup vs the persisted
+    # prior-corpus digest index
+    "audio_dedup_incremental",
 ]
 
 
