@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_align": AO.transcript_align,
         "audio_batch_pack": AO.audio_batch_pack,
         "audio_dedup_incremental": AO.audio_dedup_incremental,
+        "audio_perceptual_dedup": AO.audio_perceptual_dedup,
         "export_chunks_digest": AO.export_chunks_digest,
         "embedding_kmeans": emb_kmeans,
         "image_resize": image_resize,
@@ -735,6 +736,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "transcript_align": AO.transcript_align_sql(),
         "audio_batch_pack": AO.audio_batch_pack_sql(),
         "audio_dedup_incremental": AO.audio_dedup_incremental_sql(),
+        "audio_perceptual_dedup": AO.audio_perceptual_dedup_sql(),
         # export_chunks_digest re-hashes the payload slices that survived
         # the manifest write->commit->read round trip; same chunk oracle:
         "export_chunks_digest": AO.export_chunks_digest_sql(),

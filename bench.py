@@ -84,7 +84,7 @@ QUERY_NAMES = [
     "audio_chunk", "silence_trim", "audio_resample", "audio_dedup",
     "speech_rate_filter", "embedding_kmeans", "transcript_align",
     "decontaminate", "pack_sequences", "audio_batch_pack",
-    "audio_dedup_incremental",
+    "audio_dedup_incremental", "audio_perceptual_dedup",
 ]
 
 

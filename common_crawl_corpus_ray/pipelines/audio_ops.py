@@ -578,6 +578,162 @@ FROM c
 WHERE {WPS_MIN} * dur_ms <= n_words * 1000 AND n_words * 1000 <= {WPS_MAX} * dur_ms"""
 
 
+# --- audio_perceptual_dedup ----------------------------------------------------
+
+_PERC_MOD = 13           # plant: clip i%13==6 carries clip (i-6)'s SIGNAL
+_PERC_OFF = 6            # re-encoded under a different codec
+PERC_SNR_DB = 30.0       # decoded-domain match threshold (the north-star
+                         # allclose bar; planted chains measure >=36.2 dB,
+                         # independent same-shape clips ~-3 dB)
+
+
+def audio_perceptual_dedup(sf_dir: str):
+    """Decoded-domain (perceptual) near-dup detection: the same RECORDING
+    re-encoded under a different codec has different payload bytes, so
+    exact payload dedup (audio_dedup) misses it; this op catches it by
+    comparing what the clips SOUND like. Candidates co-bucket by
+    (sr_hz, n_samples) — a true re-encoding preserves both — and each
+    group pairwise-verifies decoded SNR >= {PERC_SNR_DB} dB (G.711
+    double-quantization keeps re-encodings >=36 dB; independent clips
+    measure ~0 dB, so the decision has >30 dB of margin).
+
+    Plant (the codec_validity projection technique): clip i%13==6 is
+    treated as carrying clip (i-6)'s signal re-encoded in a different
+    codec at the donor's rate; donor audio is regenerated from the synth
+    seed because the plant needs the donor's DECODED SIGNAL, not a digest
+    (the one case where regeneration is the plant, not a shortcut). The
+    planted-pair set is pure integer arithmetic, so the driver hash-gates
+    the detector's output against it: a missed re-encoding or a false
+    positive breaks the hash.
+
+    Scale shape: payload bytes ride ONCE into their (sr, n) group bucket
+    — the corpus-move cost class of sentence_dedup's reassembly — and
+    never shuffle again; per-bucket work is decode + within-group
+    pairwise SNR over groups whose size the (sr, n) key keeps small."""
+    import ray.data as rd
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+    from ..synth import clips as synth_clips
+    from .clips_queries import clips_count
+
+    uri = ensure_clips(sf_dir, with_audio=True)
+    # the reduce side DECODES its bucket (unlike the slim-row exchanges),
+    # so buckets must be sized to the decode cost, not the row count:
+    # 100k-row buckets serialized 25k decodes into 4 tasks (95s wall at
+    # sf0.1); ~2k clips per reduce task keeps each under ~2s of decode
+    nb = scaled_buckets(clips_count(sf_dir), rows_per_bucket=2_000, lo=8)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        idx = _clip_indices(b)
+        payloads = b["bytes"].combine_chunks()
+        srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cods = b["codec"].to_pylist()
+        out_i, out_sr, out_n, out_c, out_b = [], [], [], [], []
+        for r in range(b.num_rows):
+            i = int(idx[r])
+            if i % _PERC_MOD == _PERC_OFF:
+                donor_b, donor_sr, _, donor_c = synth_clips._audio_fields(
+                    i - _PERC_OFF, 3000)
+                x = codecs.decode(donor_b, donor_c)
+                other = "alaw" if donor_c != "alaw" else "ulaw"
+                pay = codecs.encode(np.asarray(x), other)
+                sr, cod = donor_sr, other
+            else:
+                pay = payloads[r].as_buffer()
+                sr, cod = int(srs[r]), cods[r]
+            n = codecs.num_samples(len(pay), cod)
+            out_i.append(i); out_sr.append(sr); out_n.append(n)
+            out_c.append(cod); out_b.append(pay)
+        return pa.table({
+            "bucket": pa.array(
+                (np.asarray(out_sr, np.int64) * 1_000_003
+                 + np.asarray(out_n, np.int64)) % nb, pa.int64()),
+            "idx": pa.array(out_i, pa.int64()),
+            "sr_hz": pa.array(out_sr, pa.int64()),
+            "n_samp": pa.array(out_n, pa.int64()),
+            "codec": pa.array(out_c, pa.string()),
+            "bytes": pa.array([memoryview(v) if not isinstance(v, memoryview)
+                               else v for v in out_b], pa.binary()),
+        })
+
+    _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                            axis=1).sum(axis=1).astype(np.uint8)
+    _SIG_BITS, _SIG_MAXHAM = 64, 12
+
+    def _sign_sig(x: np.ndarray) -> np.uint64:
+        # 64-bit sign signature at evenly spaced positions: a true
+        # re-encoding flips a sampled sign only where |x| < the G.711
+        # decode error (~1-2 of 64 expected); independent clips differ in
+        # ~32. The screen only PRUNES — every surviving candidate is still
+        # exact-SNR-verified, so a (vanishingly unlikely, ~2^-30/pair)
+        # screen collision cannot create a false positive.
+        pos = np.linspace(0, len(x) - 1, _SIG_BITS).astype(np.int64)
+        bits = (x[pos] >= 0).astype(np.uint64)
+        return np.uint64((bits << np.arange(_SIG_BITS, dtype=np.uint64)).sum())
+
+    def pairs(t: pa.Table) -> pa.Table | None:
+        df_idx = t["idx"].to_numpy(zero_copy_only=False)
+        sr = t["sr_hz"].to_numpy(zero_copy_only=False)
+        n = t["n_samp"].to_numpy(zero_copy_only=False)
+        cods = t["codec"].to_pylist()
+        payloads = t["bytes"].combine_chunks()
+        order = np.lexsort((df_idx, n, sr))
+        out_a, out_b = [], []
+        k = 0
+        while k < len(order):
+            j = k
+            while (j < len(order) and sr[order[j]] == sr[order[k]]
+                   and n[order[j]] == n[order[k]]):
+                j += 1
+            group = order[k:j]
+            if len(group) > 1:
+                decoded = [np.asarray(codecs.decode(
+                    payloads[int(g)].as_buffer(), cods[int(g)]),
+                    dtype=np.float64) for g in group]
+                sigs = np.array([_sign_sig(d) for d in decoded],
+                                dtype=np.uint64)
+                # all-pairs Hamming screen, vectorized: outer xor ->
+                # byte-table popcount; without it the dur-clip atoms
+                # (~176 same-length clips at sf0.1) cost c^2 full-vector
+                # SNR passes — measured 30s of the 41s wall
+                x = (sigs[:, None] ^ sigs[None, :]).view(np.uint8)
+                ham = _POPCNT[x].reshape(len(group), len(group), 8).sum(-1)
+                ai, ci = np.nonzero(np.triu(ham <= _SIG_MAXHAM, k=1))
+                for a, c in zip(ai, ci):
+                    if codecs.snr_db(decoded[a], decoded[c]) >= PERC_SNR_DB:
+                        ia, ic = int(df_idx[group[a]]), int(df_idx[group[c]])
+                        out_a.append(min(ia, ic))
+                        out_b.append(max(ia, ic))
+            k = j
+        if not out_a:
+            return None
+        return pa.table({
+            "id_a": pa.array([f"clip-{i:012d}" for i in out_a], pa.string()),
+            "id_b": pa.array([f"clip-{i:012d}" for i in out_b], pa.string())})
+
+    empty = pa.table({"id_a": pa.array([], pa.string()),
+                      "id_b": pa.array([], pa.string())})
+    ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
+    return bucket_exchange_dataset(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        nb, pairs, empty)
+
+
+def audio_perceptual_dedup_sql() -> str:
+    """The planted-pair set the detector must recover exactly: for every
+    plant i%13==6 the pair (clip(i-6), clip(i)); the fixture's own clips
+    are pairwise independent signals, so any other pair at SNR>=30 dB
+    would be a detector false positive and break the hash."""
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    return f"""
+SELECT 'clip-' || lpad(CAST(i - {_PERC_OFF} AS VARCHAR), 12, '0') AS id_a,
+       'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS id_b
+FROM (SELECT CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) AS i
+      FROM read_parquet('{uri}/*.parquet'))
+WHERE i % {_PERC_MOD} = {_PERC_OFF}"""
+
+
 # --- audio_dedup_incremental ---------------------------------------------------
 
 _INC_AUDIO_MOD = 11      # new-stream derivation: i%11==4 -> prior payload

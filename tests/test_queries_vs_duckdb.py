@@ -122,6 +122,8 @@ CLIPS_FIXTURE_QUERIES = [
     # round 4: cross-crawl incremental payload dedup vs the persisted
     # prior-corpus digest index
     "audio_dedup_incremental",
+    # round 4: decoded-domain cross-codec dedup (planted-pair oracle)
+    "audio_perceptual_dedup",
 ]
 
 
