@@ -608,8 +608,16 @@ def audio_perceptual_dedup(sf_dir: str):
 
     Scale shape: payload bytes ride ONCE into their (sr, n) group bucket
     — the corpus-move cost class of sentence_dedup's reassembly — and
-    never shuffle again; per-bucket work is decode + within-group
-    pairwise SNR over groups whose size the (sr, n) key keeps small."""
+    never shuffle again; per-bucket work is decode + screened within-group
+    SNR. Partitioning assumption: a (sr, n) group fits one reduce task.
+    The fixture's clamp atoms (every dur=3000ms clip of one rate shares a
+    group) are the worst case here and stay small at test scale; real
+    speech duration is continuous at ms resolution, so groups shrink as
+    corpora grow. If a corpus DID concentrate one (sr, n) cell, the
+    banded-signature split is the known fix (pigeonhole the 64-bit sign
+    signature into 13 bands so Hamming<=12 pairs share an exact band —
+    the minhash banding machinery in stages/dedup_family.py applied to
+    the sign signature)."""
     import ray.data as rd
 
     from ..stages.decide import scaled_buckets
