@@ -173,3 +173,34 @@ def test_audio_dedup_planted_payloads_byte_identical():
         donor, _, _, _ = clips._audio_fields(i - 3, 3000)
         again, _, _, _ = clips._audio_fields(i - 3, 3000)
         assert donor == again
+
+
+def test_perceptual_screen_margins():
+    """The 64-bit sign-signature screen's two assumptions, measured: a
+    G.711 re-encoding stays within the Hamming admit threshold (screen
+    never prunes a true pair on this fixture family), and independent
+    clips of the same shape sit far above it (the screen actually
+    prunes). Uses the same signature construction as the operator."""
+    import numpy as np
+
+    from common_crawl_corpus_ray.audio import codecs
+
+    def sig(x, bits=64):
+        pos = np.linspace(0, len(x) - 1, bits).astype(np.int64)
+        b = (np.asarray(x)[pos] >= 0).astype(np.uint64)
+        return int((b << np.arange(bits, dtype=np.uint64)).sum())
+
+    worst_true, best_indep = 0, 64
+    for i in range(0, 60):
+        b, sr, dur, codec = clips._audio_fields(i, 3000)
+        x = np.asarray(codecs.decode(b, codec))
+        other = "alaw" if codec != "alaw" else "ulaw"
+        y = np.asarray(codecs.decode(codecs.encode(x, other), other))
+        worst_true = max(worst_true, bin(sig(x) ^ sig(y)).count("1"))
+        b2, _, _, c2 = clips._audio_fields(i + 500, 3000)
+        z = np.asarray(codecs.decode(b2, c2))
+        n = min(len(x), len(z))
+        best_indep = min(best_indep,
+                         bin(sig(x[:n]) ^ sig(z[:n])).count("1"))
+    assert worst_true <= 12, worst_true           # admit threshold
+    assert best_indep > 12, best_indep            # prune margin
