@@ -257,10 +257,41 @@ def run_scaling() -> dict:
     }
 
 
+def run_bench_supervised(max_attempts: int = 3) -> dict:
+    """Run the bench in a CHILD process and retry on abnormal death.
+
+    Rationale (observed round 4, twice in one day): ray 2.49.2's core can
+    abort the whole driver process mid-run with an internal race —
+    ``task_manager.cc:930 Check failed: it != submissible_tasks_.end()
+    Tried to complete task that was not pending`` — which is a raylet
+    C++ CHECK, not a Python exception, so no in-process handling can
+    survive it. The same binary completes cleanly on retry (3 of 3
+    observed). Supervising from a parent keeps a one-shot harness
+    invocation from losing the round's numbers to that race; the attempt
+    count is reported in the JSON for honesty."""
+    last_rc = None
+    for attempt in range(1, max_attempts + 1):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--bench-one"],
+            env=dict(os.environ), capture_output=True, text=True)
+        for line in reversed(out.stdout.strip().splitlines() or [""]):
+            if line.startswith("{"):
+                d = json.loads(line)
+                d["bench_attempt"] = attempt
+                return d
+        last_rc = out.returncode
+        sys.stderr.write(
+            f"bench attempt {attempt} died rc={out.returncode}; tail:\n"
+            + "\n".join(out.stderr.splitlines()[-5:]) + "\n")
+    raise SystemExit(f"bench failed {max_attempts} attempts (rc={last_rc})")
+
+
 if __name__ == "__main__":
     if "--scaling-one" in sys.argv:
         run_scaling_one(int(sys.argv[sys.argv.index("--scaling-one") + 1]))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
-    else:
+    elif "--bench-one" in sys.argv:
         print(json.dumps(run_bench()))
+    else:
+        print(json.dumps(run_bench_supervised()))
