@@ -35,6 +35,7 @@ import pyarrow as pa
 
 from ..audio import codecs
 from ..sources.keyed import KeyedBatchJoiner
+from ..synth import clips as synth_clips
 from .clips_queries import ORACLE_SF, ensure_clips
 
 CHUNK_MS = 1000          # audio_chunk window
@@ -587,105 +588,113 @@ PERC_SNR_DB = 30.0       # decoded-domain match threshold (the north-star
                          # independent same-shape clips ~-3 dB)
 
 
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1).astype(np.uint8)
+_SIG_BITS, _SIG_MAXHAM = 64, 12
+
+
+def _sign_sig(x: np.ndarray) -> np.uint64:
+    """64-bit sign signature at evenly spaced positions: a true
+    re-encoding flips a sampled sign only where |x| < the G.711 decode
+    error (~1-2 of 64 expected, margin pinned in
+    tests/test_audio_ops.py::test_perceptual_screen_margins); independent
+    clips differ in ~32. The screen only PRUNES — every surviving
+    candidate is exact-SNR-verified, so a screen collision cannot create
+    a false positive."""
+    pos = np.linspace(0, len(x) - 1, _SIG_BITS).astype(np.int64)
+    bits = (x[pos] >= 0).astype(np.uint64)
+    return np.uint64((bits << np.arange(_SIG_BITS, dtype=np.uint64)).sum())
+
+
+def _perc_effective(i: int, payload, sr: int, cod: str):
+    """The signal a clip PRESENTS after the planting projection: plants
+    (i%13==6) carry the donor's signal re-encoded under a different codec
+    (regenerated from the synth seed — the plant needs the donor's
+    DECODED SIGNAL, not a digest, so regeneration IS the plant here);
+    everything else decodes its own payload. (synth_clips is a
+    module-level import: an import statement in this worker-executed body
+    would re-run on the worker and fail without the repo on its path —
+    verify-skill trap #2.)"""
+    if i % _PERC_MOD == _PERC_OFF:
+        donor_b, donor_sr, _, donor_c = synth_clips._audio_fields(
+            i - _PERC_OFF, 3000)
+        x = codecs.decode(donor_b, donor_c)
+        other = "alaw" if donor_c != "alaw" else "ulaw"
+        y = codecs.decode(codecs.encode(np.asarray(x), other), other)
+        return np.asarray(y, dtype=np.float64), int(donor_sr)
+    return (np.asarray(codecs.decode(payload, cod), dtype=np.float64),
+            int(sr))
+
+
 def audio_perceptual_dedup(sf_dir: str):
     """Decoded-domain (perceptual) near-dup detection: the same RECORDING
     re-encoded under a different codec has different payload bytes, so
     exact payload dedup (audio_dedup) misses it; this op catches it by
-    comparing what the clips SOUND like. Candidates co-bucket by
-    (sr_hz, n_samples) — a true re-encoding preserves both — and each
-    group pairwise-verifies decoded SNR >= {PERC_SNR_DB} dB (G.711
-    double-quantization keeps re-encodings >=36 dB; independent clips
-    measure ~0 dB, so the decision has >30 dB of margin).
+    comparing what the clips SOUND like. The planted-pair set (clip
+    i%13==6 carries clip (i-6)'s signal under a different codec) is pure
+    integer arithmetic, so the driver hash-gates the detector's output: a
+    missed re-encoding or a false positive breaks the hash. Decision
+    margin: G.711 double-quantization keeps true pairs >=36 dB SNR;
+    independent clips measure ~0 dB, so the 30 dB bar has wide margin.
 
-    Plant (the codec_validity projection technique): clip i%13==6 is
-    treated as carrying clip (i-6)'s signal re-encoded in a different
-    codec at the donor's rate; donor audio is regenerated from the synth
-    seed because the plant needs the donor's DECODED SIGNAL, not a digest
-    (the one case where regeneration is the plant, not a shortcut). The
-    planted-pair set is pure integer arithmetic, so the driver hash-gates
-    the detector's output against it: a missed re-encoding or a false
-    positive breaks the hash.
-
-    Scale shape: payload bytes ride ONCE into their (sr, n) group bucket
-    — the corpus-move cost class of sentence_dedup's reassembly — and
-    never shuffle again; per-bucket work is decode + screened within-group
-    SNR. Partitioning assumption: a (sr, n) group fits one reduce task.
-    The fixture's clamp atoms (every dur=3000ms clip of one rate shares a
-    group) are the worst case here and stay small at test scale; real
-    speech duration is continuous at ms resolution, so groups shrink as
-    corpora grow. If a corpus DID concentrate one (sr, n) cell, the
-    banded-signature split is the known fix (pigeonhole the 64-bit sign
-    signature into 13 bands so Hamming<=12 pairs share an exact band —
-    the minhash banding machinery in stages/dedup_family.py applied to
-    the sign signature)."""
+    Scale shape — two passes, PCM volume moved is O(candidate pairs),
+    never O(corpus):
+      1. Signature pass: fused read+decode, each clip decodes once and
+         emits a SLIM (sr, n_samples, sign-signature) row; an exchange
+         keyed by (sr, n) Hamming-screens each group with a vectorized
+         popcount (a true re-encoding preserves sr and n, so blocking on
+         them is lossless). Only slim rows shuffle. A dur-atom group
+         costs c^2 POPCOUNTS here, not c^2 decodes — the earlier
+         one-pass design moved every payload into its group bucket and
+         decoded it there, and the sf0.1 atoms alone made that 4x
+         slower.
+      2. Verify pass: candidate pairs broadcast (O(dup rate); above a
+         broadcast threshold the same CSR routing ships as a keyed side
+         table, the embedding_dup_pairs caveat); a second fused read
+         re-decodes ONLY clips named in some pair and routes each to its
+         pairs' buckets; per-bucket exact SNR >= {PERC_SNR_DB} dB
+         decides. Verify buckets scale with the pair count, so the
+         (sr, n)-group-fits-one-task assumption of the one-pass design
+         disappears."""
+    import ray
     import ray.data as rd
 
+    from ..functions.broadcast import cached_get
     from ..stages.decide import scaled_buckets
-    from ..stages.exchange import bucket_exchange_dataset
-    from ..synth import clips as synth_clips
+    from ..stages.exchange import bucket_exchange, bucket_exchange_dataset
     from .clips_queries import clips_count
 
     uri = ensure_clips(sf_dir, with_audio=True)
-    # the reduce side DECODES its bucket (unlike the slim-row exchanges),
-    # so buckets must be sized to the decode cost, not the row count:
-    # 100k-row buckets serialized 25k decodes into 4 tasks (95s wall at
-    # sf0.1); ~2k clips per reduce task keeps each under ~2s of decode
-    nb = scaled_buckets(clips_count(sf_dir), rows_per_bucket=2_000, lo=8)
+    nb = scaled_buckets(clips_count(sf_dir), rows_per_bucket=200_000, lo=8)
 
-    def keyed(b: pa.Table) -> pa.Table:
+    def sig_rows(b: pa.Table) -> pa.Table:
         idx = _clip_indices(b)
         payloads = b["bytes"].combine_chunks()
         srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
         cods = b["codec"].to_pylist()
-        out_i, out_sr, out_n, out_c, out_b = [], [], [], [], []
+        out_i = np.empty(b.num_rows, np.int64)
+        out_sr = np.empty(b.num_rows, np.int64)
+        out_n = np.empty(b.num_rows, np.int64)
+        out_s = np.empty(b.num_rows, np.uint64)
         for r in range(b.num_rows):
             i = int(idx[r])
-            if i % _PERC_MOD == _PERC_OFF:
-                donor_b, donor_sr, _, donor_c = synth_clips._audio_fields(
-                    i - _PERC_OFF, 3000)
-                x = codecs.decode(donor_b, donor_c)
-                other = "alaw" if donor_c != "alaw" else "ulaw"
-                pay = codecs.encode(np.asarray(x), other)
-                sr, cod = donor_sr, other
-            else:
-                pay = payloads[r].as_buffer()
-                sr, cod = int(srs[r]), cods[r]
-            n = codecs.num_samples(len(pay), cod)
-            out_i.append(i); out_sr.append(sr); out_n.append(n)
-            out_c.append(cod); out_b.append(pay)
+            x, sr = _perc_effective(i, payloads[r].as_buffer(),
+                                    int(srs[r]), cods[r])
+            out_i[r], out_sr[r], out_n[r] = i, sr, len(x)
+            out_s[r] = _sign_sig(x)
         return pa.table({
-            "bucket": pa.array(
-                (np.asarray(out_sr, np.int64) * 1_000_003
-                 + np.asarray(out_n, np.int64)) % nb, pa.int64()),
-            "idx": pa.array(out_i, pa.int64()),
-            "sr_hz": pa.array(out_sr, pa.int64()),
-            "n_samp": pa.array(out_n, pa.int64()),
-            "codec": pa.array(out_c, pa.string()),
-            "bytes": pa.array([memoryview(v) if not isinstance(v, memoryview)
-                               else v for v in out_b], pa.binary()),
+            "bucket": pa.array((out_sr * 1_000_003 + out_n) % nb, pa.int64()),
+            "idx": pa.array(out_i),
+            "sr_hz": pa.array(out_sr),
+            "n_samp": pa.array(out_n),
+            "sig": pa.array(out_s, pa.uint64()),
         })
 
-    _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
-                            axis=1).sum(axis=1).astype(np.uint8)
-    _SIG_BITS, _SIG_MAXHAM = 64, 12
-
-    def _sign_sig(x: np.ndarray) -> np.uint64:
-        # 64-bit sign signature at evenly spaced positions: a true
-        # re-encoding flips a sampled sign only where |x| < the G.711
-        # decode error (~1-2 of 64 expected); independent clips differ in
-        # ~32. The screen only PRUNES — every surviving candidate is still
-        # exact-SNR-verified, so a (vanishingly unlikely, ~2^-30/pair)
-        # screen collision cannot create a false positive.
-        pos = np.linspace(0, len(x) - 1, _SIG_BITS).astype(np.int64)
-        bits = (x[pos] >= 0).astype(np.uint64)
-        return np.uint64((bits << np.arange(_SIG_BITS, dtype=np.uint64)).sum())
-
-    def pairs(t: pa.Table) -> pa.Table | None:
+    def screen(t: pa.Table) -> pa.Table | None:
         df_idx = t["idx"].to_numpy(zero_copy_only=False)
         sr = t["sr_hz"].to_numpy(zero_copy_only=False)
         n = t["n_samp"].to_numpy(zero_copy_only=False)
-        cods = t["codec"].to_pylist()
-        payloads = t["bytes"].combine_chunks()
+        sigs = t["sig"].to_numpy(zero_copy_only=False)
         order = np.lexsort((df_idx, n, sr))
         out_a, out_b = [], []
         k = 0
@@ -696,36 +705,95 @@ def audio_perceptual_dedup(sf_dir: str):
                 j += 1
             group = order[k:j]
             if len(group) > 1:
-                decoded = [np.asarray(codecs.decode(
-                    payloads[int(g)].as_buffer(), cods[int(g)]),
-                    dtype=np.float64) for g in group]
-                sigs = np.array([_sign_sig(d) for d in decoded],
-                                dtype=np.uint64)
-                # all-pairs Hamming screen, vectorized: outer xor ->
-                # byte-table popcount; without it the dur-clip atoms
-                # (~176 same-length clips at sf0.1) cost c^2 full-vector
-                # SNR passes — measured 30s of the 41s wall
-                x = (sigs[:, None] ^ sigs[None, :]).view(np.uint8)
+                gs = sigs[group]
+                x = (gs[:, None] ^ gs[None, :]).view(np.uint8)
                 ham = _POPCNT[x].reshape(len(group), len(group), 8).sum(-1)
                 ai, ci = np.nonzero(np.triu(ham <= _SIG_MAXHAM, k=1))
                 for a, c in zip(ai, ci):
-                    if codecs.snr_db(decoded[a], decoded[c]) >= PERC_SNR_DB:
-                        ia, ic = int(df_idx[group[a]]), int(df_idx[group[c]])
-                        out_a.append(min(ia, ic))
-                        out_b.append(max(ia, ic))
+                    ia, ic = int(df_idx[group[a]]), int(df_idx[group[c]])
+                    out_a.append(min(ia, ic))
+                    out_b.append(max(ia, ic))
             k = j
+        if not out_a:
+            return None
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+    ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
+    cand_tabs = bucket_exchange(
+        ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=None),
+        nb, screen)
+    empty = pa.table({"id_a": pa.array([], pa.string()),
+                      "id_b": pa.array([], pa.string())})
+    if not cand_tabs:
+        return rd.from_arrow(empty)
+    cand = pa.concat_tables(cand_tabs)
+    pa_ = cand["a"].to_numpy(zero_copy_only=False)
+    pb_ = cand["b"].to_numpy(zero_copy_only=False)
+    n_pairs = len(pa_)
+    nb2 = scaled_buckets(n_pairs, rows_per_bucket=1_000, lo=8)
+    pbkt = np.arange(n_pairs, dtype=np.int64) % nb2
+    # CSR routing: candidate clip id -> the verify buckets of its pairs
+    mem_ids = np.concatenate([pa_, pb_])
+    mem_bkt = np.concatenate([pbkt, pbkt])
+    o = np.argsort(mem_ids, kind="stable")
+    mem_ids, mem_bkt = mem_ids[o], mem_bkt[o]
+    uniq, starts = np.unique(mem_ids, return_index=True)
+    route_ref = ray.put((uniq, np.append(starts, len(mem_ids)), mem_bkt,
+                         pa_, pb_, pbkt))
+
+    def route(b: pa.Table) -> pa.Table:
+        uq, off, mb, _, _, _ = cached_get(route_ref)
+        idx = _clip_indices(b)
+        payloads = b["bytes"].combine_chunks()
+        srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cods = b["codec"].to_pylist()
+        pos = np.searchsorted(uq, idx)
+        pos = np.clip(pos, 0, max(len(uq) - 1, 0))
+        hit = (uq[pos] == idx) if len(uq) else np.zeros(len(idx), bool)
+        out_bkt, out_i, out_pcm = [], [], []
+        for r in np.nonzero(hit)[0]:
+            i = int(idx[r])
+            x, _ = _perc_effective(i, payloads[int(r)].as_buffer(),
+                                   int(srs[int(r)]), cods[int(r)])
+            p = int(pos[r])
+            for bk in np.unique(mb[off[p]:off[p + 1]]):
+                out_bkt.append(int(bk))
+                out_i.append(i)
+                out_pcm.append(memoryview(x.astype(np.float32).tobytes()))
+        return pa.table({
+            "bucket": pa.array(out_bkt, pa.int64()),
+            "idx": pa.array(out_i, pa.int64()),
+            "pcm": pa.array(out_pcm, pa.binary()),
+        })
+
+    def verify(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        _, _, _, aa, bb, pk = cached_get(route_ref)
+        bkt = int(t["bucket"][0].as_py())
+        ids = t["idx"].to_numpy(zero_copy_only=False)
+        pcms = t["pcm"].combine_chunks()
+        sig = {int(ids[r]): np.frombuffer(pcms[r].as_buffer(),
+                                          dtype=np.float32).astype(np.float64)
+               for r in range(t.num_rows)}
+        out_a, out_b = [], []
+        for p in np.nonzero(pk == bkt)[0]:
+            a, c = int(aa[p]), int(bb[p])
+            xa, xc = sig.get(a), sig.get(c)
+            if (xa is not None and xc is not None and len(xa) == len(xc)
+                    and codecs.snr_db(xa, xc) >= PERC_SNR_DB):
+                out_a.append(a)
+                out_b.append(c)
         if not out_a:
             return None
         return pa.table({
             "id_a": pa.array([f"clip-{i:012d}" for i in out_a], pa.string()),
             "id_b": pa.array([f"clip-{i:012d}" for i in out_b], pa.string())})
 
-    empty = pa.table({"id_a": pa.array([], pa.string()),
-                      "id_b": pa.array([], pa.string())})
-    ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
     return bucket_exchange_dataset(
-        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
-        nb, pairs, empty)
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None),
+        nb2, verify, empty)
 
 
 def audio_perceptual_dedup_sql() -> str:
