@@ -709,6 +709,19 @@ def audio_perceptual_dedup(sf_dir: str):
                 x = (gs[:, None] ^ gs[None, :]).view(np.uint8)
                 ham = _POPCNT[x].reshape(len(group), len(group), 8).sum(-1)
                 ai, ci = np.nonzero(np.triu(ham <= _SIG_MAXHAM, k=1))
+                # dup-flood backstop (the minhash hot-group-cap
+                # precedent, dedup_family.py): N byte-identical
+                # recordings share every signature and would emit N^2/2
+                # pairs from ONE group — cap per-group candidates at
+                # 32x members, deterministically (np.nonzero is row-major
+                # = sorted by (a, c)), and say so. Fixture groups emit
+                # ~1 pair per plant, nowhere near the cap.
+                cap = 32 * len(group)
+                if len(ai) > cap:
+                    print(f"audio_perceptual_dedup: capping candidate "
+                          f"pairs {len(ai)} -> {cap} in a "
+                          f"{len(group)}-member (sr, n) group")
+                    ai, ci = ai[:cap], ci[:cap]
                 for a, c in zip(ai, ci):
                     ia, ic = int(df_idx[group[a]]), int(df_idx[group[c]])
                     out_a.append(min(ia, ic))
