@@ -274,11 +274,19 @@ def run_bench_supervised(max_attempts: int = 3) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--bench-one"],
             env=dict(os.environ), capture_output=True, text=True)
-        for line in reversed(out.stdout.strip().splitlines() or [""]):
-            if line.startswith("{"):
-                d = json.loads(line)
-                d["bench_attempt"] = attempt
-                return d
+        # only trust a result line from a CLEANLY exited child, and keep
+        # scanning past '{'-prefixed non-JSON lines (Ray log output can
+        # start with '{'; a parse failure there must not kill the
+        # supervisor whose whole purpose is retrying child deaths)
+        if out.returncode == 0:
+            for line in reversed(out.stdout.strip().splitlines() or [""]):
+                if line.startswith("{"):
+                    try:
+                        d = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    d["bench_attempt"] = attempt
+                    return d
         last_rc = out.returncode
         sys.stderr.write(
             f"bench attempt {attempt} died rc={out.returncode}; tail:\n"

@@ -29,6 +29,20 @@ from ..sources.keyed import KeyedBatchJoiner
 from ..stages.dedup_family import _shingle_hashes, minhash_signatures_batch
 
 WS_RE = spec.WS_CLASS + "+"
+# DuckDB spelling of the SAME whitespace split: WS_RE is a raw-string RE2
+# class, so it pastes into SQL verbatim. Tokenizing oracles must split on
+# this, never on '\s+': Arrow's utf8_split_whitespace is Unicode-WS and
+# RE2's \s is the ASCII class, so the two agree only while no text carries
+# U+00A0 etc. Deriving both engines' splits from spec.WS_CLASS removes the
+# drift class.
+SQL_WS_RE = WS_RE
+
+
+def words_arrow(col):
+    """list<string> word split of a string column under WS_RE — the one
+    tokenizer spelling shared with SQL_WS_RE (boundary empties included;
+    callers filter '' like the oracles' list_filter)."""
+    return pc.split_pattern_regex(col, WS_RE)
 
 STOPWORDS = ["the", "data", "join", "row", "fast"]
 _STOP_PAT = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
@@ -706,9 +720,9 @@ def vocab_topk(sf_dir: str, k: int = VOCAB_K):
     def partials(b: pa.Table) -> pa.Table:
         # all Arrow C kernels — no Python loop over tokens (the first
         # version's dict-of-str counting loop was the map-side hot path):
-        # split_whitespace merges runs but emits boundary empties, which
-        # the filter drops, matching str.split() / the oracle's regex
-        w = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
+        # the WS_RE split merges runs but emits boundary empties, which
+        # the filter drops, matching the oracle's list_filter
+        w = pc.list_flatten(words_arrow(b["text"]))
         w = w.filter(pc.not_equal(w, ""))
         vc = pc.value_counts(w)
         ws, cs = vc.field("values"), vc.field("counts")
@@ -739,7 +753,7 @@ def vocab_topk(sf_dir: str, k: int = VOCAB_K):
 def vocab_topk_sql() -> str:
     return f"""
 SELECT w AS word, CAST(count(*) AS BIGINT) AS n
-FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+FROM (SELECT unnest(list_filter(string_split_regex(text, '{SQL_WS_RE}'),
                                 x -> x != '')) AS w
       FROM documents)
 GROUP BY w ORDER BY n DESC, w LIMIT {VOCAB_K}"""
@@ -759,7 +773,7 @@ def _gram_hash_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     over the flat word array (pandas hash_array, fixed key), and the
     n-gram combine as _CONTAM_N shifted multiply-adds in wrapping uint64.
     Windows crossing a document boundary are masked out."""
-    words = pc.utf8_split_whitespace(t["text"])
+    words = words_arrow(t["text"])
     counts = (pc.list_value_length(words)
               .to_numpy(zero_copy_only=False).astype(np.int64))
     flat = pc.list_flatten(words)
@@ -850,7 +864,7 @@ def decontaminate_sql() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'),
+         list_filter(string_split_regex(text, '{SQL_WS_RE}'),
                      x -> x != '') AS p
   FROM documents
 ), g AS (
@@ -915,6 +929,14 @@ def sentence_dedup(sf_dir: str):
         return ids, [(_SENT_BOILER + t) if i % 3 == 0 else t
                      for i, t in zip(ids, texts)]
 
+    # ONE schema object for every block that reaches the explode_sent ∪
+    # flags union (the hash_join `mix` precedent): branch tables built from
+    # distinct schema objects defeat Ray's schema-dedup hash fast-path and
+    # spam "Failed to hash the schemas" from the reduce workers
+    mix_schema = pa.schema([
+        ("bucket", pa.int64()), ("doc_id", pa.int64()),
+        ("pos", pa.int64()), ("sent", pa.string())])
+
     def explode_hash(b: pa.Table) -> pa.Table:
         ids, texts = boilered(b)
         d, p, h = [], [], []
@@ -939,12 +961,9 @@ def sentence_dedup(sf_dir: str):
                                pa.int64()),
             "doc_id": pa.array(w["doc_id"].to_numpy(np.int64)),
             "pos": pa.array(w["pos"].to_numpy(np.int64)),
-            "sent": pa.nulls(len(w), pa.string())})
+            "sent": pa.nulls(len(w), pa.string())}, schema=mix_schema)
 
-    flags_empty = pa.table({"bucket": pa.array([], pa.int64()),
-                            "doc_id": pa.array([], pa.int64()),
-                            "pos": pa.array([], pa.int64()),
-                            "sent": pa.array([], pa.string())})
+    flags_empty = mix_schema.empty_table()
     # the corpus is consumed twice (hash pass, then sentence pass); re-read
     # the immutable parquet each time rather than materialize() — pinning
     # the whole corpus in the object store is exactly the mid-pipeline
@@ -965,7 +984,8 @@ def sentence_dedup(sf_dir: str):
         return pa.table({"bucket": pa.array(dv % nb, pa.int64()),
                          "doc_id": pa.array(dv),
                          "pos": pa.array(p, pa.int64()),
-                         "sent": pa.array(s, pa.string())})
+                         "sent": pa.array(s, pa.string())},
+                        schema=mix_schema)
 
     def reassemble(t: pa.Table) -> pa.Table | None:
         df = t.select(["doc_id", "pos", "sent"]).to_pandas()

@@ -617,7 +617,7 @@ def _perc_effective(i: int, payload, sr: int, cod: str):
     verify-skill trap #2.)"""
     if i % _PERC_MOD == _PERC_OFF:
         donor_b, donor_sr, _, donor_c = synth_clips._audio_fields(
-            i - _PERC_OFF, 3000)
+            i - _PERC_OFF, synth_clips.MAX_DUR_MS)
         x = codecs.decode(donor_b, donor_c)
         other = "alaw" if donor_c != "alaw" else "ulaw"
         y = codecs.decode(codecs.encode(np.asarray(x), other), other)

@@ -43,6 +43,13 @@ _SR_W = np.array([0.5, 0.3, 0.15, 0.05])
 _CODEC_CHOICES = ["pcm_s16le", "ulaw", "alaw"]
 _CODEC_W = np.array([0.8, 0.15, 0.05])
 
+# Default clip-duration cap. Module-level so query-time plant projections
+# that REGENERATE a donor signal from the synth seed (audio_ops's
+# perceptual plants) share the fixture generator's spelling instead of
+# hardcoding a literal that silently diverges if a fixture is ever
+# generated with a non-default cap.
+MAX_DUR_MS = 3000
+
 _ILLEGAL = list("|©«®»˂˃˄˅/\\{}")
 _EMOJIS = ["\U0001F600", "\U0001F680", "☀", "\U0001F918", "❤️"]
 
@@ -174,7 +181,7 @@ def _audio_fields(i: int, max_dur_ms: int) -> tuple[bytes, int, int, str]:
     return codecs.encode(pcm, codec), sr, dur, codec
 
 
-def gen_batch(indices: np.ndarray, n_total: int, max_dur_ms: int = 3000,
+def gen_batch(indices: np.ndarray, n_total: int, max_dur_ms: int = MAX_DUR_MS,
               with_audio: bool = True) -> pa.Table:
     """Generate clip rows for the given indices (a Ray map_batches body)."""
     n_dup_groups = max(1, n_total // 40)
@@ -211,7 +218,7 @@ SIDECAR_COLUMNS = ["clip_id", "stratum", "true_lang"]
 
 
 def clips_table(n: int, with_audio: bool = True,
-                max_dur_ms: int = 3000) -> tuple[pa.Table, pa.Table]:
+                max_dur_ms: int = MAX_DUR_MS) -> tuple[pa.Table, pa.Table]:
     """In-process generation for tests: (clips, sidecar) Arrow tables."""
     t = gen_batch(np.arange(n), n, max_dur_ms=max_dur_ms, with_audio=with_audio)
     return t.select(CLIPS_COLUMNS), t.select(SIDECAR_COLUMNS)
