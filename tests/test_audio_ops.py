@@ -176,31 +176,144 @@ def test_audio_dedup_planted_payloads_byte_identical():
 
 
 def test_perceptual_screen_margins():
-    """The 64-bit sign-signature screen's two assumptions, measured: a
-    G.711 re-encoding stays within the Hamming admit threshold (screen
-    never prunes a true pair on this fixture family), and independent
-    clips of the same shape sit far above it (the screen actually
-    prunes). Uses the same signature construction as the operator."""
-    import numpy as np
+    """The banded sign-signature screen's assumptions, measured in the
+    CANONICAL domain the operator signs in, across both plant classes
+    (codec swap and decimate-then-re-encode):
 
-    from common_crawl_corpus_ray.audio import codecs
-
-    def sig(x, bits=64):
-        pos = np.linspace(0, len(x) - 1, bits).astype(np.int64)
-        b = (np.asarray(x)[pos] >= 0).astype(np.uint64)
-        return int((b << np.arange(bits, dtype=np.uint64)).sum())
-
-    worst_true, best_indep = 0, 64
-    for i in range(0, 60):
-        b, sr, dur, codec = clips._audio_fields(i, 3000)
-        x = np.asarray(codecs.decode(b, codec))
+      * a true pair's signatures differ by <= 3 bits — the 4x16-bit
+        chunk banding then GUARANTEES at least one exact chunk match
+        (pigeonhole), so banding never prunes a true pair here;
+      * independent clips of the same canonical shape sit above the
+        Hamming admit threshold (the screen actually prunes);
+      * canonical-domain SNR of every true pair clears PERC_SNR_DB with
+        margin (the verify decides correctly)."""
+    worst_true, best_indep, snr_min = 0, 64, 1e9
+    for d in range(0, 60 * 13, 13):          # donors d%13==0
+        b, sr, dur, codec = clips._audio_fields(d, clips.MAX_DUR_MS)
+        x = np.asarray(codecs.decode(b, codec), dtype=np.float64)
         other = "alaw" if codec != "alaw" else "ulaw"
-        y = np.asarray(codecs.decode(codecs.encode(x, other), other))
-        worst_true = max(worst_true, bin(sig(x) ^ sig(y)).count("1"))
-        b2, _, _, c2 = clips._audio_fields(i + 500, 3000)
-        z = np.asarray(codecs.decode(b2, c2))
-        n = min(len(x), len(z))
+        cx, csr = AO._canonical(x, sr)
+        sx = int(AO._sign_sig(cx))
+        # class 1: same-rate codec swap (clip d+6)
+        y6 = np.asarray(codecs.decode(codecs.encode(x, other), other),
+                        dtype=np.float64)
+        c6, s6r = AO._canonical(y6, sr)
+        # class 2: decimate to sr/2, then re-encode (clip d+9)
+        y9 = np.asarray(codecs.decode(
+            codecs.encode(AO._decimate(x, 2), other), other),
+            dtype=np.float64)
+        c9, s9r = AO._canonical(y9, sr // 2)
+        assert s6r == csr and s9r == csr
+        assert len(c6) == len(cx) and len(c9) == len(cx)
+        for cy in (c6, c9):
+            worst_true = max(worst_true,
+                             bin(sx ^ int(AO._sign_sig(cy))).count("1"))
+            snr_min = min(snr_min, codecs.snr_db(cx, cy))
+        b2, sr2, _, c2 = clips._audio_fields(d + 500, clips.MAX_DUR_MS)
+        cz, _ = AO._canonical(
+            np.asarray(codecs.decode(b2, c2), dtype=np.float64), sr2)
+        n = min(len(cx), len(cz))
         best_indep = min(best_indep,
-                         bin(sig(x[:n]) ^ sig(z[:n])).count("1"))
-    assert worst_true <= 12, worst_true           # admit threshold
-    assert best_indep > 12, best_indep            # prune margin
+                         bin(int(AO._sign_sig(cx[:n]))
+                             ^ int(AO._sign_sig(cz[:n]))).count("1"))
+    assert worst_true <= 3, worst_true      # banding-lossless threshold
+    assert best_indep > AO._SIG_MAXHAM, best_indep   # prune margin
+    assert snr_min >= AO.PERC_SNR_DB + 5, snr_min    # verify margin
+
+
+def test_perceptual_plants_canonical_bit_identity():
+    """The oracle's star semantics rest on the two plants of one donor
+    rendering BIT-IDENTICALLY at the canonical rate (per-sample
+    quantization commutes with decimation) — pin that, the way
+    test_audio_dedup_planted_payloads_byte_identical pins payload
+    regeneration."""
+    for d in range(0, 40 * 13, 13):
+        b, sr, _, codec = clips._audio_fields(d, clips.MAX_DUR_MS)
+        x = np.asarray(codecs.decode(b, codec), dtype=np.float64)
+        other = "alaw" if codec != "alaw" else "ulaw"
+        p6, _ = AO._canonical(np.asarray(
+            codecs.decode(codecs.encode(x, other), other), np.float64), sr)
+        p9, _ = AO._canonical(np.asarray(
+            codecs.decode(codecs.encode(AO._decimate(x, 2), other), other),
+            np.float64), sr // 2)
+        assert p6.astype(np.float32).tobytes() == \
+            p9.astype(np.float32).tobytes(), d
+
+
+def _flood_table(n_copies: int, n_reenc: int) -> pa.Table:
+    """One duration atom (sr=16000, n=8000): 3 base signals, each with
+    ``n_copies`` byte-identical pcm copies and ``n_reenc`` alaw
+    re-encodings — the dominant-(sr, n) dup flood that made the r4
+    all-pairs screen O(c^2)."""
+    ids, payloads = [], []
+    k = 0
+    for g in range(3):
+        x = clips.ground_truth_pcm(9000 + g, 8000, 16000)
+        pcm = codecs.encode(x, "pcm_s16le")
+        re = codecs.encode(np.asarray(x, np.float64), "alaw")
+        for payload, count in ((pcm, n_copies), (re, n_reenc)):
+            for _ in range(count):
+                ids.append(f"clip-{k:012d}")
+                payloads.append(payload)
+                k += 1
+    n = len(ids)
+    codecs_col = []
+    for g in range(3):
+        codecs_col += ["pcm_s16le"] * n_copies + ["alaw"] * n_reenc
+    return pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(payloads, pa.binary()),
+        "sr_hz": pa.array([16000] * n, pa.int32()),
+        "codec": pa.array(codecs_col, pa.string()),
+    })
+
+
+def test_perceptual_flood_collapses_not_quadratic(ray_session):
+    """10k clips in ONE (sr, n) duration atom — mostly byte-identical
+    copies plus re-encodings. The digest collapse must turn each identical
+    flood into star edges on its min id (O(flood) rows, no candidate
+    blow-up), and the only verified candidates are the per-group
+    (pcm-rep, alaw-rep) pairs: output is EXACTLY group_size-1 pairs per
+    group, every true pair present — any truncation or all-pairs leak
+    breaks the set equality (the r4 cap's silent print-and-drop is
+    structurally gone)."""
+    import ray.data as rd
+    n_copies, n_reenc = 3300, 34   # 3 x (3300 + 34) = 10,002 clips
+    t = _flood_table(n_copies, n_reenc)
+
+    # nested so cloudpickle ships it by value (a test-module-level fn
+    # pickles by reference to a module Ray workers can't import)
+    def identity_effective(i, payload, sr, cod):
+        return np.asarray(codecs.decode(payload, cod), np.float64), int(sr)
+
+    got = (AO.perceptual_dedup_pairs(
+        rd.from_arrow(t), identity_effective, n_rows=t.num_rows)
+        .to_pandas())
+    gsz = n_copies + n_reenc
+    want = set()
+    for g in range(3):
+        base = g * gsz
+        rep_pcm, rep_alaw = base, base + n_copies
+        for m in range(base + 1, base + n_copies):
+            want.add((rep_pcm, m))                  # pcm star edges
+        for m in range(rep_alaw + 1, base + gsz):
+            want.add((rep_alaw, m))                 # alaw star edges
+        want.add((rep_pcm, rep_alaw))               # verified rep pair
+    got_pairs = {(int(a.split("-")[1]), int(b.split("-")[1]))
+                 for a, b in zip(got["id_a"], got["id_b"])}
+    assert got_pairs == want
+
+
+def test_perceptual_keyed_route_equals_broadcast(ray_session):
+    """Forcing route_broadcast_max=0 sends the verify routing through the
+    keyed lancelite side table; output must be byte-identical to the
+    broadcast path (the test_keyed_scale_paths.py precedent)."""
+    def run(**kw):
+        return (AO.audio_perceptual_dedup("/root/testdata/sf0.001", **kw)
+                .to_pandas().sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+
+    a = run()
+    b = run(route_broadcast_max=0)
+    assert a.equals(b)
+    assert len(a) > 0
