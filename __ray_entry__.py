@@ -119,6 +119,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "doc_id", "text", n=3, threshold=0.5,
             n_rows=_table_rows(sf_dir, "documents") + 50)
 
+    def clusters_simhash(sf_dir: str):
+        ds = C.mutated_docs(sf_dir)
+        return dedup_family.dedup_clusters(
+            ds, "doc_id", "text", detector="simhash", max_hamming=8,
+            n_rows=_table_rows(sf_dir, "documents") + 50)
+
+    def keep_best_simhash(sf_dir: str):
+        # keep-best policy over the simhash detector (chunk banding +
+        # Hamming verify), closing the detector x policy matrix
+        ds = C.mutated_docs(sf_dir)
+        return dedup_family.dedup_keep_best(
+            ds, "doc_id", "text", detector="simhash", max_hamming=8,
+            n_rows=_table_rows(sf_dir, "documents") + 50)
+
     def keep_best_minhash(sf_dir: str):
         # the production composition: keep-best policy over the minhash
         # detector (LSH candidates + exact-Jaccard verify at 0.7)
@@ -209,8 +223,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_exactdups": minhash_exactdups,
         "dedup_clusters": clusters,
         "dedup_clusters_minhash": clusters_minhash,
+        "dedup_clusters_simhash": clusters_simhash,
         "dedup_keep_best": keep_best,
         "dedup_keep_best_minhash": keep_best_minhash,
+        "dedup_keep_best_simhash": keep_best_simhash,
         "embedding_dup_exact": embed_dup,
         "embedding_dup_lsh": lambda sf: embed_dup(sf, lsh=True),
         # --- aggregations / groupbys (G1-G6) ---
@@ -426,6 +442,40 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
 FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 8"""
+
+    # simhash-driven clustering: the SAME bit-identical simhash CTE chain,
+    # its band-join pair SELECT folded into a pairs CTE, then the exact
+    # recursive transitive-closure clustering the other cluster oracles use
+    sim_pair_ctes = simhash_sql[:simhash_sql.index("\nSELECT DISTINCT")]
+    sim_cluster_ctes = (
+        sim_pair_ctes.replace("WITH mutsrc", "WITH RECURSIVE mutsrc", 1)
+        + r""", pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 8
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT s AS node, s AS lab FROM e
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.node
+), clusters AS (
+  SELECT d.doc_id, COALESCE(m.lab, d.doc_id) AS cluster
+  FROM docs d
+  LEFT JOIN (SELECT node, min(lab) AS lab FROM reach GROUP BY node) m
+    ON m.node = d.doc_id
+)""")
+    dedup_keep_best_simhash_sql = sim_cluster_ctes + r""", m AS (
+  SELECT c.cluster, c.doc_id, length(d.text) AS n_chars
+  FROM clusters c JOIN docs d ON d.doc_id = c.doc_id
+)
+SELECT cluster, doc_id, n_chars, n_members FROM (
+  SELECT cluster, doc_id, n_chars,
+         count(*) OVER (PARTITION BY cluster) AS n_members,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM m) WHERE rn = 1"""
 
     # planted_embeddings fixture in SQL: exact copies of vec_id<20
     embed_dup_sql = """
@@ -704,6 +754,9 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "dedup_clusters": dedup_clusters_sql,
         "dedup_clusters_minhash": mh_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
+        "dedup_clusters_simhash": sim_cluster_ctes
+        + "\nSELECT doc_id, cluster FROM clusters",
+        "dedup_keep_best_simhash": dedup_keep_best_simhash_sql,
         "dedup_keep_best": dedup_keep_best_sql,
         "dedup_keep_best_minhash": dedup_keep_best_minhash_sql,
         "embedding_dup_exact": embed_dup_sql,

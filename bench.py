@@ -85,6 +85,7 @@ QUERY_NAMES = [
     "speech_rate_filter", "embedding_kmeans", "transcript_align",
     "decontaminate", "pack_sequences", "audio_batch_pack",
     "audio_dedup_incremental", "audio_perceptual_dedup",
+    "dedup_clusters_simhash", "dedup_keep_best_simhash",
 ]
 
 

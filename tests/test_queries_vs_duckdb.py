@@ -89,6 +89,10 @@ SQL_QUERIES = [
     # deterministic held-out slice, broadcast gram set + rolling hash);
     # GPT-style concat-then-chunk sequence packing (window-sum oracle)
     "decontaminate", "pack_sequences",
+    # round 5: simhash detector composed into the cluster policies
+    # (detector x policy matrix closed) — oracle swaps the pairs CTE of
+    # the cluster SQL for the bit-identical simhash band join
+    "dedup_clusters_simhash", "dedup_keep_best_simhash",
 ]
 
 
