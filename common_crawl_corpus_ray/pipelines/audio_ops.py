@@ -1023,6 +1023,110 @@ SELECT {pad.format(f'd + {_PERC_OFF}')} AS id_a,
 FROM d WHERE d + {_PERC_SR_OFF} <= m"""
 
 
+def _raw_effective(i: int, payload, sr: int, cod: str):
+    """Identity projection for production corpora (no fixture plants):
+    every clip presents its own decoded payload."""
+    return np.asarray(codecs.decode(payload, cod), dtype=np.float64), int(sr)
+
+
+def audio_dup_flags(clips_ds, mode: str, n_rows: int | None = None,
+                    route_broadcast_max: int = PERC_ROUTE_BROADCAST_MAX):
+    """(clip_id, audio_dup_of) rows for audio-duplicate MEMBERS — the
+    flagship's optional audio-dedup side input
+    (``PipelineConfig.audio_dedup``; attached by
+    ``quality_filter.attach_audio_flags``).
+
+    ``mode="exact"``: md5 over (codec, sr, payload bytes), keep-first by
+    clip_id per digest. One slim digest exchange; the digest determines
+    the bucket, so all copies of a payload land in one reduce and the
+    winner is the GLOBAL min clip_id. Payload bytes never shuffle.
+
+    ``mode="perceptual"``: decoded-domain pairs from
+    :func:`perceptual_dedup_pairs` under the identity projection — digest
+    star edges catch byte-identical payloads AND bit-identical decodes
+    across containers, the banded sign screen + SNR verify catch
+    re-encodings and resampled copies. The flag winner is each member's
+    MIN pair partner: pairwise keep-first, not full connected components
+    (``dedup_clusters`` is the transitive tool; a chain a<b<c where only
+    (a,b) and (b,c) verified flags b->a and c->b, both dropped, a kept —
+    the same row survives either way).
+
+    Returns a Dataset of flag rows; volume is O(dup rate), never
+    O(corpus). Assumes integer-suffixed clip ids (the whole audio family
+    keys on them, see ``_clip_indices``)."""
+    import ray.data as rd
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    empty = pa.table({"clip_id": pa.array([], pa.string()),
+                      "audio_dup_of": pa.array([], pa.string())})
+    ds = clips_ds.select_columns(["clip_id", "bytes", "sr_hz", "codec"])
+    if mode == "exact":
+        nb = scaled_buckets(n_rows, rows_per_bucket=500_000, lo=8)
+
+        def keys(b: pa.Table) -> pa.Table:
+            payloads = b["bytes"].combine_chunks()
+            cods = b["codec"].to_pylist()
+            srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+            digs: list[bytes] = []
+            bkt = np.empty(b.num_rows, np.int64)
+            for r in range(b.num_rows):
+                h = hashlib.md5(f"{cods[r]}:{srs[r]}:".encode())
+                h.update(payloads[r].as_buffer())
+                d = h.digest()
+                digs.append(d)
+                bkt[r] = int.from_bytes(d[:8], "little") % nb
+            return pa.table({"bucket": pa.array(bkt),
+                             "clip_id": b["clip_id"],
+                             "dig": pa.array(digs, pa.binary())})
+
+        def members(t: pa.Table) -> pa.Table | None:
+            df = t.select(["clip_id", "dig"]).to_pandas()
+            win = df.groupby("dig", sort=False)["clip_id"].transform("min")
+            m = df["clip_id"] != win
+            if not m.any():
+                return None
+            return pa.table({
+                "clip_id": pa.array(df.loc[m, "clip_id"], pa.string()),
+                "audio_dup_of": pa.array(win[m], pa.string())})
+
+        return bucket_exchange_dataset(
+            ds.map_batches(keys, batch_format="pyarrow", batch_size=None),
+            nb, members, empty)
+
+    if mode != "perceptual":
+        raise ValueError(f"audio_dedup mode must be exact|perceptual, "
+                         f"got {mode!r}")
+    pairs = perceptual_dedup_pairs(ds, _raw_effective, n_rows=n_rows,
+                                   route_broadcast_max=route_broadcast_max)
+    # winner per member: min pair partner, one exchange keyed by the
+    # member id (pairs are O(dup rate) — the buckets exist for the skew
+    # case, not volume)
+    nb2 = scaled_buckets(None, lo=8)
+
+    def to_rows(b: pa.Table) -> pa.Table:
+        ib = np.array([int(x.rsplit("-", 1)[1])
+                       for x in b["id_b"].to_pylist()], dtype=np.int64)
+        return pa.table({"bucket": pa.array(ib % nb2),
+                         "clip_id": b["id_b"],
+                         "audio_dup_of": b["id_a"]})
+
+    def winner(t: pa.Table) -> pa.Table | None:
+        df = t.select(["clip_id", "audio_dup_of"]).to_pandas()
+        if df.empty:
+            return None
+        w = (df.groupby("clip_id", sort=False)["audio_dup_of"].min()
+             .reset_index())
+        return pa.table({"clip_id": pa.array(w["clip_id"], pa.string()),
+                         "audio_dup_of": pa.array(w["audio_dup_of"],
+                                                  pa.string())})
+
+    return bucket_exchange_dataset(
+        pairs.map_batches(to_rows, batch_format="pyarrow"),
+        nb2, winner, empty)
+
+
 # --- audio_dedup_incremental ---------------------------------------------------
 
 _INC_AUDIO_MOD = 11      # new-stream derivation: i%11==4 -> prior payload

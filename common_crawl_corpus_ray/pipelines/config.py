@@ -50,9 +50,25 @@ class PipelineConfig:
     final_partition_cols: tuple[str, ...] | None = None
     final_rows_per_file: int | None = None
 
+    # audio-modality dedup (round 5): "off" (default — reference parity;
+    # the reference has no audio analog) | "exact" (payload-digest
+    # keep-first) | "perceptual" (decoded-domain pairs: digest stars +
+    # banded sign screen + SNR verify — also catches exact dups). When on,
+    # decisions gain an ``audio_dup_of`` column and kept dup members flip
+    # to keep=False / drop_reason="audio_dup"; see
+    # audio_ops.audio_dup_flags / quality_filter.attach_audio_flags.
+    audio_dedup: str = "off"
+    # flag rows above which the (clip_id -> audio_dup_of) side flips from
+    # object-store broadcast to the keyed lancelite join (mirrors
+    # dup_broadcast_max / dec_broadcast_max)
+    audio_flags_broadcast_max: int = 2_000_000
+
     def __post_init__(self):
         if self.dedup not in ("first", "none", "off"):
             raise ValueError(f"dedup must be first|none|off, got {self.dedup!r}")
         if self.lang_stats_method not in (None, "exact", "sketch"):
             raise ValueError("lang_stats_method must be exact|sketch|None, "
                              f"got {self.lang_stats_method!r}")
+        if self.audio_dedup not in ("off", "exact", "perceptual"):
+            raise ValueError("audio_dedup must be off|exact|perceptual, "
+                             f"got {self.audio_dedup!r}")

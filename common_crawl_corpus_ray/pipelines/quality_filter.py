@@ -212,8 +212,11 @@ class AttachDecisions:
     full clip rows by clip_id, loading only the decision fragments whose
     key range overlaps each batch (per-actor LRU cache; see keyed.py)."""
 
-    def __init__(self, index: keyed.KeyedFragmentIndex, max_cached: int = 8):
+    def __init__(self, index: keyed.KeyedFragmentIndex, max_cached: int = 8,
+                 extra_cols: tuple = ()):
         self.joiner = keyed.KeyedBatchJoiner(index, max_cached=max_cached)
+        self._types = {**self._TYPES,
+                       **{c: pa.string() for c in extra_cols}}
 
     _TYPES = {
         "transcript_scrubbed": pa.string(), "lang": pa.string(),
@@ -224,7 +227,7 @@ class AttachDecisions:
     }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return keyed.attach_columns(batch, self.joiner, "clip_id", self._TYPES)
+        return keyed.attach_columns(batch, self.joiner, "clip_id", self._types)
 
 
 # decision rows per side-table fragment: the per-actor memory bound of
@@ -263,12 +266,14 @@ class AttachDecisionsBroadcast:
     loads. Correct ONLY below ``dec_broadcast_max`` rows; above it
     ``attach_decisions`` picks :class:`AttachDecisions` (keyed join)."""
 
-    def __init__(self, side_ref):
+    def __init__(self, side_ref, extra_cols: tuple = ()):
         # cached_get is a module-scope import: this runs on workers, where
         # package imports only resolve through pickle-by-value shipping of
         # this module's globals (an inline `from ..functions import` here
         # dies with ModuleNotFoundError in the driver-replica environment)
         self.keys, self.table = cached_get(side_ref)
+        self._types = {**AttachDecisions._TYPES,
+                       **{c: pa.string() for c in extra_cols}}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -282,7 +287,7 @@ class AttachDecisionsBroadcast:
         if len(k) and not (self.keys[idx] == k).all():
             raise KeyError("decision table is missing clip_ids in the batch")
         take = pa.array(idx)
-        for col, typ in AttachDecisions._TYPES.items():
+        for col, typ in self._types.items():
             batch = batch.append_column(
                 col, self.table[col].take(take).cast(typ))
         return batch
@@ -291,7 +296,8 @@ class AttachDecisionsBroadcast:
 def attach_decisions(clips_ds, dec, batch_size: int = 1024,
                      decisions_uri: str | None = None,
                      n_decisions: int | None = None,
-                     dec_broadcast_max: int = DEC_BROADCAST_MAX):
+                     dec_broadcast_max: int = DEC_BROADCAST_MAX,
+                     extra_cols: tuple = ()):
     """Phase D, adaptive by decision volume (mirrors ``build_dup_flags``):
 
     * ``n_decisions <= dec_broadcast_max``: broadcast attach — the decision
@@ -312,23 +318,119 @@ def attach_decisions(clips_ds, dec, batch_size: int = 1024,
     # re-batching — re-forming fixed-size batches COPIES the payload bytes
     # (measured ~345ms/batch of pure slicing/concat on 30MB audio batches
     # vs ~4ms for the join itself); join cost is independent of batch shape
+    final_cols = FINAL_COLUMNS + [c for c in extra_cols
+                                  if c not in FINAL_COLUMNS]
     if (decisions_uri is None and n_decisions is not None
             and n_decisions <= dec_broadcast_max):
         side_ref = _sorted_side.remote(*dec.to_arrow_refs())
         return clips_ds.map_batches(
             AttachDecisionsBroadcast, batch_format="pyarrow", batch_size=None,
-            fn_constructor_args=(side_ref,),
+            fn_constructor_args=(side_ref, tuple(extra_cols)),
             concurrency=(n_act, n_act), num_cpus=1,
-        ).select_columns(FINAL_COLUMNS)
+        ).select_columns(final_cols)
     dec_uri = decisions_uri or tempfile.mkdtemp(prefix="ccc_dec_")
     lancelite.write_dataset(dec, dec_uri, key_stats="clip_id",
                             rows_per_file=DECISION_ROWS_PER_FRAGMENT)
     index = keyed.KeyedFragmentIndex(dec_uri, "clip_id")
     return clips_ds.map_batches(
         AttachDecisions, batch_format="pyarrow", batch_size=None,
-        fn_constructor_args=(index,),
+        fn_constructor_args=(index, 8, tuple(extra_cols)),
         concurrency=(n_act, n_act), num_cpus=1,
-    ).select_columns(FINAL_COLUMNS)
+    ).select_columns(final_cols)
+
+
+@ray.remote
+def _sorted_flags(*tabs: pa.Table):
+    """Concat + clip_id-sort the audio-flag rows in one remote task; the
+    (sorted keys, dup_of values) pair stays in the object store for every
+    attach actor to share (the _sorted_side pattern, left semantics)."""
+    import numpy as np
+    present = [t for t in tabs if t is not None and t.num_rows]
+    if not present:
+        e = np.zeros(0, dtype=object)
+        return e, e
+    t = pa.concat_tables(present, promote_options="default")
+    keys = t["clip_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], t["audio_dup_of"].to_numpy(
+        zero_copy_only=False)[order]
+
+
+class AttachAudioFlags:
+    """Optional decision amendment (PipelineConfig.audio_dedup): LEFT
+    lookup of (clip_id -> audio_dup_of) over the decision stream — a
+    missing key means "not an audio dup". A dup member that would
+    otherwise KEEP flips to keep=False / drop_reason="audio_dup"; an
+    already-dropped row keeps its original reason (text rules and text
+    dedup are computed first and win — the audio flag only ever removes
+    survivors, so enabling it can only shrink the kept set).
+
+    Side state is adaptive like every other side in this pipeline:
+    broadcast (sorted arrays in the object store) at or below
+    ``audio_flags_broadcast_max`` flag rows, keyed lancelite join above."""
+
+    def __init__(self, spec):
+        mode, payload = spec
+        if mode == "bcast":
+            self._keys, self._vals = cached_get(payload)
+            self._joiner = None
+        else:
+            self._joiner = keyed.KeyedBatchJoiner(
+                payload, columns=["clip_id", "audio_dup_of"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        k = batch["clip_id"].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "US":
+            k = k.astype(object)
+        dup = np.full(len(k), "", dtype=object)
+        if self._joiner is None:
+            if len(self._keys) and len(k):
+                pos = np.clip(np.searchsorted(self._keys, k), 0,
+                              len(self._keys) - 1)
+                hit = self._keys[pos] == k
+                dup[hit] = self._vals[pos[hit]]
+        else:
+            row, found, side = self._joiner.probe(k)
+            if side is not None and found.any():
+                dup[found] = np.asarray(
+                    side["audio_dup_of"].take(pa.array(row[found]))
+                    .to_pylist(), dtype=object)
+        keep = batch["keep"].to_numpy(zero_copy_only=False)
+        is_dup = dup != ""
+        flip = keep & is_dup
+        reason = batch["drop_reason"].to_pylist()
+        for r in np.nonzero(flip)[0]:
+            reason[int(r)] = "audio_dup"
+        batch = batch.set_column(
+            batch.schema.get_field_index("drop_reason"), "drop_reason",
+            pa.array(reason, pa.string()))
+        batch = batch.set_column(
+            batch.schema.get_field_index("keep"), "keep",
+            pa.array(keep & ~is_dup))
+        return batch.append_column(
+            "audio_dup_of", pa.array(dup.tolist(), pa.string()))
+
+
+def attach_audio_flags(dec, flags, broadcast_max: int = 2_000_000,
+                       flags_uri: str | None = None):
+    """Amend the decision Dataset with the audio-dup flags (see
+    :class:`AttachAudioFlags`). ``flags`` is audio_ops.audio_dup_flags'
+    member-row Dataset — O(dup rate), so its count here is cheap (the
+    exchange has already run)."""
+    n_flags = flags.count()
+    n_act = max(2, _cluster_cpus() - 2)
+    if n_flags <= broadcast_max:
+        spec = ("bcast", _sorted_flags.remote(*flags.to_arrow_refs()))
+    else:
+        uri = flags_uri or tempfile.mkdtemp(prefix="ccc_audioflags_")
+        lancelite.write_dataset(flags, uri, key_stats="clip_id",
+                                rows_per_file=DECISION_ROWS_PER_FRAGMENT)
+        spec = ("keyed", keyed.KeyedFragmentIndex(uri, "clip_id"))
+    return dec.map_batches(
+        AttachAudioFlags, batch_format="pyarrow", batch_size=None,
+        fn_constructor_args=(spec,),
+        concurrency=(n_act, n_act), num_cpus=1)
 
 
 def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = None,
@@ -357,6 +459,20 @@ def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = Non
     info: dict = {}
     dec = decisions(clips_ds, checkpoint_uri, scorer_concurrency, batch_size,
                     slim_ds=slim_ds, config=config, info=info)
+    audio_mode = _cfg(None, config, "audio_dedup", "off")
+    extra_cols: tuple = ()
+    if audio_mode != "off":
+        # optional audio-modality dedup (round 5): flags over the payload
+        # projection (the one stage here that must read the audio bytes),
+        # amended into the decision stream before phase D
+        from .audio_ops import audio_dup_flags
+        flags = audio_dup_flags(clips_ds, audio_mode,
+                                n_rows=info.get("n_rows"))
+        dec = attach_audio_flags(
+            dec, flags,
+            broadcast_max=_cfg(None, config, "audio_flags_broadcast_max",
+                               2_000_000))
+        extra_cols = ("audio_dup_of",)
     if not attach_payload:
         final = dec
     else:
@@ -364,7 +480,8 @@ def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = Non
             clips_ds, dec, batch_size, decisions_uri,
             n_decisions=info.get("n_rows"),
             dec_broadcast_max=_cfg(None, config, "dec_broadcast_max",
-                                   DEC_BROADCAST_MAX))
+                                   DEC_BROADCAST_MAX),
+            extra_cols=extra_cols)
     if final_uri is not None:
         lancelite.write_dataset(
             final, final_uri,
