@@ -131,3 +131,23 @@ def test_lid_documents_matches_committed_fixture(entry_mod):
                          ).to_pandas()
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want)
+
+
+# the other golden-only queries, pinned the same way: committed expected
+# parquet at sf0.01, stored and compared through canon() (bit-stability
+# across runs verified twice before committing each fixture — the decode
+# partials and the kmeans reduce are order-fixed by construction)
+FRAME_FIXTURES = ["audio_decode_stats", "embedding_kmeans"]
+
+
+@pytest.mark.parametrize("name", FRAME_FIXTURES)
+def test_golden_query_matches_committed_fixture(entry_mod, name):
+    import os
+
+    import pyarrow.parquet as pq
+
+    got = canon(_to_df(entry_mod.queries()[name]("/root/testdata/sf0.01")))
+    want = pq.read_table(os.path.join(os.path.dirname(__file__), "fixtures",
+                                      f"{name}_sf0.01.parquet")).to_pandas()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want)
