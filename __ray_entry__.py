@@ -262,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": A.vocab_topk,
         "decontaminate": A.decontaminate,
         "pack_sequences": A.pack_sequences,
+        # round 5: distributed exact prefix-sum quota cuts (training-mix
+        # corpus balancing — per-lang char budget / per-codec audio ms)
+        "corpus_balance": A.corpus_balance,
+        "audio_balance": C.audio_balance,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -790,6 +794,10 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "audio_batch_pack": AO.audio_batch_pack_sql(),
         "audio_dedup_incremental": AO.audio_dedup_incremental_sql(),
         "audio_perceptual_dedup": AO.audio_perceptual_dedup_sql(),
+        # round 5: quota cuts — window cum-sum oracles over the same
+        # md5-derived order key both engines compute (hashing.sql_md5_i64)
+        "corpus_balance": A.corpus_balance_sql(),
+        "audio_balance": C.audio_balance_sql(),
         # export_chunks_digest re-hashes the payload slices that survived
         # the manifest write->commit->read round trip; same chunk oracle:
         "export_chunks_digest": AO.export_chunks_digest_sql(),

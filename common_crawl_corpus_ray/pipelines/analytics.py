@@ -2436,3 +2436,143 @@ def annotate_region_sql() -> str:
             f"CASE lang {ctry} ELSE '{GEO_UNKNOWN[0]}' END AS country, "
             f"CASE lang {reg} ELSE '{GEO_UNKNOWN[1]}' END AS region "
             f"FROM documents")
+
+
+# --- distributed quota balance (training-mix construction) -----------------
+
+QUOTA_BITS = 12                      # hash buckets per group = 4096
+QUOTA_SHIFT = 60 - QUOTA_BITS        # md5_i64 yields 60-bit non-negatives
+CORPUS_BALANCE_BUDGET = 15_000       # chars of text kept per language
+
+
+def quota_balance(ds_factory, id_col: str, group_col: str, weight_col: str,
+                  budget: int, id_is_int: bool = False):
+    """Per-group budget cut in stable-hash order — the corpus-balancing
+    primitive a training-mix build runs over the whole corpus ("keep the
+    first B chars/ms per language/codec, deterministically").
+
+    Semantics: within each group, order rows by (md5_i64(id), id); keep a
+    row iff the running weight total BEFORE it is < ``budget``. Membership
+    is a pure function of content — independent of partitioning, block
+    order, and cluster size.
+
+    Scale shape (a distributed exact prefix sum, NO corpus shuffle):
+
+    1. One streamed pass computes per-(group, hash-bucket) weight sums —
+       a combiner inside ``map_batches`` followed by a groupby over at
+       most G x 4096 rows; only that tiny aggregate reaches the driver.
+    2. The driver prefix-sums bucket totals per group (ascending bucket =
+       ascending hash prefix, so bucket order IS global order) and
+       classifies every bucket keep-all / drop-all / boundary. At most
+       ONE bucket per group straddles the budget.
+    3. A second streamed pass looks each row's (group, bucket) up in the
+       broadcast classification (``ray.put`` once, O(G x 4096) bytes) and
+       keeps/drops in place — the kept stream never shuffles. Only the
+       ~G boundary buckets' rows (corpus/4096 of one group each) take a
+       keyed exchange, where an in-bucket sort + cumsum applies the exact
+       rule with the bucket's prefix offset.
+
+    The reference's corpus assembly trims per-language files on one node
+    (cc_corpus.py's sequential per-prefix loop); this is the same cut as
+    one exact two-pass distributed operator.
+    """
+    import ray
+    import ray.data  # noqa: F401  (Dataset produced by ds_factory)
+
+    def _hash_ids(col: pa.ChunkedArray) -> np.ndarray:
+        if id_is_int:
+            ids = [str(v) for v in col.to_pylist()]
+        else:
+            ids = col.to_pylist()
+        return md5_i64_array(ids).to_numpy(zero_copy_only=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _hash_ids(b[id_col])
+        bkt = h >> QUOTA_SHIFT
+        df = pd.DataFrame({
+            "g": b[group_col].to_numpy(zero_copy_only=False),
+            "b": bkt,
+            "w": b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        agg = df.groupby(["g", "b"], sort=False)["w"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    sums = (ds_factory()
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["g", "b"]).sum("w")
+            .take_all())                       # <= G x 4096 rows, tiny
+
+    # Driver: exclusive prefix offsets per group; classify buckets.
+    per_group: dict = {}
+    for row in sums:
+        per_group.setdefault(row["g"], []).append((row["b"], row["sum(w)"]))
+    status: dict = {}      # g -> uint8[4096]: 0 drop, 1 keep, 2 boundary
+    boundary_off: dict = {}  # (g, b) -> exclusive prefix offset
+    for g, pairs in per_group.items():
+        st = np.zeros(1 << QUOTA_BITS, dtype=np.uint8)
+        off = 0
+        for bkt, s in sorted(pairs):
+            if off >= budget:
+                pass                            # drop-all (st already 0)
+            elif off + s < budget:
+                st[bkt] = 1                     # keep-all
+            else:
+                st[bkt] = 2                     # the one straddling bucket
+                boundary_off[(g, int(bkt))] = off
+            off += s
+        status[g] = st
+    plan_ref = ray.put((status, boundary_off))
+
+    out_cols = [id_col, group_col, weight_col]
+
+    def classify(b: pa.Table, want: int) -> pa.Table:
+        st_map, _ = ray.get(plan_ref)
+        h = _hash_ids(b[id_col])
+        bkt = h >> QUOTA_SHIFT
+        groups = b[group_col].to_numpy(zero_copy_only=False)
+        stat = np.zeros(len(h), dtype=np.uint8)
+        for g in pd.unique(groups):
+            m = groups == g
+            stg = st_map.get(g)
+            if stg is not None:
+                stat[m] = stg[bkt[m]]
+        t = b.select(out_cols)
+        if want == 2:                           # boundary rows carry h
+            t = t.append_column("h", pa.array(h, pa.int64()))
+            t = t.append_column("bkt", pa.array(bkt, pa.int64()))
+        return t.filter(pa.array(stat == want))
+
+    kept = ds_factory().map_batches(
+        classify, batch_format="pyarrow", fn_args=(1,))
+
+    def cut_boundary(gdf: pd.DataFrame) -> pd.DataFrame:
+        _, offs = ray.get(plan_ref)
+        gdf = gdf.sort_values(["h", id_col], kind="stable")
+        off = offs[(gdf[group_col].iloc[0], int(gdf["bkt"].iloc[0]))]
+        cum_before = off + gdf[weight_col].cumsum() - gdf[weight_col]
+        return gdf.loc[cum_before < budget, [id_col, group_col, weight_col]]
+
+    boundary = (ds_factory()
+                .map_batches(classify, batch_format="pyarrow", fn_args=(2,))
+                .groupby(group_col)
+                .map_groups(cut_boundary, batch_format="pandas"))
+    return kept.union(boundary.select_columns(out_cols))
+
+
+def corpus_balance(sf_dir: str, budget: int = CORPUS_BALANCE_BUDGET):
+    """Language-balanced training-mix cut over documents: keep, per
+    language, documents in stable-hash order until ``budget`` chars are
+    reached (see :func:`quota_balance` for the distributed shape)."""
+    return quota_balance(
+        lambda: _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "doc_id", "lang", "n_chars", budget, id_is_int=True)
+
+
+def corpus_balance_sql(budget: int = CORPUS_BALANCE_BUDGET) -> str:
+    hh = sql_md5_i64("CAST(doc_id AS VARCHAR)")
+    return (f"SELECT doc_id, lang, n_chars FROM ("
+            f"SELECT doc_id, lang, n_chars, "
+            f"sum(n_chars) OVER (PARTITION BY lang ORDER BY {hh}, doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"- n_chars AS cum_before FROM documents) "
+            f"WHERE cum_before < {budget}")

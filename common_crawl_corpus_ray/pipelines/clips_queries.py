@@ -326,3 +326,32 @@ def planted_embeddings(sf_dir: str, n_plant: int = 20):
             "embedding": m["embedding"]})
 
     return ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+AUDIO_BALANCE_BUDGET_MS = 400_000    # audio milliseconds kept per codec
+
+
+def audio_balance(sf_dir: str, budget_ms: int = AUDIO_BALANCE_BUDGET_MS):
+    """Per-codec audio-hours quota: keep clips in stable-hash order until
+    ``budget_ms`` of audio per codec — the audio twin of
+    ``analytics.corpus_balance`` (same distributed exact-prefix-sum
+    operator, metadata-only: the payload column never leaves parquet)."""
+    import ray.data as rd
+    from .analytics import quota_balance
+    uri = ensure_clips(sf_dir, with_audio=False)
+    return quota_balance(
+        lambda: rd.read_parquet(uri, columns=["clip_id", "codec", "dur_ms"]),
+        "clip_id", "codec", "dur_ms", budget_ms)
+
+
+def audio_balance_sql(budget_ms: int = AUDIO_BALANCE_BUDGET_MS) -> str:
+    from ..functions.hashing import sql_md5_i64
+    uri = ensure_clips(ORACLE_SF, with_audio=False)
+    hh = sql_md5_i64("clip_id")
+    return (f"SELECT clip_id, codec, dur_ms FROM ("
+            f"SELECT clip_id, codec, dur_ms, "
+            f"sum(dur_ms) OVER (PARTITION BY codec ORDER BY {hh}, clip_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"- dur_ms AS cum_before "
+            f"FROM read_parquet('{uri}/*.parquet')) "
+            f"WHERE cum_before < {budget_ms}")

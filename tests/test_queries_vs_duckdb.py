@@ -93,6 +93,9 @@ SQL_QUERIES = [
     # (detector x policy matrix closed) — oracle swaps the pairs CTE of
     # the cluster SQL for the bit-identical simhash band join
     "dedup_clusters_simhash", "dedup_keep_best_simhash",
+    # round 5: distributed exact prefix-sum quota cut (per-lang char
+    # budget in stable-hash order; window cum-sum oracle)
+    "corpus_balance",
 ]
 
 
@@ -128,6 +131,8 @@ CLIPS_FIXTURE_QUERIES = [
     "audio_dedup_incremental",
     # round 4: decoded-domain cross-codec dedup (planted-pair oracle)
     "audio_perceptual_dedup",
+    # round 5: per-codec audio-ms quota cut (distributed prefix sum)
+    "audio_balance",
 ]
 
 
