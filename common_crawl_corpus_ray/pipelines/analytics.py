@@ -2497,15 +2497,28 @@ def quota_balance(ds_factory, id_col: str, group_col: str, weight_col: str,
         agg = df.groupby(["g", "b"], sort=False)["w"].sum().reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    sums = (ds_factory()
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["g", "b"]).sum("w")
-            .take_all())                       # <= G x 4096 rows, tiny
+    def merge_partials(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        agg = df.groupby(["g", "b"], sort=False)["w"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    # Two-level combine instead of a groupby shuffle: each block's partial
+    # is <= G x 4096 rows; a large-batch merge stage collapses ~hundreds
+    # of block partials per task (streaming, no all-to-all — a ray.data
+    # groupby here costs ~2.3 s of shuffle overhead on a kilobyte of
+    # stats), and the driver's final merge sees <= tasks x G x 4096 rows.
+    parts = (ds_factory()
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(merge_partials, batch_format="pyarrow",
+                          batch_size=1 << 20)
+             .take_all())
+    merged = (pd.DataFrame(parts).groupby(["g", "b"], sort=False)["w"]
+              .sum().reset_index())
 
     # Driver: exclusive prefix offsets per group; classify buckets.
     per_group: dict = {}
-    for row in sums:
-        per_group.setdefault(row["g"], []).append((row["b"], row["sum(w)"]))
+    for g, bkt, w in zip(merged["g"], merged["b"], merged["w"]):
+        per_group.setdefault(g, []).append((bkt, w))
     status: dict = {}      # g -> uint8[4096]: 0 drop, 1 keep, 2 boundary
     boundary_off: dict = {}  # (g, b) -> exclusive prefix offset
     for g, pairs in per_group.items():
@@ -2552,11 +2565,22 @@ def quota_balance(ds_factory, id_col: str, group_col: str, weight_col: str,
         cum_before = off + gdf[weight_col].cumsum() - gdf[weight_col]
         return gdf.loc[cum_before < budget, [id_col, group_col, weight_col]]
 
+    def as_arrow(b: pa.Table) -> pa.Table:
+        # map_groups emitted pandas blocks; the union's other branch is
+        # Arrow — re-block as Arrow with the kept branch's exact types
+        # (to_pandas round-trips int32 weights to int64 otherwise).
+        return pa.table({c: b[c].cast(kept_schema.field(c).type)
+                         for c in out_cols})
+
+    kept_schema = pa.schema(
+        [f for f in ds_factory().schema().base_schema if f.name in out_cols])
     boundary = (ds_factory()
                 .map_batches(classify, batch_format="pyarrow", fn_args=(2,))
                 .groupby(group_col)
-                .map_groups(cut_boundary, batch_format="pandas"))
-    return kept.union(boundary.select_columns(out_cols))
+                .map_groups(cut_boundary, batch_format="pandas")
+                .select_columns(out_cols)
+                .map_batches(as_arrow, batch_format="pyarrow"))
+    return kept.union(boundary)
 
 
 def corpus_balance(sf_dir: str, budget: int = CORPUS_BALANCE_BUDGET):
