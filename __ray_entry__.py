@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
         "audio_balance": C.audio_balance,
+        "temperature_mix": A.temperature_mix,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -798,6 +799,9 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         # md5-derived order key both engines compute (hashing.sql_md5_i64)
         "corpus_balance": A.corpus_balance_sql(),
         "audio_balance": C.audio_balance_sql(),
+        # temperature mix: exact-integer alpha=0.5 re-weighting (isqrt ==
+        # FLOOR(SQRT(double)) for n <= 2^52 — proof in the docstring)
+        "temperature_mix": A.temperature_mix_sql(),
         # export_chunks_digest re-hashes the payload slices that survived
         # the manifest write->commit->read round trip; same chunk oracle:
         "export_chunks_digest": AO.export_chunks_digest_sql(),

@@ -86,7 +86,7 @@ QUERY_NAMES = [
     "decontaminate", "pack_sequences", "audio_batch_pack",
     "audio_dedup_incremental", "audio_perceptual_dedup",
     "dedup_clusters_simhash", "dedup_keep_best_simhash",
-    "corpus_balance", "audio_balance",
+    "corpus_balance", "audio_balance", "temperature_mix",
 ]
 
 

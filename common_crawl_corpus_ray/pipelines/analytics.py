@@ -2459,8 +2459,9 @@ def quota_balance(ds_factory, id_col: str, group_col: str, weight_col: str,
     Scale shape (a distributed exact prefix sum, NO corpus shuffle):
 
     1. One streamed pass computes per-(group, hash-bucket) weight sums —
-       a combiner inside ``map_batches`` followed by a groupby over at
-       most G x 4096 rows; only that tiny aggregate reaches the driver.
+       a combiner inside ``map_batches``, then a large-batch merge stage
+       (no shuffle) collapsing block partials ~hundreds at a time; only
+       that tiny aggregate (<= tasks x G x 4096 rows) reaches the driver.
     2. The driver prefix-sums bucket totals per group (ascending bucket =
        ascending hash prefix, so bucket order IS global order) and
        classifies every bucket keep-all / drop-all / boundary. At most
@@ -2600,3 +2601,88 @@ def corpus_balance_sql(budget: int = CORPUS_BALANCE_BUDGET) -> str:
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
             f"- n_chars AS cum_before FROM documents) "
             f"WHERE cum_before < {budget}")
+
+
+TEMP_MIX_BUDGET = 200                # target docs in the sampled mix
+_TMIX_THR_BITS = 40                  # threshold scale: compare h >> 20
+
+
+def temperature_mix(sf_dir: str, budget: int = TEMP_MIX_BUDGET):
+    """Temperature-sampled training mix (alpha = 0.5): languages are
+    re-weighted by sqrt of their document count — the standard move that
+    up-samples low-resource languages in a multilingual training set —
+    then each document is kept by a deterministic hash threshold, so the
+    expected mix matches the temperature weights while membership stays
+    a pure function of content.
+
+    Exact-integer design (no float drift between engines): with
+    n_l = docs in language l and w_l = isqrt(n_l), a doc is kept iff
+
+        (md5_i64(doc_id) >> 20)  <  (budget * w_l * 2^40) // (sum_w * n_l)
+
+    — all integer arithmetic. ``isqrt(n)`` equals DuckDB's
+    ``FLOOR(SQRT(CAST(n AS DOUBLE)))`` for every n <= 2^52: IEEE sqrt is
+    correctly rounded, and for n = k^2 - d (0 < d <= 2k) the true root
+    k - d/2k sits more than a half-ulp below k, so the rounded double
+    can never reach k — the floor agrees with the integer root.
+
+    Scale shape: pass 1 is the same shuffle-free partial-count combine
+    as :func:`quota_balance` (per-block (lang, count) partials, large-
+    batch merge, tiny driver reduce); pass 2 is a stateless broadcast
+    filter — the corpus streams once, nothing shuffles.
+    """
+    import math
+
+    import ray
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"g": b["lang"].to_numpy(zero_copy_only=False)})
+        agg = df.groupby("g", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge_counts(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        agg = df.groupby("g", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (_read(sf_dir, "documents", ["lang"])
+             .map_batches(count_partial, batch_format="pyarrow")
+             .map_batches(merge_counts, batch_format="pyarrow",
+                          batch_size=1 << 20)
+             .take_all())
+    counts = (pd.DataFrame(parts).groupby("g", sort=False)["n"]
+              .sum().to_dict())
+
+    weights = {g: math.isqrt(int(n)) for g, n in counts.items()}
+    sum_w = sum(weights.values())
+    thr = {g: min((budget * weights[g] * (1 << _TMIX_THR_BITS))
+                  // (sum_w * int(n)), 1 << _TMIX_THR_BITS)
+           for g, n in counts.items()}
+    thr_ref = ray.put(thr)
+
+    def keep(b: pa.Table) -> pa.Table:
+        tmap = ray.get(thr_ref)
+        h = md5_i64_array([str(v) for v in b["doc_id"].to_pylist()])
+        hi = h.to_numpy(zero_copy_only=False) >> 20
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        t = np.fromiter((tmap[g] for g in langs), dtype=np.int64,
+                        count=len(langs))
+        return b.filter(pa.array(hi < t))
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+
+def temperature_mix_sql(budget: int = TEMP_MIX_BUDGET) -> str:
+    hh = sql_md5_i64("CAST(doc_id AS VARCHAR)")
+    scale = 1 << _TMIX_THR_BITS
+    return f"""
+WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n,
+             CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),
+thr AS (SELECT lang, n, w,
+               LEAST(CAST({budget} AS HUGEINT) * w * {scale}
+                     // ((SELECT SUM(w) FROM w) * n), {scale}) AS t
+        FROM w)
+SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+WHERE ({hh} // 1048576) < thr.t"""

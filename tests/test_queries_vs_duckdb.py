@@ -94,8 +94,9 @@ SQL_QUERIES = [
     # the cluster SQL for the bit-identical simhash band join
     "dedup_clusters_simhash", "dedup_keep_best_simhash",
     # round 5: distributed exact prefix-sum quota cut (per-lang char
-    # budget in stable-hash order; window cum-sum oracle)
-    "corpus_balance",
+    # budget in stable-hash order; window cum-sum oracle) + exact-integer
+    # temperature-sampled mix (alpha=0.5 via isqrt == floor-sqrt-double)
+    "corpus_balance", "temperature_mix",
 ]
 
 
