@@ -276,19 +276,27 @@ def run_bench_supervised(max_attempts: int = 3) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--bench-one"],
             env=dict(os.environ), capture_output=True, text=True)
-        # only trust a result line from a CLEANLY exited child, and keep
-        # scanning past '{'-prefixed non-JSON lines (Ray log output can
-        # start with '{'; a parse failure there must not kill the
-        # supervisor whose whole purpose is retrying child deaths)
-        if out.returncode == 0:
-            for line in reversed(out.stdout.strip().splitlines() or [""]):
-                if line.startswith("{"):
-                    try:
-                        d = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue
-                    d["bench_attempt"] = attempt
-                    return d
+        # Keep scanning past '{'-prefixed non-JSON lines (Ray log output
+        # can start with '{'; a parse failure there must not kill the
+        # supervisor whose whole purpose is retrying child deaths). A
+        # nonzero-rc child can still have printed a COMPLETE result
+        # before dying in shutdown (the documented raylet CHECK can fire
+        # at exit too) — accept only a payload carrying the result keys,
+        # and disclose the dirty exit in the JSON rather than losing the
+        # round's numbers to a teardown race.
+        for line in reversed(out.stdout.strip().splitlines() or [""]):
+            if line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if not (isinstance(d, dict) and "value" in d
+                        and "queries" in d):
+                    continue
+                d["bench_attempt"] = attempt
+                if out.returncode != 0:
+                    d["bench_child_rc"] = out.returncode
+                return d
         last_rc = out.returncode
         sys.stderr.write(
             f"bench attempt {attempt} died rc={out.returncode}; tail:\n"

@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import spec
+from ..functions.broadcast import cached_get
 from ..functions.hashing import md5_i64, md5_i64_array, sql_md5_i64
 from ..sources.keyed import KeyedBatchJoiner
 # module-level (worker bodies below call these; a function-level import
@@ -2466,12 +2467,19 @@ def quota_balance(ds_factory, id_col: str, group_col: str, weight_col: str,
        ascending hash prefix, so bucket order IS global order) and
        classifies every bucket keep-all / drop-all / boundary. At most
        ONE bucket per group straddles the budget.
-    3. A second streamed pass looks each row's (group, bucket) up in the
+    3. The apply stage looks each row's (group, bucket) up in the
        broadcast classification (``ray.put`` once, O(G x 4096) bytes) and
        keeps/drops in place — the kept stream never shuffles. Only the
        ~G boundary buckets' rows (corpus/4096 of one group each) take a
        keyed exchange, where an in-bucket sort + cumsum applies the exact
        rule with the bucket's prefix offset.
+
+    Execution cost: THREE streamed reads of the pruned columns (stats,
+    kept branch, boundary branch — Ray lineage re-executes each union
+    branch independently). The alternative — materializing a classified
+    copy of the corpus so the two branches share one scan — costs a
+    full-corpus object-store write at scale, which is strictly worse
+    than re-reading three narrow columns; the per-row md5 is ~1 us.
 
     The reference's corpus assembly trims per-language files on one node
     (cc_corpus.py's sequential per-prefix loop); this is the same cut as
@@ -2540,7 +2548,7 @@ def quota_balance(ds_factory, id_col: str, group_col: str, weight_col: str,
     out_cols = [id_col, group_col, weight_col]
 
     def classify(b: pa.Table, want: int) -> pa.Table:
-        st_map, _ = ray.get(plan_ref)
+        st_map, _ = cached_get(plan_ref)
         h = _hash_ids(b[id_col])
         bkt = h >> QUOTA_SHIFT
         groups = b[group_col].to_numpy(zero_copy_only=False)
@@ -2560,7 +2568,7 @@ def quota_balance(ds_factory, id_col: str, group_col: str, weight_col: str,
         classify, batch_format="pyarrow", fn_args=(1,))
 
     def cut_boundary(gdf: pd.DataFrame) -> pd.DataFrame:
-        _, offs = ray.get(plan_ref)
+        _, offs = cached_get(plan_ref)
         gdf = gdf.sort_values(["h", id_col], kind="stable")
         off = offs[(gdf[group_col].iloc[0], int(gdf["bkt"].iloc[0]))]
         cum_before = off + gdf[weight_col].cumsum() - gdf[weight_col]
@@ -2661,7 +2669,7 @@ def temperature_mix(sf_dir: str, budget: int = TEMP_MIX_BUDGET):
     thr_ref = ray.put(thr)
 
     def keep(b: pa.Table) -> pa.Table:
-        tmap = ray.get(thr_ref)
+        tmap = cached_get(thr_ref)
         h = md5_i64_array([str(v) for v in b["doc_id"].to_pylist()])
         hi = h.to_numpy(zero_copy_only=False) >> 20
         langs = b["lang"].to_numpy(zero_copy_only=False)

@@ -735,10 +735,10 @@ class _PercRouter:
                 for r in np.nonzero(found)[0]]
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        hits = self._hits(_clip_indices(b))
+        idx = _clip_indices(b)
+        hits = self._hits(idx)
         if not hits:
             return _VERIFY_SCHEMA.empty_table()
-        idx = _clip_indices(b)
         payloads = b["bytes"].combine_chunks()
         srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
         cods = b["codec"].to_pylist()
@@ -811,7 +811,8 @@ def perceptual_dedup_pairs(ds, effective_fn, n_rows: int | None = None,
     import ray.data as rd
 
     from ..stages.decide import scaled_buckets
-    from ..stages.dedup_family import _collapse_and_pair, hamming64_batch
+    from ..stages.dedup_family import (_collapse_and_pair, explode_sig16,
+                                       hamming64_batch)
     from ..stages.exchange import bucket_exchange, bucket_exchange_dataset
     from .quality_filter import _cluster_cpus
 
@@ -836,10 +837,7 @@ def perceptual_dedup_pairs(ds, effective_fn, n_rows: int | None = None,
             out_s[r] = _sign_sig(cx)
             digs.append(hashlib.md5(cx.astype(np.float32).tobytes())
                         .digest())
-        band = np.tile(np.arange(_SIG_BANDS, dtype=np.int64), n)
-        rep_sig = np.repeat(out_s, _SIG_BANDS)
-        cv = ((rep_sig >> (np.uint64(16) * band.astype(np.uint64)))
-              & np.uint64(0xFFFF)).astype(np.int64)
+        rep_sig, band, cv = explode_sig16(out_s, _SIG_BANDS)
         rcsr = np.repeat(out_csr, _SIG_BANDS)
         rcn = np.repeat(out_cn, _SIG_BANDS)
         mix = (cv.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)

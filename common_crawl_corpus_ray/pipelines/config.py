@@ -62,6 +62,10 @@ class PipelineConfig:
     # object-store broadcast to the keyed lancelite join (mirrors
     # dup_broadcast_max / dec_broadcast_max)
     audio_flags_broadcast_max: int = 2_000_000
+    # perceptual mode only: candidate clip->bucket routing entries above
+    # which the verify routing flips from broadcast CSR to the keyed side
+    # table (audio_ops.PERC_ROUTE_BROADCAST_MAX)
+    audio_route_broadcast_max: int = 2_000_000
 
     def __post_init__(self):
         if self.dedup not in ("first", "none", "off"):

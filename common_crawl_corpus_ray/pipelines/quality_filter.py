@@ -467,7 +467,10 @@ def run(clips_ds, checkpoint_uri: str | None = None, final_uri: str | None = Non
         # amended into the decision stream before phase D
         from .audio_ops import audio_dup_flags
         flags = audio_dup_flags(clips_ds, audio_mode,
-                                n_rows=info.get("n_rows"))
+                                n_rows=info.get("n_rows"),
+                                route_broadcast_max=_cfg(
+                                    None, config, "audio_route_broadcast_max",
+                                    2_000_000))
         dec = attach_audio_flags(
             dec, flags,
             broadcast_max=_cfg(None, config, "audio_flags_broadcast_max",

@@ -533,6 +533,20 @@ def hamming64(x: int, y: int) -> int:
     return bin(x ^ y).count("1")
 
 
+def explode_sig16(sigs: np.ndarray, n_bands: int = 4):
+    """16-bit banding explode of 64-bit signatures: returns
+    ``(rep_sig, band, cv)`` arrays of length ``len(sigs) * n_bands``,
+    rows laid out ``[i * n_bands + band]``. The ONE authoritative
+    spelling of the band/chunk bit layout — shared by the simhash text
+    detector below and the perceptual audio screen
+    (``audio_ops.audio_perceptual_dedup``), so the two cannot drift."""
+    band = np.tile(np.arange(n_bands, dtype=np.int64), len(sigs))
+    rep = np.repeat(sigs, n_bands)
+    cv = ((rep >> (np.uint64(16) * band.astype(np.uint64)))
+          & np.uint64(0xFFFF)).astype(np.int64)
+    return rep, band, cv
+
+
 def hamming64_batch(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit Hamming distance (popcount via uint8 view +
     unpackbits — numpy 1.26 has no bitwise_count)."""
@@ -572,13 +586,10 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sigs = simhash64_batch(batch[text_col].to_pylist())
         th = md5_i64_array(batch[text_col]).to_numpy()
-        n = len(ids)
         # vectorized 4-way chunk explode: rows [i*4 + c]
         rep_ids = np.repeat(ids, 4)
-        rep_sigs = np.repeat(sigs, 4)
-        chunks = np.tile(np.arange(4, dtype=np.int32), n)
-        cv = ((rep_sigs >> (np.uint64(16) * chunks.astype(np.uint64)))
-              & np.uint64(0xFFFF)).astype(np.int64)
+        rep_sigs, band, cv = explode_sig16(sigs, 4)
+        chunks = band.astype(np.int32)
         bucket = np.abs(cv * 7 + chunks) % nb
         return pa.table({"id": pa.array(rep_ids),
                          "chunk": pa.array(chunks, pa.int32()),
