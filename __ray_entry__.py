@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_batch_pack": AO.audio_batch_pack,
         "audio_dedup_incremental": AO.audio_dedup_incremental,
         "audio_perceptual_dedup": AO.audio_perceptual_dedup,
+        # round 5: cross-modal contamination dedup (transcript == doc text)
+        "cross_modal_dedup": C.cross_modal_dedup,
         "export_chunks_digest": AO.export_chunks_digest,
         "embedding_kmeans": emb_kmeans,
         "image_resize": image_resize,
@@ -802,6 +804,9 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         # temperature mix: exact-integer alpha=0.5 re-weighting (isqrt ==
         # FLOOR(SQRT(double)) for n <= 2^52 — proof in the docstring)
         "temperature_mix": A.temperature_mix_sql(),
+        # cross-modal dedup: hash semi-join of clip transcripts against
+        # document texts + planted leaks (min-doc_id-per-hash both sides)
+        "cross_modal_dedup": C.cross_modal_dedup_sql(),
         # export_chunks_digest re-hashes the payload slices that survived
         # the manifest write->commit->read round trip; same chunk oracle:
         "export_chunks_digest": AO.export_chunks_digest_sql(),

@@ -17,6 +17,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..audio import codecs
+# module-level (worker-executed _SemiProbe.__init__ resolves this through
+# the registered module; a function-level import would re-run on the
+# worker and fail without the repo on its path)
+from ..sources.keyed import KeyedBatchJoiner
 from ..synth import clips
 
 _CACHE_ROOT = "/tmp/ccc_ray_cache"
@@ -355,3 +359,136 @@ def audio_balance_sql(budget_ms: int = AUDIO_BALANCE_BUDGET_MS) -> str:
             f"- dur_ms AS cum_before "
             f"FROM read_parquet('{uri}/*.parquet')) "
             f"WHERE cum_before < {budget_ms}")
+
+
+# --- cross-modal contamination dedup ---------------------------------------
+
+CROSS_MODAL_PLANT_EVERY = 20         # every 20th clip leaks a transcript
+_LEAK_DOC_BASE = 1_000_000_000       # synthetic doc_id space for plants
+
+
+def _clip_idx_np(col) -> np.ndarray:
+    import pyarrow.compute as pc
+    return pc.cast(pc.utf8_slice_codeunits(col, 5, 32), pa.int64()).to_numpy()
+
+
+def _cross_modal_index(sf_dir: str) -> str:
+    """One-time side index for :func:`cross_modal_dedup`: md5(text) of
+    every document, UNION planted "leaked" rows — every
+    ``CROSS_MODAL_PLANT_EVERY``-th clip's transcript hash under a
+    synthetic doc_id — collapsed to min doc_id per hash, range-sorted and
+    written as a keyed lancelite table with per-fragment [min, max] key
+    stats (the dedup_incremental index shape, analytics.py)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..functions.hashing import md5_i64_array
+    from ..sources import lancelite
+    from .analytics import _content_tag
+
+    uri = f"/tmp/ccc_xmodal_idx_{_content_tag(sf_dir)}"
+    if os.path.exists(os.path.join(uri, "_versions")):
+        return uri
+
+    def dh(b: pa.Table) -> pa.Table:
+        return pa.table({"text_hash": md5_i64_array(b["text"]),
+                         "doc_id": b["doc_id"].cast(pa.int64())})
+
+    def ph(b: pa.Table) -> pa.Table:
+        ci = _clip_idx_np(b["clip_id"])
+        m = ci % CROSS_MODAL_PLANT_EVERY == 0
+        t = b.filter(pa.array(m))
+        return pa.table({"text_hash": md5_i64_array(t["transcript"]),
+                         "doc_id": pa.array(_LEAK_DOC_BASE + ci[m],
+                                            pa.int64())})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    leaks = rd.read_parquet(ensure_clips(sf_dir, with_audio=False),
+                            columns=["clip_id", "transcript"])
+    side = (docs.map_batches(dh, batch_format="pyarrow")
+            .union(leaks.map_batches(ph, batch_format="pyarrow"))
+            .groupby("text_hash")
+            .aggregate(Min("doc_id", alias_name="doc_id"))
+            .sort("text_hash"))
+    lancelite.write_dataset(side, uri, key_stats="text_hash")
+    return uri
+
+
+class _SemiProbe:
+    """Actor-pool semi-join against the keyed document-hash index: emits
+    (clip_id, doc_id) for every probe HIT (the anti-probe's sibling —
+    _AntiProbe in analytics.py keeps the misses). Input batches must be
+    hash-range-clustered (caller sorts on text_hash) so fragments_for
+    prunes to the overlapping index fragments."""
+
+    def __init__(self, index):
+        self.joiner = KeyedBatchJoiner(index,
+                                       columns=["text_hash", "doc_id"])
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        row, found, side = self.joiner.probe(b["text_hash"])
+        if side is None or not found.any():
+            return pa.table({"clip_id": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        sel = np.nonzero(found)[0]
+        return pa.table({
+            "clip_id": b["clip_id"].take(pa.array(sel)),
+            "doc_id": side["doc_id"].take(pa.array(row[sel]))
+                          .cast(pa.int64()),
+        })
+
+
+def cross_modal_dedup(sf_dir: str):
+    """Cross-modal contamination dedup: flag clips whose TRANSCRIPT is
+    byte-identical to a document's text — the modality-overlap step a
+    multimodal training build runs so the same content doesn't enter the
+    mix twice (text corpus + ASR transcript). The fixture has no organic
+    overlap, so the index build PLANTS leaks (every 20th clip, synthetic
+    doc_id) — any probe miss or false hit breaks the oracle hash.
+
+    Scale shape: the document index is built once (O(docs) + O(clips/20)
+    plant rows, collapsed to min doc_id per hash) and persisted keyed;
+    the probe pass moves only (clip_id, hash) pairs — transcripts never
+    shuffle, payloads are never read — through an O(clips) slim sort so
+    each actor's searchsorted touches only its hash range's fragments.
+    Output rows are O(overlap). Same side-table machinery as the
+    flagship phase-D join and dedup_incremental."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_i64_array
+    from ..sources.keyed import KeyedFragmentIndex
+
+    index = KeyedFragmentIndex(_cross_modal_index(sf_dir), "text_hash")
+
+    def h_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"clip_id": b["clip_id"],
+                         "text_hash": md5_i64_array(b["transcript"])})
+
+    return (rd.read_parquet(ensure_clips(sf_dir, with_audio=False),
+                            columns=["clip_id", "transcript"])
+            .map_batches(h_rows, batch_format="pyarrow")
+            .sort("text_hash")
+            .map_batches(_SemiProbe, batch_format="pyarrow",
+                         batch_size=4096, fn_constructor_args=(index,),
+                         concurrency=(1, 4), num_cpus=1))
+
+
+def cross_modal_dedup_sql() -> str:
+    from ..functions.hashing import sql_md5_i64
+    uri = ensure_clips(ORACLE_SF, with_audio=False)
+    h_t = sql_md5_i64("transcript")
+    h_x = sql_md5_i64("text")
+    return f"""
+WITH c AS (SELECT clip_id,
+                  CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                      AS ci,
+                  {h_t} AS h
+           FROM read_parquet('{uri}/*.parquet')),
+side AS (SELECT {h_x} AS h, CAST(doc_id AS BIGINT) AS doc_id
+         FROM read_parquet('{ORACLE_SF}/documents.parquet')
+         UNION ALL
+         SELECT h, {_LEAK_DOC_BASE} + ci FROM c
+         WHERE ci % {CROSS_MODAL_PLANT_EVERY} = 0),
+m AS (SELECT h, MIN(doc_id) AS doc_id FROM side GROUP BY h)
+SELECT c.clip_id, m.doc_id FROM c JOIN m ON c.h = m.h"""

@@ -132,8 +132,10 @@ CLIPS_FIXTURE_QUERIES = [
     "audio_dedup_incremental",
     # round 4: decoded-domain cross-codec dedup (planted-pair oracle)
     "audio_perceptual_dedup",
-    # round 5: per-codec audio-ms quota cut (distributed prefix sum)
-    "audio_balance",
+    # round 5: per-codec audio-ms quota cut (distributed prefix sum);
+    # cross-modal contamination dedup (transcript-vs-document-text hash
+    # semi-join against the keyed index, planted leaks)
+    "audio_balance", "cross_modal_dedup",
 ]
 
 
