@@ -290,6 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_perceptual_dedup": AO.audio_perceptual_dedup,
         # round 5: cross-modal contamination dedup (transcript == doc text)
         "cross_modal_dedup": C.cross_modal_dedup,
+        # round 5: speed-perturb augmentation manifest + exact global
+        # percentiles by shuffle-free value counting
+        "audio_augment_plan": C.audio_augment_plan,
+        "global_percentiles": C.global_percentiles,
         "export_chunks_digest": AO.export_chunks_digest,
         "embedding_kmeans": emb_kmeans,
         "image_resize": image_resize,
@@ -807,6 +811,10 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         # cross-modal dedup: hash semi-join of clip transcripts against
         # document texts + planted leaks (min-doc_id-per-hash both sides)
         "cross_modal_dedup": C.cross_modal_dedup_sql(),
+        # augmentation manifest: integer-exact CROSS JOIN expansion;
+        # percentiles: smallest-value-reaching-ceil(p*n/100) rank rule
+        "audio_augment_plan": C.audio_augment_plan_sql(),
+        "global_percentiles": C.global_percentiles_sql(),
         # export_chunks_digest re-hashes the payload slices that survived
         # the manifest write->commit->read round trip; same chunk oracle:
         "export_chunks_digest": AO.export_chunks_digest_sql(),

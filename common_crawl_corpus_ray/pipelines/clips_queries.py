@@ -492,3 +492,122 @@ side AS (SELECT {h_x} AS h, CAST(doc_id AS BIGINT) AS doc_id
          WHERE ci % {CROSS_MODAL_PLANT_EVERY} = 0),
 m AS (SELECT h, MIN(doc_id) AS doc_id FROM side GROUP BY h)
 SELECT c.clip_id, m.doc_id FROM c JOIN m ON c.h = m.h"""
+
+
+# --- ASR augmentation planning ----------------------------------------------
+
+AUG_FACTORS = (("sp09", 10, 9), ("sp10", 1, 1), ("sp11", 10, 11))
+AUG_SHARDS = 16
+
+
+def audio_augment_plan(sf_dir: str):
+    """Speed-perturbation augmentation manifest: the standard ASR
+    training move (0.9x / 1.0x / 1.1x copies of every clip) planned as
+    metadata — a 3x vectorized fan-out with exact integer durations
+    (dur' = dur * num // den) and a deterministic hash shard per
+    (clip, factor), so the expensive resample+re-encode stage can run
+    later, shard-parallel and resumable, without this plan ever touching
+    payload bytes. One streamed pass, no shuffle; output is 3x the
+    metadata rows, 0x the payload."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_i64_array
+
+    uri = ensure_clips(sf_dir, with_audio=False)
+
+    def expand(b: pa.Table) -> pa.Table:
+        dur = b["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b["clip_id"].to_pylist()
+        outs = []
+        for name, num, den in AUG_FACTORS:
+            aug_dur = dur * num // den
+            shard = (md5_i64_array([f"{c}|{name}" for c in ids])
+                     .to_numpy(zero_copy_only=False) % AUG_SHARDS)
+            outs.append(pa.table({
+                "clip_id": b["clip_id"],
+                "aug": pa.array([name] * b.num_rows, pa.string()),
+                "aug_dur_ms": pa.array(aug_dur, pa.int64()),
+                "shard": pa.array(shard, pa.int64()),
+            }))
+        return pa.concat_tables(outs)
+
+    return rd.read_parquet(uri, columns=["clip_id", "dur_ms"]).map_batches(
+        expand, batch_format="pyarrow")
+
+
+def audio_augment_plan_sql() -> str:
+    from ..functions.hashing import sql_md5_i64
+    uri = ensure_clips(ORACLE_SF, with_audio=False)
+    h = sql_md5_i64("concat(clip_id, '|', aug)")
+    vals = ", ".join(f"('{n}', {num}, {den})" for n, num, den in AUG_FACTORS)
+    return (f"SELECT clip_id, aug, "
+            f"CAST(dur_ms AS BIGINT) * num // den AS aug_dur_ms, "
+            f"{h} % {AUG_SHARDS} AS shard "
+            f"FROM read_parquet('{uri}/*.parquet') "
+            f"CROSS JOIN (VALUES {vals}) AS f(aug, num, den)")
+
+
+# --- exact global percentiles by value counting ------------------------------
+
+PCTS = (50, 90, 99)
+
+
+def global_percentiles(sf_dir: str):
+    """Exact global p50/p90/p99 of clip duration WITHOUT a distributed
+    sort: dur_ms has a bounded value domain (int32 milliseconds), so
+    per-block value-count partials merge associatively — the same
+    shuffle-free two-level combine as the quota family — and the driver
+    resolves each percentile from the tiny (value, count) histogram's
+    cumulative sum. Complements median_mad (per-group exact sort / KLL
+    sketch): this is the whole-corpus spelling whose cost is O(corpus)
+    streamed once + O(distinct values) merged, independent of row count.
+
+    Rank rule (stated so the SQL oracle can say the same thing): the
+    p-th percentile is the smallest value whose cumulative count reaches
+    ceil(p * n / 100)."""
+    import ray.data as rd
+
+    uri = ensure_clips(sf_dir, with_audio=False)
+
+    def vc_partial(b: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            b["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"v": pa.array(vals, pa.int64()),
+                         "c": pa.array(cnts, pa.int64())})
+
+    def vc_merge(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("v", sort=True)["c"].sum().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def resolve(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("v", sort=True)["c"].sum().reset_index()
+        cum = df["c"].cumsum().to_numpy()
+        n = int(cum[-1]) if len(cum) else 0
+        out_p, out_v = [], []
+        for p in PCTS:
+            rank = (p * n + 99) // 100
+            i = int(np.searchsorted(cum, rank))
+            out_p.append(p)
+            out_v.append(int(df["v"].iloc[i]) if n else None)
+        return pa.table({"pct": pa.array(out_p, pa.int64()),
+                         "dur_ms": pa.array(out_v, pa.int64())})
+
+    return (rd.read_parquet(uri, columns=["dur_ms"])
+            .map_batches(vc_partial, batch_format="pyarrow")
+            .map_batches(vc_merge, batch_format="pyarrow",
+                         batch_size=1 << 20)
+            .repartition(1)
+            .map_batches(resolve, batch_format="pyarrow", batch_size=None))
+
+
+def global_percentiles_sql() -> str:
+    uri = ensure_clips(ORACLE_SF, with_audio=False)
+    sels = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS pct, "
+        f"(SELECT CAST(min(dur_ms) AS BIGINT) FROM o "
+        f" WHERE rn >= ({p} * (SELECT c FROM n) + 99) // 100) AS dur_ms"
+        for p in PCTS)
+    return (f"WITH t AS (SELECT dur_ms FROM read_parquet('{uri}/*.parquet')), "
+            f"o AS (SELECT dur_ms, row_number() OVER (ORDER BY dur_ms) rn "
+            f"FROM t), n AS (SELECT count(*) c FROM t) {sels}")

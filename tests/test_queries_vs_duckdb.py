@@ -136,6 +136,9 @@ CLIPS_FIXTURE_QUERIES = [
     # cross-modal contamination dedup (transcript-vs-document-text hash
     # semi-join against the keyed index, planted leaks)
     "audio_balance", "cross_modal_dedup",
+    # round 5: speed-perturb augmentation manifest (integer-exact 3x
+    # fan-out + hash shards); exact global percentiles by value counting
+    "audio_augment_plan", "global_percentiles",
 ]
 
 
