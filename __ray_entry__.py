@@ -158,6 +158,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_family.embedding_dup_pairs(ds, "vec_id", "embedding",
                                                 threshold=0.99)
 
+    def embed_clusters(sf_dir: str):
+        # detector x policy closure for the embedding modality: LSH
+        # cosine pairs -> connected components -> min-id cluster per vec
+        return dedup_family.embedding_dup_clusters(
+            C.planted_embeddings(sf_dir), "vec_id", "embedding",
+            threshold=0.99, n_rows=_table_rows(sf_dir, "embeddings") + 20)
+
     def ivf(sf_dir: str):
         import ray.data as rd
         import pyarrow.compute as pc
@@ -229,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best_simhash": keep_best_simhash,
         "embedding_dup_exact": embed_dup,
         "embedding_dup_lsh": lambda sf: embed_dup(sf, lsh=True),
+        "embedding_dup_clusters": embed_clusters,
         # --- aggregations / groupbys (G1-G6) ---
         "pages_group": A.pages_group,
         "lang_rollup": A.lang_rollup,
@@ -500,6 +508,33 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.99"""
+
+    # embedding clusters: the same recursive transitive-closure CTE the
+    # text cluster oracles use, over the exact-cosine pair set (== the
+    # LSH pair set on this fixture, see embedding_dup_lsh note below);
+    # every vector appears, singletons map to themselves
+    embed_clusters_sql = """
+WITH RECURSIVE emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id < 20
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= 0.99
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT s AS node, s AS lab FROM e
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.node
+)
+SELECT v.vec_id, COALESCE(m.lab, v.vec_id) AS cluster
+FROM emb v
+LEFT JOIN (SELECT node, min(lab) AS lab FROM reach GROUP BY node) m
+  ON m.node = v.vec_id"""
 
     # minhash_dedup expressed EXACTLY in SQL (the round-2 judge's #2 ask):
     # the same char-5-gram polynomial rolling hash as the winnow oracle,
@@ -777,6 +812,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         # and the run is deterministic for fixed seed+data — equality
         # verified at sf0.01), so the exact SQL doubles as its oracle:
         "embedding_dup_lsh": embed_dup_sql,
+        "embedding_dup_clusters": embed_clusters_sql,
         "simhash_dedup": simhash_sql,
         "minhash_dedup": minhash_sql,
         "minhash_dedup_exactdups": exactdups_sql,

@@ -862,7 +862,8 @@ def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
                             threshold: float = 0.99, n_planes: int = 6,
                             seed: int = 42,
                             max_bucket_rows: int = 20_000,
-                            n_rows: int | None = None) -> pd.DataFrame:
+                            n_rows: int | None = None,
+                            return_dataset: bool = False):
     """Scale path: random-hyperplane bucket signature -> groupby(bucket) ->
     within-bucket pairwise cosine. Only the shuffle of (bucket, id, vec)
     rows moves data; no full-matrix broadcast. Near-identical vectors land
@@ -932,9 +933,21 @@ def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
             return None
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    tabs = [t for t in bucket_exchange(
-        ds.map_batches(to_buckets, batch_format="pyarrow"),
-        nb, in_bucket) if t.num_rows]
+    bucketed = ds.map_batches(to_buckets, batch_format="pyarrow")
+    if return_dataset:
+        # pairs stay distributed for graph consumers
+        # (embedding_dup_clusters): each vector has exactly ONE primary
+        # signature, so a pair surfaces from exactly one bucket — no
+        # driver-side dedupe needed (and min-label propagation is
+        # idempotent over repeated edges anyway)
+        from .exchange import bucket_exchange_refs, refs_to_dataset
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        return refs_to_dataset(
+            bucket_exchange_refs(bucketed, nb, in_bucket), empty)
+    tabs = [t for t in bucket_exchange(bucketed, nb, in_bucket)
+            if t.num_rows]
     if not tabs:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
@@ -942,6 +955,26 @@ def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
     out = pa.concat_tables(tabs, promote_options="default").to_pandas()
     return (out.drop_duplicates(["id_a", "id_b"])
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def embedding_dup_clusters(ds, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.99,
+                           n_rows: int | None = None):
+    """(id, cluster) for EVERY vector: LSH cosine near-dup pairs (the
+    scale detector — bucketed, hot buckets capped, no full-matrix
+    broadcast) -> :func:`connected_components` -> min-id cluster labels.
+    Closes the detector x policy matrix for the embedding modality: the
+    text detectors (ngram/minhash/simhash) already compose into the
+    cluster policies; this gives embedding pairs the same graph consumer.
+    Pairs ride the object store end-to-end (``return_dataset=True``) —
+    nothing lands on the driver between detection and label attach."""
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    pairs = embedding_dup_pairs_lsh(ds, id_col, vec_col,
+                                    threshold=threshold, n_rows=n_rows,
+                                    return_dataset=True)
+    return connected_components(pairs, ds.select_columns([id_col]),
+                                id_col=id_col, n_rows=n_rows)
 
 
 # --- near-dup cluster assignment (connected components) ---------------------

@@ -97,6 +97,10 @@ SQL_QUERIES = [
     # budget in stable-hash order; window cum-sum oracle) + exact-integer
     # temperature-sampled mix (alpha=0.5 via isqrt == floor-sqrt-double)
     "corpus_balance", "temperature_mix",
+    # round 5: embedding modality composed into the cluster policy (LSH
+    # cosine pairs -> connected components; recursive-closure oracle over
+    # the exact-cosine pair set)
+    "embedding_dup_clusters",
 ]
 
 
