@@ -88,7 +88,7 @@ QUERY_NAMES = [
     "dedup_clusters_simhash", "dedup_keep_best_simhash",
     "corpus_balance", "audio_balance", "temperature_mix",
     "cross_modal_dedup", "audio_augment_plan", "global_percentiles",
-    "embedding_dup_clusters",
+    "embedding_dup_clusters", "audio_perceptual_clusters",
 ]
 
 

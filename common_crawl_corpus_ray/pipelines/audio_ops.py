@@ -1021,6 +1021,76 @@ SELECT {pad.format(f'd + {_PERC_OFF}')} AS id_a,
 FROM d WHERE d + {_PERC_SR_OFF} <= m"""
 
 
+def audio_perceptual_clusters(sf_dir: str):
+    """Cluster assignment over the perceptual dup graph: every clip maps
+    to the MIN clip index reachable through verified perceptual edges —
+    {donor, codec-swap copy, decimate-then-re-encode copy} collapse to
+    one canonical recording id, everything else is a singleton. This
+    composes the audio detector into the same
+    :func:`~..stages.dedup_family.connected_components` policy the text
+    and embedding detectors drive (detector x policy closure across all
+    three modalities): pair semantics are star edges, NOT transitive —
+    the closure is exactly what turns (d, d+6) + (d+6, d+9) into one
+    recording cluster a keep-one policy can cut.
+
+    Scale shape: pairs come from :func:`perceptual_dedup_pairs`
+    (O(dup rate) rows), the label graph is int clip indices end-to-end,
+    and the output is one (clip_id, cluster) row per clip — the
+    per-corpus assignment table a curation run joins against."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.dedup_family import connected_components
+
+    uri = ensure_clips(sf_dir, with_audio=True)
+    n = clips_count(sf_dir)
+
+    def pair_idx(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": pa.array(_clip_indices(
+                pa.table({"clip_id": b["id_a"]})), pa.int64()),
+            "id_b": pa.array(_clip_indices(
+                pa.table({"clip_id": b["id_b"]})), pa.int64())})
+
+    def id_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"idx": pa.array(_clip_indices(b), pa.int64())})
+
+    pairs = audio_perceptual_dedup(sf_dir).map_batches(
+        pair_idx, batch_format="pyarrow")
+    ids = rd.read_parquet(uri, columns=["clip_id"]).map_batches(
+        id_rows, batch_format="pyarrow")
+    cc = connected_components(pairs, ids, id_col="idx", n_rows=n)
+
+    def back(b: pa.Table) -> pa.Table:
+        s = pc.utf8_lpad(pc.cast(b["idx"], pa.string()), 12, "0")
+        return pa.table({
+            "clip_id": pc.binary_join_element_wise(
+                pa.array(["clip-"] * b.num_rows), s, ""),
+            "cluster": b["cluster"]})
+
+    return cc.map_batches(back, batch_format="pyarrow")
+
+
+def audio_perceptual_clusters_sql() -> str:
+    """Closure of the planted star structure in pure integer arithmetic:
+    a plant at i%13==6 reaches its donor i-6 directly, a plant at
+    i%13==9 reaches the donor through the (d+6, d+9) star edge, so the
+    min reachable index is i minus its plant offset; all other clips are
+    singletons. Any detector miss, false pair, or propagation bug yields
+    a different label somewhere and breaks the hash."""
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    return f"""
+WITH ix AS (SELECT clip_id,
+                   CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                       AS i
+            FROM read_parquet('{uri}/*.parquet'))
+SELECT clip_id,
+       CASE WHEN i % {_PERC_MOD} = {_PERC_OFF} THEN i - {_PERC_OFF}
+            WHEN i % {_PERC_MOD} = {_PERC_SR_OFF} THEN i - {_PERC_SR_OFF}
+            ELSE i END AS cluster
+FROM ix"""
+
+
 def _raw_effective(i: int, payload, sr: int, cod: str):
     """Identity projection for production corpora (no fixture plants):
     every clip presents its own decoded payload."""

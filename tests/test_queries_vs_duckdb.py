@@ -143,6 +143,9 @@ CLIPS_FIXTURE_QUERIES = [
     # round 5: speed-perturb augmentation manifest (integer-exact 3x
     # fan-out + hash shards); exact global percentiles by value counting
     "audio_augment_plan", "global_percentiles",
+    # round 5: audio detector composed into the cluster policy (closure
+    # of the planted star structure in integer arithmetic)
+    "audio_perceptual_clusters",
 ]
 
 
