@@ -296,8 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_batch_pack": AO.audio_batch_pack,
         "audio_dedup_incremental": AO.audio_dedup_incremental,
         "audio_perceptual_dedup": AO.audio_perceptual_dedup,
-        # round 5: audio detector composed into the cluster policy
+        # round 5: audio detector composed into the cluster policies
         "audio_perceptual_clusters": AO.audio_perceptual_clusters,
+        "audio_keep_best": AO.audio_keep_best,
         # round 5: cross-modal contamination dedup (transcript == doc text)
         "cross_modal_dedup": C.cross_modal_dedup,
         # round 5: speed-perturb augmentation manifest + exact global
@@ -841,6 +842,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "audio_perceptual_dedup": AO.audio_perceptual_dedup_sql(),
         # closure of the planted star structure in integer arithmetic
         "audio_perceptual_clusters": AO.audio_perceptual_clusters_sql(),
+        "audio_keep_best": AO.audio_keep_best_sql(),
         # round 5: quota cuts — window cum-sum oracles over the same
         # md5-derived order key both engines compute (hashing.sql_md5_i64)
         "corpus_balance": A.corpus_balance_sql(),

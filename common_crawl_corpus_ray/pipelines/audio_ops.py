@@ -1071,6 +1071,102 @@ def audio_perceptual_clusters(sf_dir: str):
     return cc.map_batches(back, batch_format="pyarrow")
 
 
+def audio_keep_best(sf_dir: str):
+    """Keep-best per perceptual recording cluster: one surviving clip per
+    cluster from :func:`audio_perceptual_clusters`'s graph, keeping the
+    LONGEST member (max ``dur_ms``, ties to the smallest clip index) —
+    the policy an ASR corpus build wants when a recording circulates as
+    codec-swapped and decimated copies (the decimated copy is the lossy
+    one; duration is the quality proxy the metadata already carries).
+    Mirrors :func:`~..stages.dedup_family.dedup_keep_best`: ``dur_ms``
+    rides the connected-components attach as an extra column, then one
+    bucket exchange keyed by cluster runs a vectorized per-cluster
+    argmax. Returns (cluster, clip_id, dur_ms, n_members), one row per
+    cluster; only slim (idx, cluster, dur_ms) rows shuffle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.dedup_family import (_id_bucket, _pair_buckets,
+                                       connected_components)
+    from ..stages.exchange import bucket_exchange_dataset
+
+    uri = ensure_clips(sf_dir, with_audio=True)
+    n = clips_count(sf_dir)
+    nb = _pair_buckets(n)
+
+    def pair_idx(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": pa.array(_clip_indices(
+                pa.table({"clip_id": b["id_a"]})), pa.int64()),
+            "id_b": pa.array(_clip_indices(
+                pa.table({"clip_id": b["id_b"]})), pa.int64())})
+
+    def id_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"idx": pa.array(_clip_indices(b), pa.int64()),
+                         "dur_ms": b["dur_ms"].cast(pa.int64())})
+
+    pairs = audio_perceptual_dedup(sf_dir).map_batches(
+        pair_idx, batch_format="pyarrow")
+    ids = rd.read_parquet(uri, columns=["clip_id", "dur_ms"]).map_batches(
+        id_rows, batch_format="pyarrow")
+    cc = connected_components(pairs, ids, id_col="idx", n_rows=n)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        cl = b["cluster"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket",
+                               pa.array(_id_bucket(cl, nb), pa.int64()))
+
+    def best(t: pa.Table) -> pa.Table | None:
+        df = t.select(["idx", "cluster", "dur_ms"]).to_pandas()
+        if df.empty:
+            return None
+        sizes = df.groupby("cluster", sort=False)["idx"].size()
+        df = df.sort_values(["cluster", "dur_ms", "idx"],
+                            ascending=[True, False, True])
+        k = df.drop_duplicates("cluster", keep="first")
+        ids_s = pc.utf8_lpad(
+            pc.cast(pa.array(k["idx"].to_numpy(np.int64)), pa.string()),
+            12, "0")
+        return pa.table({
+            "cluster": pa.array(k["cluster"].to_numpy(np.int64)),
+            "clip_id": pc.binary_join_element_wise(
+                pa.array(["clip-"] * len(k)), ids_s, ""),
+            "dur_ms": pa.array(k["dur_ms"].to_numpy(np.int64)),
+            "n_members": pa.array(
+                sizes.reindex(k["cluster"]).to_numpy(np.int64))})
+
+    empty = pa.table({"cluster": pa.array([], pa.int64()),
+                      "clip_id": pa.array([], pa.string()),
+                      "dur_ms": pa.array([], pa.int64()),
+                      "n_members": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(
+        cc.map_batches(bucketize, batch_format="pyarrow"), nb, best, empty)
+
+
+def audio_keep_best_sql() -> str:
+    """Keep-best over the integer-arithmetic cluster closure: cluster
+    labels from the same CASE as :func:`audio_perceptual_clusters_sql`,
+    winner = max dur_ms (ties min index) per cluster via a window."""
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    return f"""
+WITH ix AS (SELECT clip_id, CAST(dur_ms AS BIGINT) AS dur_ms,
+                   CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                       AS i
+            FROM read_parquet('{uri}/*.parquet')),
+cl AS (SELECT clip_id, dur_ms, i,
+              CASE WHEN i % {_PERC_MOD} = {_PERC_OFF} THEN i - {_PERC_OFF}
+                   WHEN i % {_PERC_MOD} = {_PERC_SR_OFF}
+                       THEN i - {_PERC_SR_OFF}
+                   ELSE i END AS cluster
+       FROM ix)
+SELECT cluster, clip_id, dur_ms, n_members FROM (
+  SELECT cluster, clip_id, dur_ms,
+         count(*) OVER (PARTITION BY cluster) AS n_members,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY dur_ms DESC, i) AS rn
+  FROM cl) WHERE rn = 1"""
+
+
 def audio_perceptual_clusters_sql() -> str:
     """Closure of the planted star structure in pure integer arithmetic:
     a plant at i%13==6 reaches its donor i-6 directly, a plant at

@@ -143,9 +143,10 @@ CLIPS_FIXTURE_QUERIES = [
     # round 5: speed-perturb augmentation manifest (integer-exact 3x
     # fan-out + hash shards); exact global percentiles by value counting
     "audio_augment_plan", "global_percentiles",
-    # round 5: audio detector composed into the cluster policy (closure
-    # of the planted star structure in integer arithmetic)
-    "audio_perceptual_clusters",
+    # round 5: audio detector composed into the cluster policies (closure
+    # of the planted star structure in integer arithmetic; keep-best =
+    # max-duration window over the same closure)
+    "audio_perceptual_clusters", "audio_keep_best",
 ]
 
 
