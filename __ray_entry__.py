@@ -299,6 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: audio detector composed into the cluster policies
         "audio_perceptual_clusters": AO.audio_perceptual_clusters,
         "audio_keep_best": AO.audio_keep_best,
+        # round 5: completes the incremental matrix (exact text / near
+        # text / exact audio / PERCEPTUAL audio)
+        "audio_perceptual_incremental": AO.audio_perceptual_incremental,
         # round 5: cross-modal contamination dedup (transcript == doc text)
         "cross_modal_dedup": C.cross_modal_dedup,
         # round 5: speed-perturb augmentation manifest + exact global
@@ -843,6 +846,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         # closure of the planted star structure in integer arithmetic
         "audio_perceptual_clusters": AO.audio_perceptual_clusters_sql(),
         "audio_keep_best": AO.audio_keep_best_sql(),
+        "audio_perceptual_incremental":
+            AO.audio_perceptual_incremental_sql(),
         # round 5: quota cuts — window cum-sum oracles over the same
         # md5-derived order key both engines compute (hashing.sql_md5_i64)
         "corpus_balance": A.corpus_balance_sql(),

@@ -89,7 +89,7 @@ QUERY_NAMES = [
     "corpus_balance", "audio_balance", "temperature_mix",
     "cross_modal_dedup", "audio_augment_plan", "global_percentiles",
     "embedding_dup_clusters", "audio_perceptual_clusters",
-    "audio_keep_best",
+    "audio_keep_best", "audio_perceptual_incremental",
 ]
 
 

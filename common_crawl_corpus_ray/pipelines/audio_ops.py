@@ -1408,6 +1408,352 @@ WHERE payload_key NOT IN (SELECT {k_prior} FROM src)
 GROUP BY payload_key"""
 
 
+# --- audio_perceptual_incremental ---------------------------------------------
+
+_INC_PERC_MOD = 11       # new-stream derivation from prior clip i:
+_INC_PERC_CODEC = 2      # i%11==2 -> same recording re-encoded under the
+                         # other codec (cross-crawl transcoded re-upload,
+                         # must flag);
+_INC_PERC_SR = 8         # i%11==8 -> decimated to sr/2 THEN re-encoded
+                         # (the resample-then-re-encode copy, must flag);
+_INC_PERC_NEG = 5        # i%11==5 -> NEGATED signal re-encoded (novel
+                         # recording decoy: same shape and spectrum
+                         # envelope as its source but anti-correlated —
+                         # a false flag on it breaks the oracle hash)
+_INC_PERC_BASE = 2_000_000_000
+
+
+def _perc_probe_key(band: np.ndarray, cv: np.ndarray, csr: np.ndarray,
+                    cn: np.ndarray) -> np.ndarray:
+    """Sortable int64 probe key for a banded sign-signature chunk: the
+    perceptual screen's (band, chunk value, canon_sr, canon_n) blocking
+    mix (perceptual_dedup_pairs.sig_rows) WITHOUT the bucket modulus, so
+    a lancelite key-stats index can range-prune on it. Collisions are
+    possible (it is a hash); the probe re-checks the four blocking
+    columns exactly, so a collision costs one filtered row, never a
+    false candidate."""
+    mix = (cv.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+           ^ csr.astype(np.uint64) * np.uint64(1_000_003)
+           ^ cn.astype(np.uint64) * np.uint64(7919)
+           ^ band.astype(np.uint64))
+    return mix.view(np.int64)
+
+
+class _PercIncBandProbe:
+    """Actor-pool range probe of the persisted prior perceptual band
+    index: each batch of new-stream band rows (sorted by bk, so fragment
+    pruning holds) range-scans the prior index, re-checks the blocking
+    columns exactly (bk is a hash), Hamming-filters the full 64-bit
+    signatures, and emits candidate (nid, pid) pairs. The
+    dedup_incremental_near._BandProbe pattern on the audio axis."""
+
+    def __init__(self, index, hamming_fn, max_hamming: int):
+        self.joiner = KeyedBatchJoiner(
+            index, columns=["bk", "band", "cv", "csr", "cn", "sig", "idx"])
+        self.hamming = hamming_fn
+        self.max_hamming = max_hamming
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        empty = pa.table({"nid": pa.array([], pa.int64()),
+                          "pid": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        k = b["bk"].to_numpy(zero_copy_only=False)
+        side = self.joiner._side_for(k)
+        if side is None:
+            return empty
+        skeys, stable = side
+        lo = np.searchsorted(skeys, k, "left")
+        hi = np.searchsorted(skeys, k, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        starts = np.cumsum(cnt) - cnt
+        ridx = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(starts,
+                                                                  cnt))
+        take = pa.array(ridx)
+
+        def side_np(col: str, dt) -> np.ndarray:
+            return (stable[col].take(take)
+                    .to_numpy(zero_copy_only=False).astype(dt))
+
+        def probe_np(col: str, dt) -> np.ndarray:
+            return np.repeat(
+                b[col].to_numpy(zero_copy_only=False).astype(dt), cnt)
+
+        ok = np.ones(total, bool)
+        for col in ("band", "cv", "csr", "cn"):
+            ok &= side_np(col, np.int64) == probe_np(col, np.int64)
+        hm = self.hamming(probe_np("sig", np.uint64)[ok],
+                          side_np("sig", np.uint64)[ok])
+        pairs = np.stack([probe_np("idx", np.int64)[ok][
+                              hm <= self.max_hamming],
+                          side_np("idx", np.int64)[ok][
+                              hm <= self.max_hamming]], axis=1)
+        if len(pairs):
+            pairs = np.unique(pairs, axis=0)      # per-batch band dedup
+        return pa.table({"nid": pa.array(pairs[:, 0], pa.int64()),
+                         "pid": pa.array(pairs[:, 1], pa.int64())})
+
+
+class _PercIncVerify:
+    """Actor-pool exact-SNR verify of (nid, pid) candidates: both sides'
+    payloads come from idx-keyed side tables (batches are pid-sorted, so
+    prior fragment pruning holds; the new table is O(new) on disk and the
+    per-actor LRU bounds memory even unclustered — the
+    dedup_incremental_near._NearVerify precedent). Decodes and
+    canonicalizes ONLY candidate clips — O(candidates), never O(corpus)."""
+
+    def __init__(self, prior_index, new_index, snr_db: float):
+        cols = ["idx", "bytes", "sr_hz", "codec"]
+        self.pj = KeyedBatchJoiner(prior_index, columns=cols)
+        self.nj = KeyedBatchJoiner(new_index, columns=cols)
+        self.snr = snr_db
+
+    @staticmethod
+    def _canon_of(joiner, keys) -> list[np.ndarray]:
+        got = joiner.take_columns(keys, {"bytes": pa.binary(),
+                                         "sr_hz": pa.int64(),
+                                         "codec": pa.string()})
+        payloads = got["bytes"]
+        srs = got["sr_hz"].to_numpy(zero_copy_only=False)
+        cods = got["codec"].to_pylist()
+        out = []
+        for r in range(len(cods)):
+            x = np.asarray(codecs.decode(payloads[r].as_buffer(), cods[r]),
+                           dtype=np.float64)
+            out.append(_canonical(x, int(srs[r]))[0])
+        return out
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        empty = pa.table({"new_id": pa.array([], pa.int64()),
+                          "pid": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        nx = self._canon_of(self.nj, b["nid"])
+        px = self._canon_of(self.pj, b["pid"])
+        nids = b["nid"].to_numpy(zero_copy_only=False)
+        pids = b["pid"].to_numpy(zero_copy_only=False)
+        out_n, out_p = [], []
+        for r in range(b.num_rows):
+            if (len(nx[r]) == len(px[r])
+                    and codecs.snr_db(nx[r], px[r]) >= self.snr):
+                out_n.append(int(nids[r]))
+                out_p.append(int(pids[r]))
+        if not out_n:
+            return empty
+        return pa.table({"new_id": pa.array(out_n, pa.int64()),
+                         "pid": pa.array(out_p, pa.int64())})
+
+
+def audio_perceptual_incremental(sf_dir: str):
+    """Cross-crawl incremental PERCEPTUAL audio dedup — completes the
+    incremental family matrix (exact text: dedup_incremental, near text:
+    dedup_incremental_near, exact audio: audio_dedup_incremental): flag
+    new clips that are the same RECORDING as a prior-corpus clip
+    re-encoded under another codec, or decimated to half rate and THEN
+    re-encoded, WITHOUT re-signing or rescanning the prior corpus (the
+    reference rescans the union per crawl, deduplication.py:88-102).
+
+    Persisted prior state (built once, content-keyed /tmp cache — the
+    state a real prior crawl leaves behind): (a) a bk-sorted band table of
+    the 4x16-bit sign-signature chunks of every prior clip's canonical
+    rendering (4 slim rows per clip), and (b) an idx-sorted payload table
+    for candidate verification (O(corpus) disk — the
+    dedup_incremental_near text-table precedent; one-time staging
+    exchange). Per increment: decode+sign ONLY new clips (O(new)),
+    range-probe the band index with fragment pruning, dedup candidate
+    pairs through one slim exchange, exact-SNR-verify only candidates
+    (payloads fetched by fragment range on both sides). Returns
+    (new_id, dup_of) flags — O(dup rate) rows on the driver.
+
+    The new stream derives deterministically from the fixture so the
+    oracle is pure integer arithmetic (see the _INC_PERC_* constants):
+    prior signals are pairwise independent (the perceptual PLANTS of
+    audio_perceptual_dedup are a query-time projection, not stored
+    bytes), so each flagged new clip has exactly one true partner — a
+    missed transcode, a missed resampled copy, a false flag on the
+    negated decoy, or a wrong partner all break the driver hash."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedFragmentIndex
+    from ..stages.decide import scaled_buckets
+    from ..stages.dedup_family import explode_sig16, hamming64_batch
+    from ..stages.exchange import bucket_exchange_dataset
+
+    uri = ensure_clips(sf_dir, with_audio=True)
+    tag = _clips_tag(uri)
+    band_uri = f"/tmp/ccc_prior_perc_band_{tag}"
+    pay_uri = f"/tmp/ccc_prior_perc_pay_{tag}"
+    new_uri = f"/tmp/ccc_inc_perc_new_{tag}"
+    cols = ["clip_id", "bytes", "sr_hz", "codec"]
+
+    def band_rows(b: pa.Table, ids: np.ndarray) -> pa.Table:
+        payloads = b["bytes"].combine_chunks()
+        srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cods = b["codec"].to_pylist()
+        n = b.num_rows
+        out_csr = np.empty(n, np.int64)
+        out_cn = np.empty(n, np.int64)
+        out_s = np.empty(n, np.uint64)
+        for r in range(n):
+            x = np.asarray(codecs.decode(payloads[r].as_buffer(), cods[r]),
+                           dtype=np.float64)
+            cx, csr = _canonical(x, int(srs[r]))
+            out_csr[r], out_cn[r] = csr, len(cx)
+            out_s[r] = _sign_sig(cx)
+        rep, band, cv = explode_sig16(out_s, _SIG_BANDS)
+        rcsr = np.repeat(out_csr, _SIG_BANDS)
+        rcn = np.repeat(out_cn, _SIG_BANDS)
+        return pa.table({
+            "bk": pa.array(_perc_probe_key(band, cv, rcsr, rcn)),
+            "band": pa.array(band),
+            "cv": pa.array(cv),
+            "csr": pa.array(rcsr),
+            "cn": pa.array(rcn),
+            "sig": pa.array(rep, pa.uint64()),
+            "idx": pa.array(np.repeat(ids.astype(np.int64), _SIG_BANDS))})
+
+    def prior_band_rows(b: pa.Table) -> pa.Table:
+        return band_rows(b, _clip_indices(b))
+
+    def prior_pay_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "idx": pa.array(_clip_indices(b).astype(np.int64)),
+            "bytes": b["bytes"], "sr_hz": b["sr_hz"].cast(pa.int64()),
+            "codec": b["codec"]})
+
+    def new_stream(b: pa.Table) -> pa.Table:
+        idx = _clip_indices(b)
+        payloads = b["bytes"].combine_chunks()
+        srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cods = b["codec"].to_pylist()
+        ids: list[int] = []
+        outs: list[bytes] = []
+        osr: list[int] = []
+        ocod: list[str] = []
+        for r in range(b.num_rows):
+            i, m = int(idx[r]), int(idx[r]) % _INC_PERC_MOD
+            if m not in (_INC_PERC_CODEC, _INC_PERC_SR, _INC_PERC_NEG):
+                continue
+            x = np.asarray(codecs.decode(payloads[r].as_buffer(), cods[r]),
+                           dtype=np.float64)
+            sr = int(srs[r])
+            if m == _INC_PERC_SR:
+                x = _decimate(x, 2)
+                sr //= 2
+            elif m == _INC_PERC_NEG:
+                x = -x
+            other = "alaw" if cods[r] != "alaw" else "ulaw"
+            ids.append(_INC_PERC_BASE + i)
+            outs.append(codecs.encode(x, other))
+            osr.append(sr)
+            ocod.append(other)
+        return pa.table({"idx": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(outs, pa.binary()),
+                         "sr_hz": pa.array(osr, pa.int64()),
+                         "codec": pa.array(ocod, pa.string())})
+
+    if not os.path.exists(os.path.join(band_uri, "_versions")):
+        bands = (rd.read_parquet(uri, columns=cols)
+                 .map_batches(prior_band_rows, batch_format="pyarrow",
+                              batch_size=None)
+                 .sort("bk"))
+        lancelite.write_dataset(bands, band_uri, key_stats="bk")
+    if not os.path.exists(os.path.join(pay_uri, "_versions")):
+        pays = (rd.read_parquet(uri, columns=cols)
+                .map_batches(prior_pay_rows, batch_format="pyarrow",
+                             batch_size=None)
+                .sort("idx"))
+        lancelite.write_dataset(pays, pay_uri, key_stats="idx")
+    if not os.path.exists(os.path.join(new_uri, "_versions")):
+        news = (rd.read_parquet(uri, columns=cols)
+                .map_batches(new_stream, batch_format="pyarrow",
+                             batch_size=None)
+                .sort("idx"))
+        lancelite.write_dataset(news, new_uri, key_stats="idx")
+    band_idx = KeyedFragmentIndex(band_uri, "bk")
+    pay_idx = KeyedFragmentIndex(pay_uri, "idx")
+    new_idx = KeyedFragmentIndex(new_uri, "idx")
+
+    def new_band_rows(b: pa.Table) -> pa.Table:
+        return band_rows(b, b["idx"].to_numpy(zero_copy_only=False))
+
+    cands = (lancelite.read(new_uri,
+                            columns=["idx", "bytes", "sr_hz", "codec"])
+             .map_batches(new_band_rows, batch_format="pyarrow",
+                          batch_size=None)
+             .sort("bk")
+             .map_batches(_PercIncBandProbe, batch_format="pyarrow",
+                          batch_size=4096,
+                          fn_constructor_args=(band_idx, hamming64_batch,
+                                               _SIG_MAXHAM),
+                          concurrency=(1, 4), num_cpus=1))
+
+    # the same (nid, pid) pair surfaces from up to _SIG_BANDS band
+    # matches landing in different bk-sorted batches — dedup once through
+    # one slim exchange so each pair is SNR-verified exactly once
+    nb = scaled_buckets(clips_count(sf_dir), rows_per_bucket=500_000, lo=4)
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        nid = b["nid"].to_numpy(zero_copy_only=False)
+        pid = b["pid"].to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array((nid * 31 + pid) % nb,
+                                            pa.int64()),
+                         "nid": b["nid"], "pid": b["pid"]})
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        p = np.stack([t["nid"].to_numpy(zero_copy_only=False),
+                      t["pid"].to_numpy(zero_copy_only=False)], axis=1)
+        if len(p):
+            p = np.unique(p, axis=0)
+        return pa.table({"nid": pa.array(p[:, 0], pa.int64()),
+                         "pid": pa.array(p[:, 1], pa.int64())})
+
+    cands_empty = pa.table({"nid": pa.array([], pa.int64()),
+                            "pid": pa.array([], pa.int64())})
+    cands = bucket_exchange_dataset(
+        cands.map_batches(pair_bucket, batch_format="pyarrow"),
+        nb, distinct_pairs, cands_empty)
+
+    flags = (cands.sort("pid")
+             .map_batches(_PercIncVerify, batch_format="pyarrow",
+                          batch_size=4096,
+                          fn_constructor_args=(pay_idx, new_idx,
+                                               PERC_SNR_DB),
+                          concurrency=(1, 4), num_cpus=1)
+             .groupby("new_id").aggregate(Min("pid", alias_name="pid")))
+
+    def to_dup_of(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = pc.utf8_lpad(pc.cast(b["pid"], pa.string()), 12, "0")
+        return pa.table({
+            "new_id": b["new_id"].cast(pa.int64()),
+            "dup_of": pc.binary_join_element_wise(
+                pa.array(["clip-"] * b.num_rows), ids, "")})
+
+    return flags.map_batches(to_dup_of, batch_format="pyarrow")
+
+
+def audio_perceptual_incremental_sql() -> str:
+    """The exact flag set under the derivation's integer arithmetic:
+    every prior clip i with i%{_INC_PERC_MOD} in
+    ({_INC_PERC_CODEC}, {_INC_PERC_SR}) spawns a new clip that must be
+    flagged against exactly clip i; the negated decoys
+    (i%{_INC_PERC_MOD}=={_INC_PERC_NEG}) must NOT appear."""
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    return f"""
+WITH ix AS (SELECT CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                   AS i
+            FROM read_parquet('{uri}/*.parquet'))
+SELECT {_INC_PERC_BASE} + i AS new_id,
+       'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS dup_of
+FROM ix WHERE i % {_INC_PERC_MOD} IN ({_INC_PERC_CODEC}, {_INC_PERC_SR})"""
+
+
 # --- audio_batch_pack ---------------------------------------------------------
 
 BATCH_CLIPS = 32         # clips per training batch

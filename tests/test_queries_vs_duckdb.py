@@ -147,6 +147,9 @@ CLIPS_FIXTURE_QUERIES = [
     # of the planted star structure in integer arithmetic; keep-best =
     # max-duration window over the same closure)
     "audio_perceptual_clusters", "audio_keep_best",
+    # round 5: incremental-matrix completion — new clips perceptually
+    # matching the prior corpus are flagged with their exact donor
+    "audio_perceptual_incremental",
 ]
 
 
