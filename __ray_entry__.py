@@ -275,6 +275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_balance": A.corpus_balance,
         "audio_balance": C.audio_balance,
         "temperature_mix": A.temperature_mix,
+        # round 5: deterministic stratified holdout split (exact
+        # per-language ceil quotas in stable-hash order)
+        "train_val_split": A.train_val_split,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -855,6 +858,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         # temperature mix: exact-integer alpha=0.5 re-weighting (isqrt ==
         # FLOOR(SQRT(double)) for n <= 2^52 — proof in the docstring)
         "temperature_mix": A.temperature_mix_sql(),
+        "train_val_split": A.train_val_split_sql(),
         # cross-modal dedup: hash semi-join of clip transcripts against
         # document texts + planted leaks (min-doc_id-per-hash both sides)
         "cross_modal_dedup": C.cross_modal_dedup_sql(),

@@ -87,6 +87,7 @@ QUERY_NAMES = [
     "audio_dedup_incremental", "audio_perceptual_dedup",
     "dedup_clusters_simhash", "dedup_keep_best_simhash",
     "corpus_balance", "audio_balance", "temperature_mix",
+    "train_val_split",
     "cross_modal_dedup", "audio_augment_plan", "global_percentiles",
     "embedding_dup_clusters", "audio_perceptual_clusters",
     "audio_keep_best", "audio_perceptual_incremental",

@@ -57,9 +57,20 @@ ANN_K = 10
 ANN_NUM_QUERIES = 10
 
 
+def _strip_meta(b: pa.Table) -> pa.Table:
+    """Schema-only, zero-copy: the driver's fixture parquets carry
+    b'pandas' schema metadata, which makes pa.Schema unhashable and
+    trips Ray's block-schema dedup ("Failed to hash the schemas")
+    on every pipeline that passes read batches through. Stripping at
+    the source fuses with the next map stage."""
+    return b.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return (rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+            .map_batches(_strip_meta, batch_format="pyarrow",
+                         batch_size=None))
 
 
 # --- shared scalar expressions (Ray + SQL built from one spec) -------------
@@ -2504,12 +2515,12 @@ def quota_balance(ds_factory, id_col: str, group_col: str, weight_col: str,
             "w": b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64),
         })
         agg = df.groupby(["g", "b"], sort=False)["w"].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     def merge_partials(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         agg = df.groupby(["g", "b"], sort=False)["w"].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     # Two-level combine instead of a groupby shuffle: each block's partial
     # is <= G x 4096 rows; a large-batch merge stage collapses ~hundreds
@@ -2562,17 +2573,24 @@ def quota_balance(ds_factory, id_col: str, group_col: str, weight_col: str,
         if want == 2:                           # boundary rows carry h
             t = t.append_column("h", pa.array(h, pa.int64()))
             t = t.append_column("bkt", pa.array(bkt, pa.int64()))
-        return t.filter(pa.array(stat == want))
+        # strip fixture-parquet pandas metadata: it makes the schema
+        # unhashable and defeats Ray's block-schema deduplication
+        return (t.filter(pa.array(stat == want))
+                .replace_schema_metadata(None))
 
     kept = ds_factory().map_batches(
         classify, batch_format="pyarrow", fn_args=(1,))
 
-    def cut_boundary(gdf: pd.DataFrame) -> pd.DataFrame:
+    def cut_boundary(gdf: pd.DataFrame) -> pa.Table:
         _, offs = cached_get(plan_ref)
         gdf = gdf.sort_values(["h", id_col], kind="stable")
         off = offs[(gdf[group_col].iloc[0], int(gdf["bkt"].iloc[0]))]
         cum_before = off + gdf[weight_col].cumsum() - gdf[weight_col]
-        return gdf.loc[cum_before < budget, [id_col, group_col, weight_col]]
+        # emit Arrow ourselves (metadata-stripped) rather than letting the
+        # block layer convert the pandas frame with b'pandas' metadata
+        return pa.Table.from_pandas(
+            gdf.loc[cum_before < budget, [id_col, group_col, weight_col]],
+            preserve_index=False).replace_schema_metadata(None)
 
     def as_arrow(b: pa.Table) -> pa.Table:
         # map_groups emitted pandas blocks; the union's other branch is
@@ -2646,12 +2664,12 @@ def temperature_mix(sf_dir: str, budget: int = TEMP_MIX_BUDGET):
     def count_partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({"g": b["lang"].to_numpy(zero_copy_only=False)})
         agg = df.groupby("g", sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     def merge_counts(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         agg = df.groupby("g", sort=False)["n"].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     parts = (_read(sf_dir, "documents", ["lang"])
              .map_batches(count_partial, batch_format="pyarrow")
@@ -2675,7 +2693,9 @@ def temperature_mix(sf_dir: str, budget: int = TEMP_MIX_BUDGET):
         langs = b["lang"].to_numpy(zero_copy_only=False)
         t = np.fromiter((tmap[g] for g in langs), dtype=np.int64,
                         count=len(langs))
-        return b.filter(pa.array(hi < t))
+        # metadata strip: fixture-parquet pandas metadata makes the
+        # schema unhashable for Ray's block-schema dedup
+        return b.filter(pa.array(hi < t)).replace_schema_metadata(None)
 
     return (_read(sf_dir, "documents", ["doc_id", "lang"])
             .map_batches(keep, batch_format="pyarrow"))
@@ -2694,3 +2714,169 @@ thr AS (SELECT lang, n, w,
         FROM w)
 SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
 WHERE ({hh} // 1048576) < thr.t"""
+
+
+SPLIT_TRAIN_PCT = 80                 # train / val / test = 80 / 10 / 10
+SPLIT_VAL_PCT = 10                   # (test takes the remainder)
+_SPLIT_NAMES = np.array(["train", "val", "test"])
+_SPLIT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                           ("split", pa.string())])
+
+
+def train_val_split(sf_dir: str, train_pct: int = SPLIT_TRAIN_PCT,
+                    val_pct: int = SPLIT_VAL_PCT):
+    """Deterministic stratified holdout split: per language, documents
+    ordered by (md5_i64(doc_id), doc_id) — a seeded global shuffle
+    expressed as hash order, the shard_assign spelling — take the first
+    ceil(train_pct% * n) as ``train``, the next ceil((train_pct +
+    val_pct)% * n) - ceil(train_pct% * n) as ``val``, the rest as
+    ``test``. Exact per-language quotas (ceil rule, integer arithmetic),
+    membership a pure function of content — independent of partitioning,
+    block order and cluster size, so a re-run or a bigger cluster
+    reproduces the identical split (the property an unseeded
+    ``ds.split_proportionately`` lacks).
+
+    Scale shape — :func:`quota_balance`'s distributed exact prefix
+    machinery with unit weights and TWO cut ranks: one streamed pass
+    builds per-(lang, 4096-hash-bucket) COUNTS through the two-level
+    shuffle-free combine; the driver prefix-sums buckets in hash order
+    and classifies each train-all / val-all / test-all / boundary (at
+    most two boundary buckets per language, one per cut); the apply pass
+    labels rows in place from the broadcast plan — the corpus never
+    shuffles — and only boundary-bucket rows (~2/4096 of each language)
+    take a keyed exchange where an in-bucket sort + the bucket's prefix
+    offset applies the exact rank rule. Both union branches are built
+    from the one module-level ``_SPLIT_SCHEMA`` (the hash_join shared-
+    schema rule)."""
+    import ray
+
+    t_pct, v_pct = int(train_pct), int(val_pct)
+
+    def _hash_ids(col) -> np.ndarray:
+        return md5_i64_array([str(v) for v in col.to_pylist()]).to_numpy(
+            zero_copy_only=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        bkt = _hash_ids(b["doc_id"]) >> QUOTA_SHIFT
+        df = pd.DataFrame({
+            "g": b["lang"].to_numpy(zero_copy_only=False), "b": bkt})
+        agg = df.groupby(["g", "b"], sort=False).size().reset_index(name="w")
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    def merge_partials(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        agg = df.groupby(["g", "b"], sort=False)["w"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    parts = (_read(sf_dir, "documents", ["doc_id", "lang"])
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(merge_partials, batch_format="pyarrow",
+                          batch_size=1 << 20)
+             .take_all())
+    merged = (pd.DataFrame(parts).groupby(["g", "b"], sort=False)["w"]
+              .sum().reset_index())
+
+    per_group: dict = {}
+    for g, bkt, w in zip(merged["g"], merged["b"], merged["w"]):
+        per_group.setdefault(g, []).append((int(bkt), int(w)))
+    status: dict = {}        # g -> uint8[4096]: 0 train, 1 val, 2 test,
+    boundary_off: dict = {}  # 3 boundary; (g, b) -> exclusive prefix rank
+    cuts: dict = {}          # g -> (t1, t2) cut ranks (exclusive)
+    for g, pairs in per_group.items():
+        n = sum(w for _, w in pairs)
+        t1 = (t_pct * n + 99) // 100
+        t2 = ((t_pct + v_pct) * n + 99) // 100
+        cuts[g] = (t1, t2)
+        st = np.zeros(1 << QUOTA_BITS, dtype=np.uint8)
+        off = 0
+        for bkt, w in sorted(pairs):
+            if off + w <= t1:
+                st[bkt] = 0                     # train-all
+            elif off >= t1 and off + w <= t2:
+                st[bkt] = 1                     # val-all
+            elif off >= t2:
+                st[bkt] = 2                     # test-all
+            else:
+                st[bkt] = 3                     # straddles a cut
+                boundary_off[(g, bkt)] = off
+            off += w
+        status[g] = st
+    plan_ref = ray.put((status, boundary_off, cuts))
+
+    def row_status(b: pa.Table):
+        st_map, _, _ = cached_get(plan_ref)
+        h = _hash_ids(b["doc_id"])
+        bkt = h >> QUOTA_SHIFT
+        groups = b["lang"].to_numpy(zero_copy_only=False)
+        stat = np.zeros(len(h), dtype=np.uint8)
+        for g in pd.unique(groups):
+            m = groups == g
+            stg = st_map.get(g)
+            if stg is not None:
+                stat[m] = stg[bkt[m]]
+        return h, bkt, stat
+
+    def label_interior(b: pa.Table) -> pa.Table:
+        _, bkt, stat = row_status(b)
+        keep = stat < 3
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "lang": t["lang"],
+            "split": pa.array(_SPLIT_NAMES[stat[keep]], pa.string()),
+        }, schema=_SPLIT_SCHEMA)
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        h, bkt, stat = row_status(b)
+        m = stat == 3
+        t = b.filter(pa.array(m))
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "lang": t["lang"],
+            "h": pa.array(h[m], pa.int64()),
+            "gb": pa.array([f"{g}:{k}" for g, k in zip(langs, bkt[m])],
+                           pa.string())})
+
+    def cut_boundary(gdf: pd.DataFrame) -> pa.Table:
+        _, offs, cts = cached_get(plan_ref)
+        gdf = gdf.sort_values(["h", "doc_id"], kind="stable")
+        g, bkt = gdf["gb"].iloc[0].rsplit(":", 1)
+        off = offs[(g, int(bkt))]
+        t1, t2 = cts[g]
+        r = off + np.arange(len(gdf), dtype=np.int64)
+        stat = np.where(r < t1, 0, np.where(r < t2, 1, 2))
+        return pa.table({
+            "doc_id": pa.array(gdf["doc_id"].to_numpy(np.int64)),
+            "lang": pa.array(gdf["lang"].to_numpy(object), pa.string()),
+            "split": pa.array(_SPLIT_NAMES[stat], pa.string()),
+        }, schema=_SPLIT_SCHEMA)
+
+    def as_arrow(b: pa.Table) -> pa.Table:
+        return pa.table({c: b[c].cast(_SPLIT_SCHEMA.field(c).type)
+                         for c in _SPLIT_SCHEMA.names}, schema=_SPLIT_SCHEMA)
+
+    interior = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        label_interior, batch_format="pyarrow")
+    boundary = (_read(sf_dir, "documents", ["doc_id", "lang"])
+                .map_batches(boundary_rows, batch_format="pyarrow")
+                .groupby("gb")
+                .map_groups(cut_boundary, batch_format="pandas")
+                .select_columns(list(_SPLIT_SCHEMA.names))
+                .map_batches(as_arrow, batch_format="pyarrow"))
+    return interior.union(boundary)
+
+
+def train_val_split_sql(train_pct: int = SPLIT_TRAIN_PCT,
+                        val_pct: int = SPLIT_VAL_PCT) -> str:
+    hh = sql_md5_i64("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN rn <= ({train_pct} * n + 99) // 100 THEN 'train'
+            WHEN rn <= ({train_pct + val_pct} * n + 99) // 100 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {hh}, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents)"""

@@ -23,6 +23,21 @@ from ..audio import codecs
 from ..sources.keyed import KeyedBatchJoiner
 from ..synth import clips
 
+def _strip_meta(b: pa.Table) -> pa.Table:
+    """Schema-only, zero-copy: the driver's fixture parquets carry
+    b'pandas' schema metadata, which makes pa.Schema unhashable and
+    trips Ray's block-schema dedup warning; strip at the source (the
+    analytics._read rule)."""
+    return b.replace_schema_metadata(None)
+
+
+def _read_fixture(sf_dir: str, table: str, columns):
+    import ray.data as rd
+    return (rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                            columns=columns)
+            .map_batches(_strip_meta, batch_format="pyarrow",
+                         batch_size=None))
+
 _CACHE_ROOT = "/tmp/ccc_ray_cache"
 _CLIPS_PER_LINEITEM = 6    # lineitem is the only table that scales ~linearly
                            # with sf (documents stays ~500); 1k/10k/100k clips
@@ -145,7 +160,7 @@ def audio_decode_stats(sf_dir: str):
             "total_samples": g["total_samples"].sum().astype("int64").to_numpy(),
             "all_above_30db": g["all_ok"].all().to_numpy(),
         })
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return (ds.map_batches(decode_partial, batch_format="pyarrow",
                            batch_size=None)
@@ -178,8 +193,7 @@ def lid_documents(sf_dir: str):
         h = md5_i64_array(b["text"]).to_numpy()
         return b.filter(pa.array(h < cut))
 
-    train_ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["text", "lang"]).map_batches(
+    train_ds = _read_fixture(sf_dir, "documents", ["text", "lang"]).map_batches(
         sample, batch_format="pyarrow")
     by_lang: dict[str, list[str]] = {}
     for b in train_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
@@ -199,8 +213,7 @@ def lid_documents(sf_dir: str):
                              "lang_pred": pa.array(preds, pa.string()),
                              "score": pa.array(scores, pa.float64())})
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"]).map_batches(
+    return _read_fixture(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         Scorer, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
         num_cpus=1)
 
@@ -264,8 +277,7 @@ def mutated_docs(sf_dir: str, n_mutate: int = 50):
     """documents UNION near-duplicate copies (one word swapped) of the
     first n_mutate docs — fixture for the near-dup detectors."""
     import ray.data as rd
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+    ds = _read_fixture(sf_dir, "documents", ["doc_id", "text"])
 
     def mutate(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -290,8 +302,7 @@ def exactdup_docs(sf_dir: str, n_copy: int = 25, n_mutate: int = 50):
     must pair as a star on their min id (J=1.0), near-dups pair at the
     per-text representative level only."""
     import ray.data as rd
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+    ds = _read_fixture(sf_dir, "documents", ["doc_id", "text"])
 
     def extra(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -319,8 +330,7 @@ def planted_embeddings(sf_dir: str, n_plant: int = 20):
     ids — fixture for the embedding-cosine near-dup detectors (the copies
     are cos=1.0 planted pairs; SQL-expressible for the oracle)."""
     import ray.data as rd
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+    ds = _read_fixture(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def plant(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -402,8 +412,7 @@ def _cross_modal_index(sf_dir: str) -> str:
                          "doc_id": pa.array(_LEAK_DOC_BASE + ci[m],
                                             pa.int64())})
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
+    docs = _read_fixture(sf_dir, "documents", ["doc_id", "text"])
     leaks = rd.read_parquet(ensure_clips(sf_dir, with_audio=False),
                             columns=["clip_id", "transcript"])
     side = (docs.map_batches(dh, batch_format="pyarrow")
@@ -578,7 +587,7 @@ def global_percentiles(sf_dir: str):
 
     def vc_merge(b: pa.Table) -> pa.Table:
         df = b.to_pandas().groupby("v", sort=True)["c"].sum().reset_index()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def resolve(b: pa.Table) -> pa.Table:
         df = b.to_pandas().groupby("v", sort=True)["c"].sum().reset_index()

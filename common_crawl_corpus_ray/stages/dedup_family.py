@@ -616,7 +616,7 @@ def simhash_dedup_pairs(ds, id_col: str, text_col: str,
                                              if len(cands) else [])})
         if out.empty:
             return None
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     banded = ds.map_batches(to_chunks, batch_format="pyarrow")
     if return_dataset:
@@ -931,7 +931,7 @@ def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
         out = pd.concat(outs) if outs else _pairwise(ids[:0], m[:0])
         if out.empty:
             return None
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     bucketed = ds.map_batches(to_buckets, batch_format="pyarrow")
     if return_dataset:

@@ -96,7 +96,7 @@ SQL_QUERIES = [
     # round 5: distributed exact prefix-sum quota cut (per-lang char
     # budget in stable-hash order; window cum-sum oracle) + exact-integer
     # temperature-sampled mix (alpha=0.5 via isqrt == floor-sqrt-double)
-    "corpus_balance", "temperature_mix",
+    "corpus_balance", "temperature_mix", "train_val_split",
     # round 5: embedding modality composed into the cluster policy (LSH
     # cosine pairs -> connected components; recursive-closure oracle over
     # the exact-cosine pair set)
