@@ -305,6 +305,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: completes the incremental matrix (exact text / near
         # text / exact audio / PERCEPTUAL audio)
         "audio_perceptual_incremental": AO.audio_perceptual_incremental,
+        # round 5: multi-crawl index evolution — crawl-1 novel clips are
+        # APPENDED to the persisted perceptual index (new lancelite
+        # version), crawl-2 probes the evolved union
+        "audio_index_evolution": AO.audio_index_evolution,
         # round 5: cross-modal contamination dedup (transcript == doc text)
         "cross_modal_dedup": C.cross_modal_dedup,
         # round 5: speed-perturb augmentation manifest + exact global
@@ -851,6 +855,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "audio_keep_best": AO.audio_keep_best_sql(),
         "audio_perceptual_incremental":
             AO.audio_perceptual_incremental_sql(),
+        "audio_index_evolution": AO.audio_index_evolution_sql(),
         # round 5: quota cuts — window cum-sum oracles over the same
         # md5-derived order key both engines compute (hashing.sql_md5_i64)
         "corpus_balance": A.corpus_balance_sql(),

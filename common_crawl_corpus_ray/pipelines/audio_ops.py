@@ -36,6 +36,7 @@ import pyarrow as pa
 from ..audio import codecs
 from ..functions.broadcast import cached_get
 from ..sources.keyed import KeyedBatchJoiner
+from ..stages.dedup_family import explode_sig16
 from ..synth import clips as synth_clips
 from .clips_queries import ORACLE_SF, clips_count, ensure_clips
 
@@ -1547,6 +1548,193 @@ class _PercIncVerify:
                          "pid": pa.array(out_p, pa.int64())})
 
 
+def _perc_band_rows(b: pa.Table, ids: np.ndarray) -> pa.Table:
+    """bk-keyed band rows (``_SIG_BANDS`` per clip) of canonical sign
+    signatures — the persisted perceptual index's row format, shared by
+    the prior-corpus staging, the increment probe, and the
+    audio_index_evolution append path (one spelling, cannot drift)."""
+    payloads = b["bytes"].combine_chunks()
+    srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cods = b["codec"].to_pylist()
+    n = b.num_rows
+    out_csr = np.empty(n, np.int64)
+    out_cn = np.empty(n, np.int64)
+    out_s = np.empty(n, np.uint64)
+    for r in range(n):
+        x = np.asarray(codecs.decode(payloads[r].as_buffer(), cods[r]),
+                       dtype=np.float64)
+        cx, csr = _canonical(x, int(srs[r]))
+        out_csr[r], out_cn[r] = csr, len(cx)
+        out_s[r] = _sign_sig(cx)
+    rep, band, cv = explode_sig16(out_s, _SIG_BANDS)
+    rcsr = np.repeat(out_csr, _SIG_BANDS)
+    rcn = np.repeat(out_cn, _SIG_BANDS)
+    return pa.table({
+        "bk": pa.array(_perc_probe_key(band, cv, rcsr, rcn)),
+        "band": pa.array(band),
+        "cv": pa.array(cv),
+        "csr": pa.array(rcsr),
+        "cn": pa.array(rcn),
+        "sig": pa.array(rep, pa.uint64()),
+        "idx": pa.array(np.repeat(ids.astype(np.int64), _SIG_BANDS))})
+
+
+def _perc_pay_rows(b: pa.Table, ids: np.ndarray) -> pa.Table:
+    """idx-keyed payload side-table rows for candidate verification."""
+    return pa.table({
+        "idx": pa.array(ids.astype(np.int64)),
+        "bytes": b["bytes"], "sr_hz": b["sr_hz"].cast(pa.int64()),
+        "codec": b["codec"]})
+
+
+def _perc_stage_prior(uri: str, band_uri: str, pay_uri: str) -> None:
+    """One-time staging of the prior corpus's perceptual state: a
+    bk-sorted band index and an idx-sorted payload table, committed as
+    lancelite VERSION 1. Idempotent (guarded on manifest existence).
+    A later crawl's accepted clips land as APPENDED versions
+    (audio_index_evolution), so version 1 is by construction always
+    exactly the prior corpus — consumers that must not see evolved
+    state pin ``version=1``."""
+    import ray.data as rd
+
+    from ..sources import lancelite
+
+    cols = ["clip_id", "bytes", "sr_hz", "codec"]
+    if not os.path.exists(os.path.join(band_uri, "_versions")):
+        bands = (rd.read_parquet(uri, columns=cols)
+                 .map_batches(
+                     lambda b: _perc_band_rows(b, _clip_indices(b)),
+                     batch_format="pyarrow", batch_size=None)
+                 .sort("bk"))
+        lancelite.write_dataset(bands, band_uri, key_stats="bk")
+    if not os.path.exists(os.path.join(pay_uri, "_versions")):
+        pays = (rd.read_parquet(uri, columns=cols)
+                .map_batches(
+                    lambda b: _perc_pay_rows(b, _clip_indices(b)),
+                    batch_format="pyarrow", batch_size=None)
+                .sort("idx"))
+        lancelite.write_dataset(pays, pay_uri, key_stats="idx")
+
+
+def _perc_inc1_stream(b: pa.Table) -> pa.Table:
+    """Crawl-1 increment derivation (see the _INC_PERC_* constants): for
+    prior clip i, i%11==2 -> same recording re-encoded under the other
+    codec; i%11==8 -> decimated to sr/2 then re-encoded; i%11==5 ->
+    NEGATED signal re-encoded (novel recording decoy)."""
+    idx = _clip_indices(b)
+    payloads = b["bytes"].combine_chunks()
+    srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cods = b["codec"].to_pylist()
+    ids: list[int] = []
+    outs: list[bytes] = []
+    osr: list[int] = []
+    ocod: list[str] = []
+    for r in range(b.num_rows):
+        i, m = int(idx[r]), int(idx[r]) % _INC_PERC_MOD
+        if m not in (_INC_PERC_CODEC, _INC_PERC_SR, _INC_PERC_NEG):
+            continue
+        x = np.asarray(codecs.decode(payloads[r].as_buffer(), cods[r]),
+                       dtype=np.float64)
+        sr = int(srs[r])
+        if m == _INC_PERC_SR:
+            x = _decimate(x, 2)
+            sr //= 2
+        elif m == _INC_PERC_NEG:
+            x = -x
+        other = "alaw" if cods[r] != "alaw" else "ulaw"
+        ids.append(_INC_PERC_BASE + i)
+        outs.append(codecs.encode(x, other))
+        osr.append(sr)
+        ocod.append(other)
+    return pa.table({"idx": pa.array(ids, pa.int64()),
+                     "bytes": pa.array(outs, pa.binary()),
+                     "sr_hz": pa.array(osr, pa.int64()),
+                     "codec": pa.array(ocod, pa.string())})
+
+
+def _perc_stage_inc1(uri: str, new_uri: str) -> None:
+    """One-time staging of the crawl-1 increment table (idx-sorted, with
+    fragment key stats) — shared by audio_perceptual_incremental and
+    audio_index_evolution."""
+    import ray.data as rd
+
+    from ..sources import lancelite
+
+    if not os.path.exists(os.path.join(new_uri, "_versions")):
+        news = (rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz",
+                                              "codec"])
+                .map_batches(_perc_inc1_stream, batch_format="pyarrow",
+                             batch_size=None)
+                .sort("idx"))
+        lancelite.write_dataset(news, new_uri, key_stats="idx")
+
+
+def _perc_probe_flags(new_uri: str, band_idx, pay_idx, n_total: int):
+    """The increment-side probe pipeline shared by
+    audio_perceptual_incremental and audio_index_evolution: decode+sign
+    ONLY the new table's clips (O(new)), range-probe the persisted band
+    index with fragment pruning, dedup candidate pairs through one slim
+    exchange, exact-SNR-verify candidates only, and keep each new clip's
+    minimum partner. Returns a Dataset of (new_id int64, pid int64)."""
+    from ray.data.aggregate import Min
+
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedFragmentIndex
+    from ..stages.decide import scaled_buckets
+    from ..stages.dedup_family import hamming64_batch
+    from ..stages.exchange import bucket_exchange_dataset
+
+    new_idx = KeyedFragmentIndex(new_uri, "idx")
+
+    def new_band_rows(b: pa.Table) -> pa.Table:
+        return _perc_band_rows(b, b["idx"].to_numpy(zero_copy_only=False))
+
+    cands = (lancelite.read(new_uri,
+                            columns=["idx", "bytes", "sr_hz", "codec"])
+             .map_batches(new_band_rows, batch_format="pyarrow",
+                          batch_size=None)
+             .sort("bk")
+             .map_batches(_PercIncBandProbe, batch_format="pyarrow",
+                          batch_size=4096,
+                          fn_constructor_args=(band_idx, hamming64_batch,
+                                               _SIG_MAXHAM),
+                          concurrency=(1, 4), num_cpus=1))
+
+    # the same (nid, pid) pair surfaces from up to _SIG_BANDS band
+    # matches landing in different bk-sorted batches — dedup once through
+    # one slim exchange so each pair is SNR-verified exactly once
+    nb = scaled_buckets(n_total, rows_per_bucket=500_000, lo=4)
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        nid = b["nid"].to_numpy(zero_copy_only=False)
+        pid = b["pid"].to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array((nid * 31 + pid) % nb,
+                                            pa.int64()),
+                         "nid": b["nid"], "pid": b["pid"]})
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        p = np.stack([t["nid"].to_numpy(zero_copy_only=False),
+                      t["pid"].to_numpy(zero_copy_only=False)], axis=1)
+        if len(p):
+            p = np.unique(p, axis=0)
+        return pa.table({"nid": pa.array(p[:, 0], pa.int64()),
+                         "pid": pa.array(p[:, 1], pa.int64())})
+
+    cands_empty = pa.table({"nid": pa.array([], pa.int64()),
+                            "pid": pa.array([], pa.int64())})
+    cands = bucket_exchange_dataset(
+        cands.map_batches(pair_bucket, batch_format="pyarrow"),
+        nb, distinct_pairs, cands_empty)
+
+    return (cands.sort("pid")
+            .map_batches(_PercIncVerify, batch_format="pyarrow",
+                         batch_size=4096,
+                         fn_constructor_args=(pay_idx, new_idx,
+                                              PERC_SNR_DB),
+                         concurrency=(1, 4), num_cpus=1)
+            .groupby("new_id").aggregate(Min("pid", alias_name="pid")))
+
+
 def audio_perceptual_incremental(sf_dir: str):
     """Cross-crawl incremental PERCEPTUAL audio dedup — completes the
     incremental family matrix (exact text: dedup_incremental, near text:
@@ -1575,157 +1763,25 @@ def audio_perceptual_incremental(sf_dir: str):
     bytes), so each flagged new clip has exactly one true partner — a
     missed transcode, a missed resampled copy, a false flag on the
     negated decoy, or a wrong partner all break the driver hash."""
-    import ray.data as rd
-    from ray.data.aggregate import Min
-
-    from ..sources import lancelite
     from ..sources.keyed import KeyedFragmentIndex
-    from ..stages.decide import scaled_buckets
-    from ..stages.dedup_family import explode_sig16, hamming64_batch
-    from ..stages.exchange import bucket_exchange_dataset
 
     uri = ensure_clips(sf_dir, with_audio=True)
     tag = _clips_tag(uri)
     band_uri = f"/tmp/ccc_prior_perc_band_{tag}"
     pay_uri = f"/tmp/ccc_prior_perc_pay_{tag}"
     new_uri = f"/tmp/ccc_inc_perc_new_{tag}"
-    cols = ["clip_id", "bytes", "sr_hz", "codec"]
 
-    def band_rows(b: pa.Table, ids: np.ndarray) -> pa.Table:
-        payloads = b["bytes"].combine_chunks()
-        srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cods = b["codec"].to_pylist()
-        n = b.num_rows
-        out_csr = np.empty(n, np.int64)
-        out_cn = np.empty(n, np.int64)
-        out_s = np.empty(n, np.uint64)
-        for r in range(n):
-            x = np.asarray(codecs.decode(payloads[r].as_buffer(), cods[r]),
-                           dtype=np.float64)
-            cx, csr = _canonical(x, int(srs[r]))
-            out_csr[r], out_cn[r] = csr, len(cx)
-            out_s[r] = _sign_sig(cx)
-        rep, band, cv = explode_sig16(out_s, _SIG_BANDS)
-        rcsr = np.repeat(out_csr, _SIG_BANDS)
-        rcn = np.repeat(out_cn, _SIG_BANDS)
-        return pa.table({
-            "bk": pa.array(_perc_probe_key(band, cv, rcsr, rcn)),
-            "band": pa.array(band),
-            "cv": pa.array(cv),
-            "csr": pa.array(rcsr),
-            "cn": pa.array(rcn),
-            "sig": pa.array(rep, pa.uint64()),
-            "idx": pa.array(np.repeat(ids.astype(np.int64), _SIG_BANDS))})
+    _perc_stage_prior(uri, band_uri, pay_uri)
+    _perc_stage_inc1(uri, new_uri)
 
-    def prior_band_rows(b: pa.Table) -> pa.Table:
-        return band_rows(b, _clip_indices(b))
-
-    def prior_pay_rows(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "idx": pa.array(_clip_indices(b).astype(np.int64)),
-            "bytes": b["bytes"], "sr_hz": b["sr_hz"].cast(pa.int64()),
-            "codec": b["codec"]})
-
-    def new_stream(b: pa.Table) -> pa.Table:
-        idx = _clip_indices(b)
-        payloads = b["bytes"].combine_chunks()
-        srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cods = b["codec"].to_pylist()
-        ids: list[int] = []
-        outs: list[bytes] = []
-        osr: list[int] = []
-        ocod: list[str] = []
-        for r in range(b.num_rows):
-            i, m = int(idx[r]), int(idx[r]) % _INC_PERC_MOD
-            if m not in (_INC_PERC_CODEC, _INC_PERC_SR, _INC_PERC_NEG):
-                continue
-            x = np.asarray(codecs.decode(payloads[r].as_buffer(), cods[r]),
-                           dtype=np.float64)
-            sr = int(srs[r])
-            if m == _INC_PERC_SR:
-                x = _decimate(x, 2)
-                sr //= 2
-            elif m == _INC_PERC_NEG:
-                x = -x
-            other = "alaw" if cods[r] != "alaw" else "ulaw"
-            ids.append(_INC_PERC_BASE + i)
-            outs.append(codecs.encode(x, other))
-            osr.append(sr)
-            ocod.append(other)
-        return pa.table({"idx": pa.array(ids, pa.int64()),
-                         "bytes": pa.array(outs, pa.binary()),
-                         "sr_hz": pa.array(osr, pa.int64()),
-                         "codec": pa.array(ocod, pa.string())})
-
-    if not os.path.exists(os.path.join(band_uri, "_versions")):
-        bands = (rd.read_parquet(uri, columns=cols)
-                 .map_batches(prior_band_rows, batch_format="pyarrow",
-                              batch_size=None)
-                 .sort("bk"))
-        lancelite.write_dataset(bands, band_uri, key_stats="bk")
-    if not os.path.exists(os.path.join(pay_uri, "_versions")):
-        pays = (rd.read_parquet(uri, columns=cols)
-                .map_batches(prior_pay_rows, batch_format="pyarrow",
-                             batch_size=None)
-                .sort("idx"))
-        lancelite.write_dataset(pays, pay_uri, key_stats="idx")
-    if not os.path.exists(os.path.join(new_uri, "_versions")):
-        news = (rd.read_parquet(uri, columns=cols)
-                .map_batches(new_stream, batch_format="pyarrow",
-                             batch_size=None)
-                .sort("idx"))
-        lancelite.write_dataset(news, new_uri, key_stats="idx")
-    band_idx = KeyedFragmentIndex(band_uri, "bk")
-    pay_idx = KeyedFragmentIndex(pay_uri, "idx")
-    new_idx = KeyedFragmentIndex(new_uri, "idx")
-
-    def new_band_rows(b: pa.Table) -> pa.Table:
-        return band_rows(b, b["idx"].to_numpy(zero_copy_only=False))
-
-    cands = (lancelite.read(new_uri,
-                            columns=["idx", "bytes", "sr_hz", "codec"])
-             .map_batches(new_band_rows, batch_format="pyarrow",
-                          batch_size=None)
-             .sort("bk")
-             .map_batches(_PercIncBandProbe, batch_format="pyarrow",
-                          batch_size=4096,
-                          fn_constructor_args=(band_idx, hamming64_batch,
-                                               _SIG_MAXHAM),
-                          concurrency=(1, 4), num_cpus=1))
-
-    # the same (nid, pid) pair surfaces from up to _SIG_BANDS band
-    # matches landing in different bk-sorted batches — dedup once through
-    # one slim exchange so each pair is SNR-verified exactly once
-    nb = scaled_buckets(clips_count(sf_dir), rows_per_bucket=500_000, lo=4)
-
-    def pair_bucket(b: pa.Table) -> pa.Table:
-        nid = b["nid"].to_numpy(zero_copy_only=False)
-        pid = b["pid"].to_numpy(zero_copy_only=False)
-        return pa.table({"bucket": pa.array((nid * 31 + pid) % nb,
-                                            pa.int64()),
-                         "nid": b["nid"], "pid": b["pid"]})
-
-    def distinct_pairs(t: pa.Table) -> pa.Table:
-        p = np.stack([t["nid"].to_numpy(zero_copy_only=False),
-                      t["pid"].to_numpy(zero_copy_only=False)], axis=1)
-        if len(p):
-            p = np.unique(p, axis=0)
-        return pa.table({"nid": pa.array(p[:, 0], pa.int64()),
-                         "pid": pa.array(p[:, 1], pa.int64())})
-
-    cands_empty = pa.table({"nid": pa.array([], pa.int64()),
-                            "pid": pa.array([], pa.int64())})
-    cands = bucket_exchange_dataset(
-        cands.map_batches(pair_bucket, batch_format="pyarrow"),
-        nb, distinct_pairs, cands_empty)
-
-    flags = (cands.sort("pid")
-             .map_batches(_PercIncVerify, batch_format="pyarrow",
-                          batch_size=4096,
-                          fn_constructor_args=(pay_idx, new_idx,
-                                               PERC_SNR_DB),
-                          concurrency=(1, 4), num_cpus=1)
-             .groupby("new_id").aggregate(Min("pid", alias_name="pid")))
+    # version=1 pins the PRIOR corpus state: audio_index_evolution appends
+    # a later crawl's accepted clips to these same tables as version 2+,
+    # and this query's semantics ("new vs prior corpus") must not change
+    # under that evolution regardless of execution order.
+    flags = _perc_probe_flags(
+        new_uri, KeyedFragmentIndex(band_uri, "bk", version=1),
+        KeyedFragmentIndex(pay_uri, "idx", version=1),
+        clips_count(sf_dir))
 
     def to_dup_of(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1752,6 +1808,189 @@ WITH ix AS (SELECT CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
 SELECT {_INC_PERC_BASE} + i AS new_id,
        'clip-' || lpad(CAST(i AS VARCHAR), 12, '0') AS dup_of
 FROM ix WHERE i % {_INC_PERC_MOD} IN ({_INC_PERC_CODEC}, {_INC_PERC_SR})"""
+
+
+# --- audio_index_evolution ------------------------------------------------------
+
+_EVO_PRIOR = 3           # crawl-2 derivation from prior clip i: i%11==3 ->
+                         #   prior clip i re-encoded under the other codec
+                         #   (dup of the PRIOR corpus — proves crawl 2 still
+                         #   sees version-1 state through the union)
+_EVO_DECOY = 9           # i%11==9 -> NEGATED prior clip i re-encoded (its
+                         #   negation was never accepted into the index, so
+                         #   this is a novel recording — must NOT flag)
+_EVO_BASE = 4_000_000_000
+
+
+def audio_index_evolution(sf_dir: str):
+    """TRUE multi-crawl state evolution of the perceptual dedup index —
+    the lifecycle a production corpus build runs every crawl, which the
+    reference cannot express at all (it re-reads and re-hashes the whole
+    accumulated corpus per crawl, deduplication.py:88-102):
+
+      crawl 1: dedup the increment against the persisted prior index
+               (O(increment) probes, prior corpus never rescanned), then
+               APPEND the accepted (novel) clips' band rows + payloads to
+               the SAME persisted tables as new lancelite versions — an
+               LSM-style sorted run; per-fragment [min,max] key stats keep
+               KeyedFragmentIndex range pruning exact across overlapping
+               runs, no compaction required for correctness;
+      crawl 2: probe the EVOLVED index (latest version = prior ∪ crawl-1
+               accepted) — flags must find partners in BOTH the prior
+               corpus AND crawl-1's accepted clips.
+
+    Version pinning is the correctness spine: crawl-1's probe pins
+    ``version=1`` (prior state), crawl-2 reads latest. The append is
+    idempotent (guarded per table on ``latest_version < 2``; a lancelite
+    commit is an atomic manifest rename, so a crash between the two
+    appends re-runs only the missing one).
+
+    Crawl-2 stream (deterministic derivation; oracle is pure integer
+    arithmetic): for prior clip i, i%11==_EVO_PRIOR(3) -> transcode of
+    prior clip i (dup_of_id = i, found in version-1 state);
+    i%11==_INC_PERC_NEG(5) -> transcode of crawl-1's ACCEPTED negated
+    recording (dup_of_id = _INC_PERC_BASE+i, found ONLY in the appended
+    version-2 run); i%11==_EVO_DECOY(9) -> negated prior clip i (novel —
+    anti-correlated with everything persisted, must not flag). A flag
+    missed on either side of the union, a false flag on the decoy, or a
+    wrong partner all break the driver hash.
+
+    Scale shape: every step is O(increment) — the novelty anti-join
+    routes through the flags side table by key (KeyedBatchJoiner.probe,
+    the phase-D pattern), the append signs only accepted clips, and the
+    crawl-2 probe is the shared ``_perc_probe_flags`` machinery. Driver
+    holds O(dup rate) rows only."""
+    import ray.data as rd
+
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedBatchJoiner, KeyedFragmentIndex
+
+    uri = ensure_clips(sf_dir, with_audio=True)
+    tag = _clips_tag(uri)
+    band_uri = f"/tmp/ccc_prior_perc_band_{tag}"
+    pay_uri = f"/tmp/ccc_prior_perc_pay_{tag}"
+    new_uri = f"/tmp/ccc_inc_perc_new_{tag}"
+    acc_uri = f"/tmp/ccc_evo_acc_{tag}"
+    new2_uri = f"/tmp/ccc_evo_new2_{tag}"
+    cols = ["clip_id", "bytes", "sr_hz", "codec"]
+    n_total = clips_count(sf_dir)
+
+    _perc_stage_prior(uri, band_uri, pay_uri)
+    _perc_stage_inc1(uri, new_uri)
+
+    # -- crawl 1: accept the increment's novel clips ------------------------
+    if not os.path.exists(os.path.join(acc_uri, "_versions")):
+        flags1 = _perc_probe_flags(
+            new_uri, KeyedFragmentIndex(band_uri, "bk", version=1),
+            KeyedFragmentIndex(pay_uri, "idx", version=1), n_total)
+        flags_uri = f"/tmp/ccc_evo_flags_{tag}"
+        lancelite.write_dataset(flags1.sort("new_id"), flags_uri,
+                                key_stats="new_id")
+        fidx = KeyedFragmentIndex(flags_uri, "new_id")
+
+        class _DropFlagged:
+            """Keyed anti-join: drop new clips flagged as dups (batches
+            arrive idx-sorted from the staged table, so flag-fragment
+            range pruning holds)."""
+
+            def __init__(self, index):
+                self.j = KeyedBatchJoiner(index, columns=["new_id"])
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                _, found, _ = self.j.probe(
+                    b["idx"].to_numpy(zero_copy_only=False))
+                return b.filter(pa.array(~found))
+
+        acc = (lancelite.read(new_uri, columns=["idx", "bytes", "sr_hz",
+                                                "codec"])
+               .map_batches(_DropFlagged, batch_format="pyarrow",
+                            batch_size=4096, fn_constructor_args=(fidx,),
+                            concurrency=(1, 4), num_cpus=1))
+        lancelite.write_dataset(acc.sort("idx"), acc_uri, key_stats="idx")
+
+    # -- evolve: append crawl-1's accepted clips to the persisted index ----
+    if lancelite.latest_version(band_uri) < 2:
+        bands2 = (lancelite.read(acc_uri, columns=cols[1:] + ["idx"])
+                  .map_batches(
+                      lambda b: _perc_band_rows(
+                          b, b["idx"].to_numpy(zero_copy_only=False)),
+                      batch_format="pyarrow", batch_size=None)
+                  .sort("bk"))
+        lancelite.write_dataset(bands2, band_uri, mode="append",
+                                key_stats="bk")
+    if lancelite.latest_version(pay_uri) < 2:
+        # the accepted table's schema IS the payload side-table schema
+        lancelite.write_dataset(lancelite.read(acc_uri), pay_uri,
+                                mode="append", key_stats="idx")
+
+    # -- crawl 2: derive, stage, and probe the EVOLVED index ----------------
+    def new2_stream(b: pa.Table) -> pa.Table:
+        idx = _clip_indices(b)
+        payloads = b["bytes"].combine_chunks()
+        srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cods = b["codec"].to_pylist()
+        ids: list[int] = []
+        outs: list[bytes] = []
+        osr: list[int] = []
+        ocod: list[str] = []
+        for r in range(b.num_rows):
+            i, m = int(idx[r]), int(idx[r]) % _INC_PERC_MOD
+            if m not in (_EVO_PRIOR, _INC_PERC_NEG, _EVO_DECOY):
+                continue
+            x = np.asarray(codecs.decode(payloads[r].as_buffer(), cods[r]),
+                           dtype=np.float64)
+            other = "alaw" if cods[r] != "alaw" else "ulaw"
+            if m == _EVO_PRIOR:
+                y, cod2 = x, other           # transcode of prior clip i
+            elif m == _INC_PERC_NEG:
+                y, cod2 = -x, cods[r]        # transcode of crawl-1's
+                                             # accepted negation (crawl 1
+                                             # encoded it under `other`)
+            else:
+                y, cod2 = -x, other          # novel negated decoy
+            ids.append(_EVO_BASE + i)
+            outs.append(codecs.encode(y, cod2))
+            osr.append(int(srs[r]))
+            ocod.append(cod2)
+        return pa.table({"idx": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(outs, pa.binary()),
+                         "sr_hz": pa.array(osr, pa.int64()),
+                         "codec": pa.array(ocod, pa.string())})
+
+    if not os.path.exists(os.path.join(new2_uri, "_versions")):
+        news2 = (rd.read_parquet(uri, columns=cols)
+                 .map_batches(new2_stream, batch_format="pyarrow",
+                              batch_size=None)
+                 .sort("idx"))
+        lancelite.write_dataset(news2, new2_uri, key_stats="idx")
+
+    flags2 = _perc_probe_flags(
+        new2_uri, KeyedFragmentIndex(band_uri, "bk"),
+        KeyedFragmentIndex(pay_uri, "idx"), n_total)
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        return pa.table({"new_id": b["new_id"].cast(pa.int64()),
+                         "dup_of_id": b["pid"].cast(pa.int64())})
+
+    return flags2.map_batches(to_ids, batch_format="pyarrow")
+
+
+def audio_index_evolution_sql() -> str:
+    """The exact crawl-2 flag set under the derivation's integer
+    arithmetic: transcodes of prior clips (i%11==3) flag against the
+    prior corpus id i; transcodes of crawl-1's accepted negations
+    (i%11==5) flag against the APPENDED id 2e9+i; the negated decoys
+    (i%11==9) must not appear."""
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    return f"""
+WITH ix AS (SELECT CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                   AS i
+            FROM read_parquet('{uri}/*.parquet'))
+SELECT {_EVO_BASE} + i AS new_id, i AS dup_of_id
+FROM ix WHERE i % {_INC_PERC_MOD} = {_EVO_PRIOR}
+UNION ALL
+SELECT {_EVO_BASE} + i AS new_id, {_INC_PERC_BASE} + i AS dup_of_id
+FROM ix WHERE i % {_INC_PERC_MOD} = {_INC_PERC_NEG}"""
 
 
 # --- audio_batch_pack ---------------------------------------------------------

@@ -317,3 +317,47 @@ def test_perceptual_keyed_route_equals_broadcast(ray_session):
     b = run(route_broadcast_max=0)
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_index_evolution_versions_and_pinning(ray_session):
+    """Multi-crawl state evolution semantics at sf0.001: (a) the evolved
+    band/payload tables end at lancelite version 2 and a SECOND run does
+    not re-append (idempotent guards); (b) crawl-2 flags split across
+    BOTH sides of the union — prior-corpus partners (id < 2e9) AND
+    appended crawl-1 partners (id >= 2e9); (c) the version-1-pinned
+    incremental query returns the identical flag set before and after
+    the append (pinning works, whatever the execution order)."""
+    import glob
+
+    from common_crawl_corpus_ray.pipelines import clips_queries
+    from common_crawl_corpus_ray.sources import lancelite
+
+    sf = "/root/testdata/sf0.001"
+    uri = clips_queries.ensure_clips(sf, with_audio=True)
+    tag = AO._clips_tag(uri)
+    before = (AO.audio_perceptual_incremental(sf).to_pandas()
+              .sort_values("new_id").reset_index(drop=True))
+
+    evo = (AO.audio_index_evolution(sf).to_pandas()
+           .sort_values("new_id").reset_index(drop=True))
+    band_uri = f"/tmp/ccc_prior_perc_band_{tag}"
+    pay_uri = f"/tmp/ccc_prior_perc_pay_{tag}"
+    assert lancelite.latest_version(band_uri) == 2
+    assert lancelite.latest_version(pay_uri) == 2
+
+    evo2 = (AO.audio_index_evolution(sf).to_pandas()
+            .sort_values("new_id").reset_index(drop=True))
+    assert lancelite.latest_version(band_uri) == 2   # no re-append
+    assert evo.equals(evo2)
+
+    prior_side = evo[evo.dup_of_id < AO._INC_PERC_BASE]
+    appended_side = evo[evo.dup_of_id >= AO._INC_PERC_BASE]
+    assert len(prior_side) > 0 and len(appended_side) > 0
+    assert ((prior_side.new_id - AO._EVO_BASE) % AO._INC_PERC_MOD
+            == AO._EVO_PRIOR).all()
+    assert ((appended_side.new_id - AO._EVO_BASE) % AO._INC_PERC_MOD
+            == AO._INC_PERC_NEG).all()
+
+    after = (AO.audio_perceptual_incremental(sf).to_pandas()
+             .sort_values("new_id").reset_index(drop=True))
+    assert before.equals(after)

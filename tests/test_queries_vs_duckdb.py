@@ -150,6 +150,10 @@ CLIPS_FIXTURE_QUERIES = [
     # round 5: incremental-matrix completion — new clips perceptually
     # matching the prior corpus are flagged with their exact donor
     "audio_perceptual_incremental",
+    # round 5: multi-crawl index evolution — crawl-1 accepted clips are
+    # APPENDED to the persisted index (lancelite version 2), crawl-2
+    # probes the evolved union and must find partners on BOTH sides
+    "audio_index_evolution",
 ]
 
 
