@@ -266,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assign": A.shard_assign,
         "dedup_incremental": A.dedup_incremental,
         "dedup_incremental_near": A.dedup_incremental_near,
+        # round 5: multi-crawl NEAR-dup index evolution (text twin of
+        # audio_index_evolution): crawl-1 survivors appended as version 2,
+        # crawl-2 probes the evolved union
+        "near_index_evolution": A.near_index_evolution,
         "sentence_dedup": A.sentence_dedup,
         "vocab_topk": A.vocab_topk,
         "decontaminate": A.decontaminate,
@@ -752,6 +756,106 @@ WITH mutsrc AS (
 )
 SELECT doc_id FROM newdocs WHERE doc_id NOT IN (SELECT nid FROM ver)"""
 
+    # multi-crawl NEAR-dup index evolution: full two-crawl simulation in
+    # SQL — crawl-1 survivors (vs the prior corpus) join the index, then
+    # crawl-2 probes the union. Same perms/bands/shingles as the Ray run,
+    # so the comparison is bit-identical. p.isn<2 restricts the index side;
+    # crawl-1 docs participate only if they survived crawl-1 verification.
+    mut_case = ("CASE WHEN len(w) > 4 THEN array_to_string(w[1:3], ' ') || "
+                "' mutated ' || array_to_string(w[5:], ' ') "
+                "ELSE array_to_string(w, ' ') END")
+    near_index_evolution_sql = f"""
+WITH mutsrc AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id < {A._INC_NEAR_MUT}
+), mut AS (
+  SELECT doc_id + 1000000 AS doc_id, {mut_case} AS text FROM mutsrc
+), scr AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' ') AS text
+  FROM documents
+  WHERE doc_id >= {A._INC_NEAR_SCR_LO} AND doc_id < {A._INC_NEAR_SCR_HI}
+), new1 AS (
+  SELECT * FROM mut UNION ALL SELECT * FROM scr
+), mut2bsrc AS (
+  SELECT doc_id, list_sort(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+  WHERE doc_id >= {A._INC_NEAR_SCR_LO} AND doc_id < {A._INC_NEAR_SCR_HI}
+), mut2b AS (
+  SELECT doc_id + {A._EVO_NEAR_SURV_BASE} AS doc_id, {mut_case} AS text
+  FROM mut2bsrc
+), mut2asrc AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+  WHERE doc_id >= {A._EVO_NEAR_MUT2_LO} AND doc_id < {A._EVO_NEAR_MUT2_HI}
+), mut2a AS (
+  SELECT doc_id + {A._EVO_NEAR_PRIOR_BASE} AS doc_id, {mut_case} AS text
+  FROM mut2asrc
+), scr2 AS (
+  SELECT doc_id + {A._EVO_NEAR_NOVEL_BASE} AS doc_id,
+         array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' ') AS text
+  FROM documents
+  WHERE doc_id >= {A._EVO_NEAR_SCR2_LO} AND doc_id < {A._EVO_NEAR_SCR2_HI}
+), new2 AS (
+  SELECT * FROM mut2a UNION ALL SELECT * FROM mut2b
+  UNION ALL SELECT * FROM scr2
+), docs AS (
+  SELECT doc_id, text, 0 AS isn FROM documents
+  UNION ALL SELECT doc_id, text, 1 AS isn FROM new1
+  UNION ALL SELECT doc_id, text, 2 AS isn FROM new2
+), t AS (
+  SELECT doc_id, isn, CASE WHEN length(text) < 5
+                      THEN text || repeat(' ', 5 - length(text))
+                      ELSE text END AS txt
+  FROM docs
+), sh AS (
+  SELECT DISTINCT doc_id, isn, ({mh_shingle}) % {_MERSENNE} AS h
+  FROM (SELECT doc_id, isn, txt,
+               unnest(generate_series(1, length(txt) - 4)) AS i FROM t)
+), perm(r, pa, pb) AS (VALUES {perm_rows}
+), sig AS (
+  SELECT doc_id, isn, r, min((pa * h + pb) % 18446744073709551616) AS s
+  FROM sh CROSS JOIN perm GROUP BY 1, 2, 3
+), band AS (
+  SELECT doc_id, isn, r // 8 AS band, SUM(s) % 18446744073709551616 AS bh
+  FROM sig GROUP BY 1, 2, 3
+), cnt AS (
+  SELECT doc_id, isn, count(*) AS c FROM sh GROUP BY 1, 2
+), cand1 AS (
+  SELECT DISTINCT n.doc_id AS nid, p.doc_id AS pid
+  FROM band p JOIN band n ON p.band = n.band AND p.bh = n.bh
+  WHERE p.isn = 0 AND n.isn = 1
+), co1 AS (
+  SELECT nid, pid, count(*) AS co
+  FROM cand1 JOIN sh x ON x.doc_id = cand1.nid AND x.isn = 1
+             JOIN sh y ON y.doc_id = cand1.pid AND y.isn = 0 AND y.h = x.h
+  GROUP BY 1, 2
+), ver1 AS (
+  SELECT DISTINCT c0.nid
+  FROM co1 c0 JOIN cnt ca ON ca.doc_id = c0.nid AND ca.isn = 1
+              JOIN cnt cb ON cb.doc_id = c0.pid AND cb.isn = 0
+  WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= {A._NEAR_THRESHOLD}
+), surv1 AS (
+  SELECT doc_id FROM new1 WHERE doc_id NOT IN (SELECT nid FROM ver1)
+), cand2 AS (
+  SELECT DISTINCT n.doc_id AS nid, p.doc_id AS pid, p.isn AS pisn
+  FROM band p JOIN band n ON p.band = n.band AND p.bh = n.bh
+  WHERE n.isn = 2 AND (p.isn = 0 OR (p.isn = 1 AND
+        p.doc_id IN (SELECT doc_id FROM surv1)))
+), co2 AS (
+  SELECT nid, pid, pisn, count(*) AS co
+  FROM cand2 JOIN sh x ON x.doc_id = cand2.nid AND x.isn = 2
+             JOIN sh y ON y.doc_id = cand2.pid AND y.isn = cand2.pisn
+                      AND y.h = x.h
+  GROUP BY 1, 2, 3
+), ver2 AS (
+  SELECT DISTINCT c0.nid
+  FROM co2 c0 JOIN cnt ca ON ca.doc_id = c0.nid AND ca.isn = 2
+              JOIN cnt cb ON cb.doc_id = c0.pid AND cb.isn = c0.pisn
+  WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= {A._NEAR_THRESHOLD}
+)
+SELECT doc_id FROM new2 WHERE doc_id NOT IN (SELECT nid FROM ver2)"""
+
     dedup_keep_best_minhash_sql = mh_cluster_ctes + r""", m AS (
   SELECT c.cluster, c.doc_id, length(d.text) AS n_chars
   FROM clusters c JOIN docs d ON d.doc_id = c.doc_id
@@ -793,6 +897,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "shard_assign": A.shard_assign_sql(),
         "dedup_incremental": A.dedup_incremental_sql(),
         "dedup_incremental_near": dedup_incremental_near_sql,
+        "near_index_evolution": near_index_evolution_sql,
         "sentence_dedup": A.sentence_dedup_sql(),
         "vocab_topk": A.vocab_topk_sql(),
         "decontaminate": A.decontaminate_sql(),

