@@ -334,3 +334,53 @@ def test_near_index_evolution_versions_and_pinning(ray_session):
     after = (A.dedup_incremental_near(SF).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
     assert before.equals(after)
+
+
+def test_evolved_index_compaction_preserves_probe(ray_session, tmp_path):
+    """LSM maintenance on the evolved band index: lancelite.compact merges
+    the prior run and the appended survivor run into fewer fragments
+    (committing a new version); content and range-probe results must be
+    identical. Probes go through KeyedBatchJoiner, which key-sorts each
+    fragment at load, so a merged fragment holding two sorted runs is
+    re-sorted — this pins that property against regressions."""
+    import shutil
+
+    import pyarrow as pa
+    from common_crawl_corpus_ray.pipelines import analytics as A
+    from common_crawl_corpus_ray.sources import lancelite
+    from common_crawl_corpus_ray.sources.keyed import (KeyedBatchJoiner,
+                                                       KeyedFragmentIndex)
+
+    A.near_index_evolution(SF).count()          # ensure evolved state
+    tag = A._content_tag(SF)
+    buri = f"/tmp/ccc_prior_band_idx_{tag}"
+    copy = str(tmp_path / "band")
+    shutil.copytree(buri, copy)
+
+    before = len(lancelite.manifest(copy)["fragments"])
+    lancelite.compact(copy, target_rows_per_fragment=1_000_000)
+    after = len(lancelite.manifest(copy)["fragments"])
+    assert after < before
+
+    order = [("bk", "ascending"), ("doc_id", "ascending"),
+             ("band", "ascending")]
+    a = lancelite.read_arrow(copy).sort_by(order)
+    b = lancelite.read_arrow(buri).sort_by(order)
+    assert a.equals(b)
+
+    def scan(uri, keys):
+        """All (band, bh, doc_id) rows whose bk equals any probe key —
+        the _BandProbe gather, replicated row-for-row."""
+        j = KeyedBatchJoiner(KeyedFragmentIndex(uri, "bk"))
+        skeys, stable = j._side_for(keys)
+        lo = np.searchsorted(skeys, keys, "left")
+        hi = np.searchsorted(skeys, keys, "right")
+        rows = [stable.slice(int(l), int(h - l)) for l, h in zip(lo, hi)]
+        t = pa.concat_tables([r for r in rows if r.num_rows])
+        return t.select(["band", "bh", "doc_id"]).sort_by(
+            [("bh", "ascending"), ("doc_id", "ascending"),
+             ("band", "ascending")])
+
+    # probe every 7th distinct bk (both runs' key ranges overlap)
+    bks = np.unique(b["bk"].to_numpy())[::7]
+    assert scan(copy, bks).equals(scan(buri, bks))
