@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # audio_index_evolution): crawl-1 survivors appended as version 2,
         # crawl-2 probes the evolved union
         "near_index_evolution": A.near_index_evolution,
+        # round 5: embedding-axis index evolution (third modality of the
+        # evolution family; sig-keyed single-table index, fused verify)
+        "embedding_index_evolution": A.embedding_index_evolution,
         "sentence_dedup": A.sentence_dedup,
         "vocab_topk": A.vocab_topk,
         "decontaminate": A.decontaminate,
@@ -856,6 +859,50 @@ WITH mutsrc AS (
 )
 SELECT doc_id FROM new2 WHERE doc_id NOT IN (SELECT nid FROM ver2)"""
 
+    # embedding-axis index evolution: full two-crawl simulation with exact
+    # cosine joins. Every derived vector is a float32-exact transform of a
+    # prior vector (copy / x2 / -1x / -0.5x — powers of two and negation),
+    # so list_transform over the FLOAT column cast to DOUBLE reproduces the
+    # Ray stream bit-identically; fixture margins (natural |cos| <= 0.61)
+    # make every 0.99-threshold decision unambiguous in both engines.
+    embedding_index_evolution_sql = f"""
+WITH prior AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), new1 AS (
+  SELECT vec_id + {A._EVO_EMB_BASE1} AS vec_id, e FROM prior
+  WHERE vec_id < {A._EVO_EMB_COPY_HI}
+  UNION ALL
+  SELECT vec_id + {A._EVO_EMB_BASE1},
+         list_transform(e, x -> x * 2.0) FROM prior
+  WHERE vec_id >= {A._EVO_EMB_SCALE_LO} AND vec_id < {A._EVO_EMB_SCALE_HI}
+  UNION ALL
+  SELECT vec_id + {A._EVO_EMB_BASE1},
+         list_transform(e, x -> -x) FROM prior
+  WHERE vec_id >= {A._EVO_EMB_NEG_LO} AND vec_id < {A._EVO_EMB_NEG_HI}
+), ver1 AS (
+  SELECT DISTINCT n.vec_id FROM new1 n JOIN prior p
+    ON list_cosine_similarity(n.e, p.e) >= {A._EVO_EMB_THRESHOLD}
+), surv1 AS (
+  SELECT vec_id, e FROM new1
+  WHERE vec_id NOT IN (SELECT vec_id FROM ver1)
+), idx AS (
+  SELECT vec_id, e FROM prior UNION ALL SELECT vec_id, e FROM surv1
+), new2 AS (
+  SELECT vec_id + {A._EVO_EMB_BASE2} AS vec_id,
+         list_transform(e, x -> x * -0.5) AS e FROM prior
+  WHERE vec_id >= {A._EVO_EMB_NEG_LO} AND vec_id < {A._EVO_EMB_NEG_HI}
+  UNION ALL
+  SELECT vec_id + {A._EVO_EMB_BASE2}, e FROM prior
+  WHERE vec_id >= {A._EVO_EMB_C2P_LO} AND vec_id < {A._EVO_EMB_C2P_HI}
+  UNION ALL
+  SELECT vec_id + {A._EVO_EMB_BASE2}, list_transform(e, x -> -x) FROM prior
+  WHERE vec_id >= {A._EVO_EMB_C2N_LO} AND vec_id < {A._EVO_EMB_C2N_HI}
+), ver2 AS (
+  SELECT DISTINCT n.vec_id FROM new2 n JOIN idx p
+    ON list_cosine_similarity(n.e, p.e) >= {A._EVO_EMB_THRESHOLD}
+)
+SELECT vec_id FROM new2 WHERE vec_id NOT IN (SELECT vec_id FROM ver2)"""
+
     dedup_keep_best_minhash_sql = mh_cluster_ctes + r""", m AS (
   SELECT c.cluster, c.doc_id, length(d.text) AS n_chars
   FROM clusters c JOIN docs d ON d.doc_id = c.doc_id
@@ -898,6 +945,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "dedup_incremental": A.dedup_incremental_sql(),
         "dedup_incremental_near": dedup_incremental_near_sql,
         "near_index_evolution": near_index_evolution_sql,
+        "embedding_index_evolution": embedding_index_evolution_sql,
         "sentence_dedup": A.sentence_dedup_sql(),
         "vocab_topk": A.vocab_topk_sql(),
         "decontaminate": A.decontaminate_sql(),

@@ -27,7 +27,8 @@ from ..functions.hashing import md5_i64, md5_i64_array, sql_md5_i64
 from ..sources.keyed import KeyedBatchJoiner
 # module-level (worker bodies below call these; a function-level import
 # would re-run ON the worker and fail without the repo on its path)
-from ..stages.dedup_family import _shingle_hashes, minhash_signatures_batch
+from ..stages.dedup_family import (_embed_matrix, _l2norm, _shingle_hashes,
+                                   minhash_signatures_batch)
 
 WS_RE = spec.WS_CLASS + "+"
 # DuckDB spelling of the SAME whitespace split: WS_RE is a raw-string RE2
@@ -1522,6 +1523,223 @@ def near_index_evolution(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids[~is_dup], pa.int64())})
 
     return lancelite.read(new2_uri, columns=["doc_id"]).map_batches(
+        survivors, batch_format="pyarrow")
+
+
+# crawl derivation ranges for embedding_index_evolution. Every transform
+# is exact in float32 (copy, negate, scale by powers of two), so the Ray
+# stream and the SQL oracle's list_transform rebuild bit-identical vectors;
+# fixture margins make threshold decisions unambiguous (natural |cosine|
+# <= 0.61 at every sf vs the 0.99 threshold).
+_EVO_EMB_COPY_HI = 25                             # crawl-1 exact copies
+_EVO_EMB_SCALE_LO, _EVO_EMB_SCALE_HI = 25, 50     # crawl-1 2x scaled copies
+_EVO_EMB_NEG_LO, _EVO_EMB_NEG_HI = 50, 75         # crawl-1 negations (novel)
+_EVO_EMB_C2P_LO, _EVO_EMB_C2P_HI = 100, 125       # crawl-2 copies of PRIOR
+_EVO_EMB_C2N_LO, _EVO_EMB_C2N_HI = 150, 175       # crawl-2 negations (novel)
+_EVO_EMB_BASE1 = 2_000_000
+_EVO_EMB_BASE2 = 3_000_000
+_EVO_EMB_THRESHOLD = 0.99
+_EVO_EMB_PLANES, _EVO_EMB_SEED = 6, 42
+
+
+def _emb_sig(vec_col) -> np.ndarray:
+    """Random-hyperplane signature of an embedding column — the SAME
+    planes (seed, count) as dedup_family.embedding_dup_pairs_lsh, so
+    blocking behavior is consistent across the embedding family. Sign
+    pattern is scale-invariant (positive scaling) and exactly complements
+    under negation, so copies/scaled copies always share their donor's
+    signature — blocking recall is exact for the derived streams."""
+    m = _l2norm(_embed_matrix(vec_col))
+    rng = np.random.default_rng(_EVO_EMB_SEED)
+    planes = rng.standard_normal((m.shape[1], _EVO_EMB_PLANES))
+    return ((m @ planes > 0)
+            @ (1 << np.arange(_EVO_EMB_PLANES))).astype(np.int64)
+
+
+def _emb_sig_rows(b: pa.Table) -> pa.Table:
+    return pa.table({"sig": pa.array(_emb_sig(b["embedding"]), pa.int64()),
+                     "vec_id": b["vec_id"].cast(pa.int64()),
+                     "embedding": b["embedding"]})
+
+
+class _EmbSigProbe:
+    """Actor-pool signature probe of the persisted embedding index: each
+    batch of sig-keyed new rows (sig-sorted, so fragment pruning holds)
+    range-scans the index, then exact-cosine-verifies every same-signature
+    (new, prior) pair in one matmul per signature group. The vector rides
+    the index row (64 floats), so there is no second verify stage."""
+
+    def __init__(self, index, threshold: float):
+        self.joiner = KeyedBatchJoiner(
+            index, columns=["sig", "vec_id", "embedding"])
+        self.threshold = threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        empty = pa.table({"nid": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        k = b["sig"].to_numpy(zero_copy_only=False)
+        side = self.joiner._side_for(k)
+        if side is None:
+            return empty
+        skeys, stable = side
+        nids = b["vec_id"].to_numpy(zero_copy_only=False)
+        nm = _l2norm(_embed_matrix(b["embedding"]))
+        sm = _l2norm(_embed_matrix(stable["embedding"]))
+        matched: list[int] = []
+        for s in np.unique(k):
+            lo, hi = np.searchsorted(skeys, s, "left"), np.searchsorted(
+                skeys, s, "right")
+            if lo == hi:
+                continue
+            sel = k == s
+            sims = nm[sel] @ sm[lo:hi].T
+            hit = (sims >= self.threshold).any(axis=1)
+            matched.extend(int(x) for x in nids[sel][hit])
+        return pa.table({"nid": pa.array(matched, pa.int64())})
+
+
+def _emb_stream(b: pa.Table, spec: list[tuple[int, int, int, float]],
+                base: int) -> pa.Table:
+    """Derive a crawl stream from prior embeddings: for each (lo, hi,
+    id_base_offset_unused, factor) range spec, emit base+vec_id with the
+    vector multiplied by ``factor`` (1.0 = exact copy; negative/scaled
+    factors are exact in float32 for powers of two)."""
+    ids = b["vec_id"].to_numpy(zero_copy_only=False)
+    vecs = b["embedding"].combine_chunks()
+    out_ids: list[int] = []
+    out_vec: list[np.ndarray] = []
+    for r in range(b.num_rows):
+        i = int(ids[r])
+        for lo, hi, _, factor in spec:
+            if lo <= i < hi:
+                v = np.asarray(vecs[r].as_py(), dtype=np.float32)
+                out_ids.append(base + i)
+                out_vec.append(v * np.float32(factor))
+                break
+    return pa.table({
+        "vec_id": pa.array(out_ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in out_vec],
+                              pa.list_(pa.float32()))})
+
+
+def embedding_index_evolution(sf_dir: str):
+    """TRUE multi-crawl state evolution of the EMBEDDING near-dup index —
+    the third axis of the evolution family (text: near_index_evolution,
+    audio: audio_ops.audio_index_evolution), so every modality's
+    incremental dedup state can absorb a crawl without rescans:
+
+      crawl 1: exact copies (vec_id<{_EVO_EMB_COPY_HI}) and 2x-scaled
+               copies ({_EVO_EMB_SCALE_LO}-{_EVO_EMB_SCALE_HI}) of prior
+               vectors are dropped against the version-1 sig-keyed index
+               (cosine is scale-invariant); negations
+               ({_EVO_EMB_NEG_LO}-{_EVO_EMB_NEG_HI}) are novel (cosine
+               -1) and are APPENDED as version 2;
+      crawl 2: -0.5x-scaled copies of prior {_EVO_EMB_NEG_LO}-
+               {_EVO_EMB_NEG_HI} vectors == scaled copies of crawl-1's
+               accepted negations (dups ONLY via the appended state);
+               exact copies of prior {_EVO_EMB_C2P_LO}-{_EVO_EMB_C2P_HI}
+               (dups via version-1 state); fresh negations
+               ({_EVO_EMB_C2N_LO}-{_EVO_EMB_C2N_HI}) survive.
+
+    The index is ONE sig-sorted table (signature, id, vector) — vectors
+    are small enough to ride the index row, so probe and verify fuse into
+    one stage (one matmul per signature group). All derived vectors are
+    float32-exact transforms (copy/negate/x2/x-0.5), so the DuckDB oracle
+    rebuilds them bit-identically with list_transform and simulates the
+    full two-crawl history with exact cosine joins."""
+    import os
+
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedFragmentIndex
+
+    tag = _content_tag(sf_dir, table="embeddings")
+    euri = f"/tmp/ccc_prior_emb_idx_{tag}"
+    n1_uri = f"/tmp/ccc_evo_emb_new1_{tag}"
+    acc_uri = f"/tmp/ccc_evo_emb_acc_{tag}"
+    n2_uri = f"/tmp/ccc_evo_emb_new2_{tag}"
+
+    if not os.path.exists(os.path.join(euri, "_versions")):
+        prior = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+                 .map_batches(_emb_sig_rows, batch_format="pyarrow")
+                 .sort("sig"))
+        lancelite.write_dataset(prior, euri, key_stats="sig")
+
+    spec1 = [(0, _EVO_EMB_COPY_HI, 0, 1.0),
+             (_EVO_EMB_SCALE_LO, _EVO_EMB_SCALE_HI, 0, 2.0),
+             (_EVO_EMB_NEG_LO, _EVO_EMB_NEG_HI, 0, -1.0)]
+    spec2 = [(_EVO_EMB_NEG_LO, _EVO_EMB_NEG_HI, 0, -0.5),
+             (_EVO_EMB_C2P_LO, _EVO_EMB_C2P_HI, 0, 1.0),
+             (_EVO_EMB_C2N_LO, _EVO_EMB_C2N_HI, 0, -1.0)]
+    for uri, spec, base in ((n1_uri, spec1, _EVO_EMB_BASE1),
+                            (n2_uri, spec2, _EVO_EMB_BASE2)):
+        if not os.path.exists(os.path.join(uri, "_versions")):
+            news = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+                    .map_batches(
+                        lambda b, s=spec, ba=base: _emb_stream(b, s, ba),
+                        batch_format="pyarrow")
+                    .sort("vec_id"))
+            lancelite.write_dataset(news, uri, key_stats="vec_id")
+
+    def probe_matched(new_uri: str, index) -> "ray.data.Dataset":
+        return (lancelite.read(new_uri, columns=["vec_id", "embedding"])
+                .map_batches(_emb_sig_rows, batch_format="pyarrow")
+                .sort("sig")
+                .map_batches(_EmbSigProbe, batch_format="pyarrow",
+                             batch_size=4096,
+                             fn_constructor_args=(index,
+                                                  _EVO_EMB_THRESHOLD),
+                             concurrency=(1, 4), num_cpus=1))
+
+    # -- crawl 1: accept novel vectors, append as version 2 ------------------
+    if not os.path.exists(os.path.join(acc_uri, "_versions")):
+        matched1 = probe_matched(n1_uri,
+                                 KeyedFragmentIndex(euri, "sig", version=1))
+        flags_uri = f"/tmp/ccc_evo_emb_flags_{tag}"
+        lancelite.write_dataset(matched1.sort("nid"), flags_uri,
+                                key_stats="nid")
+        fidx = KeyedFragmentIndex(flags_uri, "nid")
+
+        class _DropMatched:
+            def __init__(self, index):
+                self.j = KeyedBatchJoiner(index, columns=["nid"])
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                _, found, _ = self.j.probe(
+                    b["vec_id"].to_numpy(zero_copy_only=False))
+                return b.filter(pa.array(~found))
+
+        acc = (lancelite.read(n1_uri, columns=["vec_id", "embedding"])
+               .map_batches(_DropMatched, batch_format="pyarrow",
+                            batch_size=4096, fn_constructor_args=(fidx,),
+                            concurrency=(1, 4), num_cpus=1))
+        lancelite.write_dataset(acc.sort("vec_id"), acc_uri,
+                                key_stats="vec_id")
+    if lancelite.latest_version(euri) < 2:
+        app = (lancelite.read(acc_uri, columns=["vec_id", "embedding"])
+               .map_batches(_emb_sig_rows, batch_format="pyarrow")
+               .sort("sig"))
+        lancelite.write_dataset(app, euri, mode="append", key_stats="sig")
+
+    # -- crawl 2: probe the EVOLVED index, survivors stream out --------------
+    matched_ds = probe_matched(n2_uri, KeyedFragmentIndex(euri, "sig"))
+    matched = set()
+    for t in ray.get(matched_ds.to_arrow_refs()):
+        matched.update(t["nid"].to_pylist())
+    matched_ref = ray.put(np.sort(np.fromiter(matched, dtype=np.int64,
+                                              count=len(matched))))
+
+    def survivors(b: pa.Table) -> pa.Table:
+        m = cached_get(matched_ref)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(m, ids), 0, max(m.size - 1, 0))
+        is_dup = m[pos] == ids if m.size else np.zeros(len(ids), bool)
+        return pa.table({"vec_id": pa.array(ids[~is_dup], pa.int64())})
+
+    return lancelite.read(n2_uri, columns=["vec_id"]).map_batches(
         survivors, batch_format="pyarrow")
 
 

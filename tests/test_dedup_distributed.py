@@ -384,3 +384,28 @@ def test_evolved_index_compaction_preserves_probe(ray_session, tmp_path):
     # probe every 7th distinct bk (both runs' key ranges overlap)
     bks = np.unique(b["bk"].to_numpy())[::7]
     assert scan(copy, bks).equals(scan(buri, bks))
+
+
+def test_embedding_index_evolution_versions(ray_session):
+    """Embedding-axis evolution semantics at sf0.001: the sig-keyed index
+    ends at version 2, a second run does not re-append and returns the
+    identical survivor set, and survivors are exactly the crawl-2 fresh
+    negations (the -0.5x copies of appended negations and the exact
+    copies of prior vectors are all dropped)."""
+    from common_crawl_corpus_ray.pipelines import analytics as A
+    from common_crawl_corpus_ray.sources import lancelite
+
+    evo = (A.embedding_index_evolution(SF).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    tag = A._content_tag(SF, table="embeddings")
+    euri = f"/tmp/ccc_prior_emb_idx_{tag}"
+    assert lancelite.latest_version(euri) == 2
+
+    evo2 = (A.embedding_index_evolution(SF).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert lancelite.latest_version(euri) == 2   # no re-append
+    assert evo.equals(evo2)
+
+    want = [A._EVO_EMB_BASE2 + i
+            for i in range(A._EVO_EMB_C2N_LO, A._EVO_EMB_C2N_HI)]
+    assert evo["vec_id"].tolist() == want

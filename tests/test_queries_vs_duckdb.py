@@ -106,6 +106,10 @@ SQL_QUERIES = [
     # probed against the union; oracle simulates the full two-crawl
     # history with the same perms/bands/shingles
     "near_index_evolution",
+    # round 5: embedding-axis index evolution — crawl-1 novel vectors
+    # appended to the sig-keyed index, crawl-2 drops must trace to BOTH
+    # sides (exact-cosine two-crawl simulation oracle)
+    "embedding_index_evolution",
 ]
 
 
