@@ -273,6 +273,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: embedding-axis index evolution (third modality of the
         # evolution family; sig-keyed single-table index, fused verify)
         "embedding_index_evolution": A.embedding_index_evolution,
+        # round 5: exact-detector evolution twins (hash / payload digest),
+        # completing the incremental x evolution matrix on all five
+        # detectors
+        "hash_index_evolution": A.hash_index_evolution,
+        "payload_index_evolution": AO.payload_index_evolution,
         "sentence_dedup": A.sentence_dedup,
         "vocab_topk": A.vocab_topk,
         "decontaminate": A.decontaminate,
@@ -946,6 +951,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "dedup_incremental_near": dedup_incremental_near_sql,
         "near_index_evolution": near_index_evolution_sql,
         "embedding_index_evolution": embedding_index_evolution_sql,
+        "hash_index_evolution": A.hash_index_evolution_sql(),
+        "payload_index_evolution": AO.payload_index_evolution_sql(),
         "sentence_dedup": A.sentence_dedup_sql(),
         "vocab_topk": A.vocab_topk_sql(),
         "decontaminate": A.decontaminate_sql(),

@@ -92,7 +92,8 @@ QUERY_NAMES = [
     "embedding_dup_clusters", "audio_perceptual_clusters",
     "audio_keep_best", "audio_perceptual_incremental",
     "audio_index_evolution", "near_index_evolution",
-    "embedding_index_evolution",
+    "embedding_index_evolution", "hash_index_evolution",
+    "payload_index_evolution",
 ]
 
 

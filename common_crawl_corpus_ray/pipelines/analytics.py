@@ -652,12 +652,22 @@ def dedup_incremental(sf_dir: str):
     and never document text); the per-increment cost stays O(new data),
     which is the point of incremental dedup. Output: (text_hash, doc_id)
     survivors of the new stream."""
+    from ..sources.keyed import KeyedFragmentIndex
+
+    uri = _hash_prior_uri(sf_dir)
+    # version=1 pins the PRIOR corpus state: hash_index_evolution appends
+    # a later crawl's survivor hashes as version 2+, and this query's
+    # new-vs-prior semantics must not change under that evolution.
+    return _hash_survivors(incremental_docs(sf_dir),
+                           KeyedFragmentIndex(uri, "text_hash", version=1))
+
+
+def _hash_prior_uri(sf_dir: str) -> str:
+    """One-time version-1 staging of the prior corpus's text-hash index
+    (idempotent; hash_index_evolution appends survivor versions)."""
     import os
 
-    from ray.data.aggregate import Min
-
     from ..sources import lancelite
-    from ..sources.keyed import KeyedFragmentIndex
 
     uri = f"/tmp/ccc_prior_hash_idx_{_content_tag(sf_dir)}"
     if not os.path.exists(os.path.join(uri, "_versions")):
@@ -667,14 +677,20 @@ def dedup_incremental(sf_dir: str):
                  .map_batches(h, batch_format="pyarrow")
                  .sort("text_hash"))
         lancelite.write_dataset(prior, uri, key_stats="text_hash")
+    return uri
 
-    index = KeyedFragmentIndex(uri, "text_hash")
+
+def _hash_survivors(new_ds, index):
+    """Shared increment-side pipeline: hash the new stream, range-sort,
+    anti-probe the persisted index, keep-first within the stream. Returns
+    a Dataset of (text_hash, doc_id) survivors."""
+    from ray.data.aggregate import Min
 
     def h_rows(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b["doc_id"],
                          "text_hash": md5_i64_array(b["text"])})
 
-    fresh = (incremental_docs(sf_dir)
+    fresh = (new_ds
              .map_batches(h_rows, batch_format="pyarrow")
              .sort("text_hash")
              .map_batches(_AntiProbe, batch_format="pyarrow",
@@ -704,6 +720,112 @@ WITH newdocs AS (
 )
 SELECT {h} AS text_hash, min(doc_id) AS doc_id FROM newdocs
 WHERE {h} NOT IN (SELECT {h} FROM documents)
+GROUP BY text"""
+
+
+# crawl-2 derivation ranges for hash_index_evolution (exact-text axis)
+_EVO_HASH_BASE = 4_000_000
+_EVO_HASH_COPY_HI = 25                       # copies of PRIOR docs (dups v1)
+_EVO_HASH_V2_LO, _EVO_HASH_V2_HI = 50, 75    # ' v2' texts == crawl-1
+                                             #   survivors (dups via append)
+_EVO_HASH_V3_LO, _EVO_HASH_V3_HI = 125, 150  # fresh ' v3' texts (novel)
+
+
+def evolution_docs2(sf_dir: str):
+    """The "crawl 2" stream for hash_index_evolution: exact copies of
+    prior docs 0-24 (dups the version-1 state must still catch), the
+    SAME ' v2' texts crawl-1 introduced for docs 50-74 (dups findable
+    ONLY through the appended survivor hashes), doc 100's ' v3' text (a
+    dup of the crawl-1 intra-stream pair's keep-first SURVIVOR — pins
+    that the append carries the resolved hash exactly once), and fresh
+    ' v3' texts for docs 125-149 (novel)."""
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        out_ids: list[int] = []
+        out_txt: list[str] = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i < _EVO_HASH_COPY_HI:
+                out_ids.append(_EVO_HASH_BASE + i)
+                out_txt.append(t)
+            elif _EVO_HASH_V2_LO <= i < _EVO_HASH_V2_HI:
+                out_ids.append(_EVO_HASH_BASE + i)
+                out_txt.append(t + " v2")
+            elif i == _INC_PAIR_ID or _EVO_HASH_V3_LO <= i < _EVO_HASH_V3_HI:
+                out_ids.append(_EVO_HASH_BASE + i)
+                out_txt.append(t + " v3")
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def hash_index_evolution(sf_dir: str):
+    """Multi-crawl state evolution of the EXACT-text hash index — the
+    exact-detector twin of near_index_evolution, completing the
+    incremental x evolution matrix on the text axis: crawl-1 survivors'
+    hashes (the dedup_incremental result, which already resolved the
+    intra-stream ' v3' pair to its keep-first winner) are APPENDED to
+    the persisted hash index as lancelite version 2; crawl 2 anti-probes
+    the evolved union. Every step is O(increment); the oracle is a pair
+    of hash semi-joins over the simulated two-crawl history."""
+    import os
+
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedFragmentIndex
+
+    uri = _hash_prior_uri(sf_dir)
+    tag = _content_tag(sf_dir)
+    acc_uri = f"/tmp/ccc_evo_hash_acc_{tag}"
+
+    if not os.path.exists(os.path.join(acc_uri, "_versions")):
+        surv1 = _hash_survivors(
+            incremental_docs(sf_dir),
+            KeyedFragmentIndex(uri, "text_hash", version=1))
+        lancelite.write_dataset(surv1.sort("text_hash"), acc_uri,
+                                key_stats="text_hash")
+    if lancelite.latest_version(uri) < 2:
+        lancelite.write_dataset(
+            lancelite.read(acc_uri, columns=["text_hash"]), uri,
+            mode="append", key_stats="text_hash")
+
+    return _hash_survivors(evolution_docs2(sf_dir),
+                           KeyedFragmentIndex(uri, "text_hash"))
+
+
+def hash_index_evolution_sql() -> str:
+    h = sql_md5_i64("text")
+    return f"""
+WITH new1 AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id < {_INC_DUP_MAX}
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' v2' FROM documents
+  WHERE doc_id >= {_INC_DUP_MAX} AND doc_id < {_INC_NEW_MAX}
+  UNION ALL
+  SELECT 3000000 + i.i, text || ' v3' FROM documents
+  CROSS JOIN (SELECT unnest([0, 1]) AS i) i WHERE doc_id = {_INC_PAIR_ID}
+), surv1 AS (
+  SELECT {h} AS hh FROM new1
+  WHERE {h} NOT IN (SELECT {h} FROM documents) GROUP BY text
+), idx AS (
+  SELECT {h} AS hh FROM documents UNION SELECT hh FROM surv1
+), new2 AS (
+  SELECT doc_id + {_EVO_HASH_BASE} AS doc_id, text FROM documents
+  WHERE doc_id < {_EVO_HASH_COPY_HI}
+  UNION ALL
+  SELECT doc_id + {_EVO_HASH_BASE}, text || ' v2' FROM documents
+  WHERE doc_id >= {_EVO_HASH_V2_LO} AND doc_id < {_EVO_HASH_V2_HI}
+  UNION ALL
+  SELECT doc_id + {_EVO_HASH_BASE}, text || ' v3' FROM documents
+  WHERE doc_id = {_INC_PAIR_ID}
+     OR (doc_id >= {_EVO_HASH_V3_LO} AND doc_id < {_EVO_HASH_V3_HI})
+)
+SELECT {h} AS text_hash, min(doc_id) AS doc_id FROM new2
+WHERE {h} NOT IN (SELECT hh FROM idx)
 GROUP BY text"""
 
 

@@ -1333,15 +1333,28 @@ def audio_dedup_incremental(sf_dir: str):
     re-submits its prior payload (a truck-backup duplicate upload — must
     drop); i%{_INC_AUDIO_MOD}=={_INC_AUDIO_NEW} appends one byte 0x7F (a
     genuinely new recording — must keep). Digest = md5_i64 over the
-    UPPERCASE payload hex, the DuckDB-spellable blob hash."""
+    UPPERCASE payload hex, the DuckDB-spellable blob hash.
+
+    ``version=1`` pins the PRIOR corpus digest state:
+    payload_index_evolution appends a later crawl's survivor digests as
+    version 2+, and this query's semantics must not change under that."""
+    from ..sources.keyed import KeyedFragmentIndex
+
+    uri = ensure_clips(sf_dir, with_audio=True)
+    idx_uri = _audio_digest_prior_uri(uri)
+    return _digest_survivors(
+        _audio_inc1_keys(uri),
+        KeyedFragmentIndex(idx_uri, "payload_key", version=1))
+
+
+def _audio_digest_prior_uri(uri: str) -> str:
+    """One-time version-1 staging of the prior corpus's payload-digest
+    index (idempotent; payload_index_evolution appends versions)."""
     import ray.data as rd
 
     from ..functions.hashing import md5_i64
     from ..sources import lancelite
-    from ..sources.keyed import KeyedFragmentIndex
-    from ray.data.aggregate import Min
 
-    uri = ensure_clips(sf_dir, with_audio=True)
     idx_uri = f"/tmp/ccc_prior_audio_idx_{_clips_tag(uri)}"
 
     def prior_keys(b: pa.Table) -> pa.Table:
@@ -1356,7 +1369,14 @@ def audio_dedup_incremental(sf_dir: str):
                               batch_size=None)
                  .sort("payload_key"))
         lancelite.write_dataset(prior, idx_uri, key_stats="payload_key")
-    index = KeyedFragmentIndex(idx_uri, "payload_key")
+    return idx_uri
+
+
+def _audio_inc1_keys(uri: str):
+    """The crawl-1 (new_id, payload_key) stream (see _INC_AUDIO_*)."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_i64
 
     def new_stream(b: pa.Table) -> pa.Table:
         idx = _clip_indices(b)
@@ -1376,10 +1396,17 @@ def audio_dedup_incremental(sf_dir: str):
         return pa.table({"new_id": pa.array(ids, pa.int64()),
                          "payload_key": pa.array(ks, pa.int64())})
 
-    fresh = (rd.read_parquet(uri, columns=["clip_id", "bytes"])
-             .map_batches(new_stream, batch_format="pyarrow",
-                          batch_size=None)
-             .sort("payload_key")
+    return rd.read_parquet(uri, columns=["clip_id", "bytes"]).map_batches(
+        new_stream, batch_format="pyarrow", batch_size=None)
+
+
+def _digest_survivors(new_ds, index):
+    """Shared increment-side pipeline: sort the slim (new_id, payload_key)
+    stream, anti-probe the persisted digest index, keep-min within the
+    stream. Returns a Dataset of (payload_key, new_id) survivors."""
+    from ray.data.aggregate import Min
+
+    fresh = (new_ds.sort("payload_key")
              .map_batches(_PayloadAntiProbe, batch_format="pyarrow",
                           batch_size=4096, fn_constructor_args=(index,),
                           concurrency=(1, 4), num_cpus=1))
@@ -1406,6 +1433,102 @@ WITH src AS (
 SELECT payload_key, min(new_id) AS new_id
 FROM newstream
 WHERE payload_key NOT IN (SELECT {k_prior} FROM src)
+GROUP BY payload_key"""
+
+
+# crawl-2 derivation for payload_index_evolution (exact-audio axis)
+_EVO_AUDIO_DUP1 = 1      # i%11==1 -> prior payload re-submitted (dup v1)
+_EVO_AUDIO_SURV = _INC_AUDIO_NEW   # i%11==7 -> payload||7F again == the
+                                   #   crawl-1 survivor (dup via append)
+_EVO_AUDIO_NEW2 = 9      # i%11==9 -> payload||7F7F (novel)
+_EVO_AUDIO_BASE = 6_000_000_000
+
+
+def payload_index_evolution(sf_dir: str):
+    """Multi-crawl state evolution of the EXACT-audio payload-digest
+    index — the exact-detector twin of audio_index_evolution, completing
+    the incremental x evolution matrix on the audio axis: crawl-1
+    survivor digests (the audio_dedup_incremental result) are APPENDED
+    to the persisted index as lancelite version 2; crawl 2 anti-probes
+    the evolved union. Crawl-2 stream: i%11==1 re-submits the prior
+    payload (dup the version-1 state catches), i%11==7 re-submits the
+    SAME 0x7F-suffixed payload crawl-1 introduced (dup ONLY via the
+    appended digests), i%11==9 suffixes 0x7F7F (novel). O(increment)
+    per crawl; the oracle is hash semi-joins over both crawls."""
+    from ..functions.hashing import md5_i64
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedFragmentIndex
+
+    uri = ensure_clips(sf_dir, with_audio=True)
+    idx_uri = _audio_digest_prior_uri(uri)
+    acc_uri = f"/tmp/ccc_evo_audio_acc_{_clips_tag(uri)}"
+
+    if not os.path.exists(os.path.join(acc_uri, "_versions")):
+        surv1 = _digest_survivors(
+            _audio_inc1_keys(uri),
+            KeyedFragmentIndex(idx_uri, "payload_key", version=1))
+        lancelite.write_dataset(surv1.sort("payload_key"), acc_uri,
+                                key_stats="payload_key")
+    if lancelite.latest_version(idx_uri) < 2:
+        lancelite.write_dataset(
+            lancelite.read(acc_uri, columns=["payload_key"]), idx_uri,
+            mode="append", key_stats="payload_key")
+
+    import ray.data as rd
+
+    def new2_stream(b: pa.Table) -> pa.Table:
+        idx = _clip_indices(b)
+        payloads = b["bytes"].combine_chunks()
+        ids: list[int] = []
+        ks: list[int] = []
+        for r in range(b.num_rows):
+            i, m = int(idx[r]), int(idx[r]) % _INC_AUDIO_MOD
+            if m == _EVO_AUDIO_DUP1:
+                hx = memoryview(payloads[r].as_buffer()).hex().upper()
+            elif m == _EVO_AUDIO_SURV:
+                hx = memoryview(payloads[r].as_buffer()).hex().upper() + "7F"
+            elif m == _EVO_AUDIO_NEW2:
+                hx = (memoryview(payloads[r].as_buffer()).hex().upper()
+                      + "7F7F")
+            else:
+                continue
+            ids.append(_EVO_AUDIO_BASE + i)
+            ks.append(md5_i64(hx))
+        return pa.table({"new_id": pa.array(ids, pa.int64()),
+                         "payload_key": pa.array(ks, pa.int64())})
+
+    new2 = rd.read_parquet(uri, columns=["clip_id", "bytes"]).map_batches(
+        new2_stream, batch_format="pyarrow", batch_size=None)
+    return _digest_survivors(new2,
+                             KeyedFragmentIndex(idx_uri, "payload_key"))
+
+
+def payload_index_evolution_sql() -> str:
+    from ..functions.hashing import sql_md5_i64
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    k_prior = sql_md5_i64("hex(bytes)")
+    k_7f = sql_md5_i64("CONCAT(hex(bytes), '7F')")
+    k_7f7f = sql_md5_i64("CONCAT(hex(bytes), '7F7F')")
+    return f"""
+WITH src AS (
+  SELECT CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) AS i, bytes
+  FROM read_parquet('{uri}/*.parquet')
+), surv1 AS (
+  SELECT {k_7f} AS hh FROM src WHERE i % {_INC_AUDIO_MOD} = {_INC_AUDIO_NEW}
+), idx AS (
+  SELECT {k_prior} AS hh FROM src UNION SELECT hh FROM surv1
+), new2 AS (
+  SELECT {_EVO_AUDIO_BASE} + i AS new_id, {k_prior} AS payload_key
+  FROM src WHERE i % {_INC_AUDIO_MOD} = {_EVO_AUDIO_DUP1}
+  UNION ALL
+  SELECT {_EVO_AUDIO_BASE} + i, {k_7f}
+  FROM src WHERE i % {_INC_AUDIO_MOD} = {_EVO_AUDIO_SURV}
+  UNION ALL
+  SELECT {_EVO_AUDIO_BASE} + i, {k_7f7f}
+  FROM src WHERE i % {_INC_AUDIO_MOD} = {_EVO_AUDIO_NEW2}
+)
+SELECT payload_key, min(new_id) AS new_id FROM new2
+WHERE payload_key NOT IN (SELECT hh FROM idx)
 GROUP BY payload_key"""
 
 

@@ -110,6 +110,9 @@ SQL_QUERIES = [
     # appended to the sig-keyed index, crawl-2 drops must trace to BOTH
     # sides (exact-cosine two-crawl simulation oracle)
     "embedding_index_evolution",
+    # round 5: exact-detector evolution twin on the text axis (survivor
+    # hashes appended as version 2; crawl-2 anti-probes the union)
+    "hash_index_evolution",
 ]
 
 
@@ -163,6 +166,9 @@ CLIPS_FIXTURE_QUERIES = [
     # APPENDED to the persisted index (lancelite version 2), crawl-2
     # probes the evolved union and must find partners on BOTH sides
     "audio_index_evolution",
+    # round 5: exact-detector evolution twin on the audio axis (survivor
+    # payload digests appended as version 2)
+    "payload_index_evolution",
 ]
 
 
