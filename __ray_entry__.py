@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: embedding-axis index evolution (third modality of the
         # evolution family; sig-keyed single-table index, fused verify)
         "embedding_index_evolution": A.embedding_index_evolution,
+        "embedding_incremental": A.embedding_incremental,
         # round 5: exact-detector evolution twins (hash / payload digest),
         # completing the incremental x evolution matrix on all five
         # detectors
@@ -908,6 +909,27 @@ WITH prior AS (
 )
 SELECT vec_id FROM new2 WHERE vec_id NOT IN (SELECT vec_id FROM ver2)"""
 
+    # standalone crawl-1 leg (new-vs-PRIOR, version-1 semantics)
+    embedding_incremental_sql = f"""
+WITH prior AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), new1 AS (
+  SELECT vec_id + {A._EVO_EMB_BASE1} AS vec_id, e FROM prior
+  WHERE vec_id < {A._EVO_EMB_COPY_HI}
+  UNION ALL
+  SELECT vec_id + {A._EVO_EMB_BASE1},
+         list_transform(e, x -> x * 2.0) FROM prior
+  WHERE vec_id >= {A._EVO_EMB_SCALE_LO} AND vec_id < {A._EVO_EMB_SCALE_HI}
+  UNION ALL
+  SELECT vec_id + {A._EVO_EMB_BASE1},
+         list_transform(e, x -> -x) FROM prior
+  WHERE vec_id >= {A._EVO_EMB_NEG_LO} AND vec_id < {A._EVO_EMB_NEG_HI}
+), ver1 AS (
+  SELECT DISTINCT n.vec_id FROM new1 n JOIN prior p
+    ON list_cosine_similarity(n.e, p.e) >= {A._EVO_EMB_THRESHOLD}
+)
+SELECT vec_id FROM new1 WHERE vec_id NOT IN (SELECT vec_id FROM ver1)"""
+
     dedup_keep_best_minhash_sql = mh_cluster_ctes + r""", m AS (
   SELECT c.cluster, c.doc_id, length(d.text) AS n_chars
   FROM clusters c JOIN docs d ON d.doc_id = c.doc_id
@@ -951,6 +973,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "dedup_incremental_near": dedup_incremental_near_sql,
         "near_index_evolution": near_index_evolution_sql,
         "embedding_index_evolution": embedding_index_evolution_sql,
+        "embedding_incremental": embedding_incremental_sql,
         "hash_index_evolution": A.hash_index_evolution_sql(),
         "payload_index_evolution": AO.payload_index_evolution_sql(),
         "sentence_dedup": A.sentence_dedup_sql(),

@@ -93,7 +93,7 @@ QUERY_NAMES = [
     "audio_keep_best", "audio_perceptual_incremental",
     "audio_index_evolution", "near_index_evolution",
     "embedding_index_evolution", "hash_index_evolution",
-    "payload_index_evolution",
+    "payload_index_evolution", "embedding_incremental",
 ]
 
 

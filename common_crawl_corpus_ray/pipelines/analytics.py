@@ -1745,6 +1745,87 @@ def _emb_stream(b: pa.Table, spec: list[tuple[int, int, int, float]],
                               pa.list_(pa.float32()))})
 
 
+def _emb_staged_uris(sf_dir: str) -> tuple[str, str, str]:
+    """One-time staging shared by embedding_incremental and
+    embedding_index_evolution: the version-1 sig-keyed prior index and
+    the two derived crawl streams (idempotent guards, one spelling of
+    each derivation so the queries cannot drift)."""
+    import os
+
+    from ..sources import lancelite
+
+    tag = _content_tag(sf_dir, table="embeddings")
+    euri = f"/tmp/ccc_prior_emb_idx_{tag}"
+    n1_uri = f"/tmp/ccc_evo_emb_new1_{tag}"
+    n2_uri = f"/tmp/ccc_evo_emb_new2_{tag}"
+
+    if not os.path.exists(os.path.join(euri, "_versions")):
+        prior = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+                 .map_batches(_emb_sig_rows, batch_format="pyarrow")
+                 .sort("sig"))
+        lancelite.write_dataset(prior, euri, key_stats="sig")
+
+    spec1 = [(0, _EVO_EMB_COPY_HI, 0, 1.0),
+             (_EVO_EMB_SCALE_LO, _EVO_EMB_SCALE_HI, 0, 2.0),
+             (_EVO_EMB_NEG_LO, _EVO_EMB_NEG_HI, 0, -1.0)]
+    spec2 = [(_EVO_EMB_NEG_LO, _EVO_EMB_NEG_HI, 0, -0.5),
+             (_EVO_EMB_C2P_LO, _EVO_EMB_C2P_HI, 0, 1.0),
+             (_EVO_EMB_C2N_LO, _EVO_EMB_C2N_HI, 0, -1.0)]
+    for uri, spec, base in ((n1_uri, spec1, _EVO_EMB_BASE1),
+                            (n2_uri, spec2, _EVO_EMB_BASE2)):
+        if not os.path.exists(os.path.join(uri, "_versions")):
+            news = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+                    .map_batches(
+                        lambda b, s=spec, ba=base: _emb_stream(b, s, ba),
+                        batch_format="pyarrow")
+                    .sort("vec_id"))
+            lancelite.write_dataset(news, uri, key_stats="vec_id")
+    return euri, n1_uri, n2_uri
+
+
+def embedding_incremental(sf_dir: str):
+    """Cross-crawl incremental EMBEDDING near-dup: the crawl-1 leg of
+    embedding_index_evolution as a standalone query — new vectors
+    (copies / 2x-scaled copies / negations of prior vectors) probe the
+    VERSION-1 sig-keyed prior index; survivors (cosine < threshold
+    against every same-signature prior vector) stream out. Pinned to
+    version 1, so its new-vs-prior semantics are independent of whether
+    embedding_index_evolution has appended survivor versions."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedFragmentIndex
+
+    euri, n1_uri, _ = _emb_staged_uris(sf_dir)
+
+    matched_ds = (lancelite.read(n1_uri, columns=["vec_id", "embedding"])
+                  .map_batches(_emb_sig_rows, batch_format="pyarrow")
+                  .sort("sig")
+                  .map_batches(_EmbSigProbe, batch_format="pyarrow",
+                               batch_size=4096,
+                               fn_constructor_args=(
+                                   KeyedFragmentIndex(euri, "sig",
+                                                      version=1),
+                                   _EVO_EMB_THRESHOLD),
+                               concurrency=(1, 4), num_cpus=1))
+    matched = set()
+    for t in ray.get(matched_ds.to_arrow_refs()):
+        matched.update(t["nid"].to_pylist())
+    matched_ref = ray.put(np.sort(np.fromiter(matched, dtype=np.int64,
+                                              count=len(matched))))
+
+    def survivors(b: pa.Table) -> pa.Table:
+        m = cached_get(matched_ref)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(m, ids), 0, max(m.size - 1, 0))
+        is_dup = m[pos] == ids if m.size else np.zeros(len(ids), bool)
+        return pa.table({"vec_id": pa.array(ids[~is_dup], pa.int64())})
+
+    return lancelite.read(n1_uri, columns=["vec_id"]).map_batches(
+        survivors, batch_format="pyarrow")
+
+
 def embedding_index_evolution(sf_dir: str):
     """TRUE multi-crawl state evolution of the EMBEDDING near-dup index —
     the third axis of the evolution family (text: near_index_evolution,
@@ -1779,32 +1860,8 @@ def embedding_index_evolution(sf_dir: str):
     from ..sources.keyed import KeyedFragmentIndex
 
     tag = _content_tag(sf_dir, table="embeddings")
-    euri = f"/tmp/ccc_prior_emb_idx_{tag}"
-    n1_uri = f"/tmp/ccc_evo_emb_new1_{tag}"
     acc_uri = f"/tmp/ccc_evo_emb_acc_{tag}"
-    n2_uri = f"/tmp/ccc_evo_emb_new2_{tag}"
-
-    if not os.path.exists(os.path.join(euri, "_versions")):
-        prior = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
-                 .map_batches(_emb_sig_rows, batch_format="pyarrow")
-                 .sort("sig"))
-        lancelite.write_dataset(prior, euri, key_stats="sig")
-
-    spec1 = [(0, _EVO_EMB_COPY_HI, 0, 1.0),
-             (_EVO_EMB_SCALE_LO, _EVO_EMB_SCALE_HI, 0, 2.0),
-             (_EVO_EMB_NEG_LO, _EVO_EMB_NEG_HI, 0, -1.0)]
-    spec2 = [(_EVO_EMB_NEG_LO, _EVO_EMB_NEG_HI, 0, -0.5),
-             (_EVO_EMB_C2P_LO, _EVO_EMB_C2P_HI, 0, 1.0),
-             (_EVO_EMB_C2N_LO, _EVO_EMB_C2N_HI, 0, -1.0)]
-    for uri, spec, base in ((n1_uri, spec1, _EVO_EMB_BASE1),
-                            (n2_uri, spec2, _EVO_EMB_BASE2)):
-        if not os.path.exists(os.path.join(uri, "_versions")):
-            news = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
-                    .map_batches(
-                        lambda b, s=spec, ba=base: _emb_stream(b, s, ba),
-                        batch_format="pyarrow")
-                    .sort("vec_id"))
-            lancelite.write_dataset(news, uri, key_stats="vec_id")
+    euri, n1_uri, n2_uri = _emb_staged_uris(sf_dir)
 
     def probe_matched(new_uri: str, index) -> "ray.data.Dataset":
         return (lancelite.read(new_uri, columns=["vec_id", "embedding"])

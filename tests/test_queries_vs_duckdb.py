@@ -110,6 +110,8 @@ SQL_QUERIES = [
     # appended to the sig-keyed index, crawl-2 drops must trace to BOTH
     # sides (exact-cosine two-crawl simulation oracle)
     "embedding_index_evolution",
+    # round 5: standalone crawl-1 leg (new-vs-prior, version-1 pinned)
+    "embedding_incremental",
     # round 5: exact-detector evolution twin on the text axis (survivor
     # hashes appended as version 2; crawl-2 anti-probes the union)
     "hash_index_evolution",
