@@ -274,6 +274,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # evolution family; sig-keyed single-table index, fused verify)
         "embedding_index_evolution": A.embedding_index_evolution,
         "embedding_incremental": A.embedding_incremental,
+        # round 5: sixth detector joins the lifecycle — simhash
+        # incremental (version-1 pinned) + index evolution
+        "simhash_incremental": A.simhash_incremental,
+        "simhash_index_evolution": A.simhash_index_evolution,
         # round 5: exact-detector evolution twins (hash / payload digest),
         # completing the incremental x evolution matrix on all five
         # detectors
@@ -909,6 +913,72 @@ WITH prior AS (
 )
 SELECT vec_id FROM new2 WHERE vec_id NOT IN (SELECT vec_id FROM ver2)"""
 
+    # simhash incremental / index evolution: the SAME bit-identical
+    # words->wh->votes->sig->chunks chain as simhash_sql (sliced, so the
+    # spelling cannot drift), over derived crawl streams; stream
+    # membership is by id range (prior < 1e6, crawl-1 in [6e6, 7e6),
+    # crawl-2 >= 7e6). Novel docs REVERSE every word — simhash is
+    # order-invariant, so word-sorting would be a hamming-0 dup.
+    sim_chain = simhash_sql[simhash_sql.index("), words AS ("):
+                            simhash_sql.index("\nSELECT DISTINCT")]
+    rev_words = ("list_transform(string_split_regex(trim(text), '\\s+'), "
+                 "x -> reverse(x))")
+    sim_streams = f"""
+WITH mutsrc AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id < {A._EVO_SIM_MUT_HI}
+), new1 AS (
+  SELECT doc_id + {A._EVO_SIM_BASE1} AS doc_id, {mut_case} AS text
+  FROM mutsrc
+  UNION ALL
+  SELECT doc_id + {A._EVO_SIM_BASE1}, array_to_string({rev_words}, ' ')
+  FROM documents
+  WHERE doc_id >= {A._EVO_SIM_REV_LO} AND doc_id < {A._EVO_SIM_REV_HI}
+), rev2src AS (
+  SELECT doc_id, {rev_words} AS w FROM documents
+  WHERE doc_id >= {A._EVO_SIM_REV_LO} AND doc_id < {A._EVO_SIM_REV_HI}
+), mut2src AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+  WHERE doc_id >= {A._EVO_SIM_MUT2_LO} AND doc_id < {A._EVO_SIM_MUT2_HI}
+), new2 AS (
+  SELECT doc_id + {A._EVO_SIM_BASE2} AS doc_id, {mut_case} AS text
+  FROM rev2src
+  UNION ALL
+  SELECT doc_id + {A._EVO_SIM_BASE2}, {mut_case} FROM mut2src
+  UNION ALL
+  SELECT doc_id + {A._EVO_SIM_BASE2}, array_to_string({rev_words}, ' ')
+  FROM documents
+  WHERE doc_id >= {A._EVO_SIM_REV2_LO} AND doc_id < {A._EVO_SIM_REV2_HI}
+), docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM new1
+  UNION ALL SELECT doc_id, text FROM new2
+"""
+    sim_ver1 = f""", ver1 AS (
+  SELECT DISTINCT b.doc_id AS nid
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv
+  WHERE a.doc_id < 1000000 AND b.doc_id >= {A._EVO_SIM_BASE1}
+    AND b.doc_id < {A._EVO_SIM_BASE2}
+    AND bit_count(xor(a.sig, b.sig)) <= {A._SIM_MAXHAM}
+)"""
+    simhash_incremental_sql = (
+        sim_streams + sim_chain + sim_ver1
+        + "\nSELECT doc_id FROM new1 "
+          "WHERE doc_id NOT IN (SELECT nid FROM ver1)")
+    simhash_index_evolution_sql = (
+        sim_streams + sim_chain + sim_ver1 + f""", surv1 AS (
+  SELECT doc_id FROM new1 WHERE doc_id NOT IN (SELECT nid FROM ver1)
+), ver2 AS (
+  SELECT DISTINCT b.doc_id AS nid
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv
+  WHERE b.doc_id >= {A._EVO_SIM_BASE2}
+    AND (a.doc_id < 1000000
+         OR a.doc_id IN (SELECT doc_id FROM surv1))
+    AND bit_count(xor(a.sig, b.sig)) <= {A._SIM_MAXHAM}
+)
+SELECT doc_id FROM new2 WHERE doc_id NOT IN (SELECT nid FROM ver2)""")
+
     # standalone crawl-1 leg (new-vs-PRIOR, version-1 semantics)
     embedding_incremental_sql = f"""
 WITH prior AS (
@@ -974,6 +1044,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "near_index_evolution": near_index_evolution_sql,
         "embedding_index_evolution": embedding_index_evolution_sql,
         "embedding_incremental": embedding_incremental_sql,
+        "simhash_incremental": simhash_incremental_sql,
+        "simhash_index_evolution": simhash_index_evolution_sql,
         "hash_index_evolution": A.hash_index_evolution_sql(),
         "payload_index_evolution": AO.payload_index_evolution_sql(),
         "sentence_dedup": A.sentence_dedup_sql(),

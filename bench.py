@@ -94,6 +94,7 @@ QUERY_NAMES = [
     "audio_index_evolution", "near_index_evolution",
     "embedding_index_evolution", "hash_index_evolution",
     "payload_index_evolution", "embedding_incremental",
+    "simhash_incremental", "simhash_index_evolution",
 ]
 
 

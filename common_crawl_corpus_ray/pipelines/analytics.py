@@ -28,7 +28,9 @@ from ..sources.keyed import KeyedBatchJoiner
 # module-level (worker bodies below call these; a function-level import
 # would re-run ON the worker and fail without the repo on its path)
 from ..stages.dedup_family import (_embed_matrix, _l2norm, _shingle_hashes,
-                                   minhash_signatures_batch)
+                                   explode_sig16, hamming64_batch,
+                                   minhash_signatures_batch,
+                                   simhash64_batch)
 
 WS_RE = spec.WS_CLASS + "+"
 # DuckDB spelling of the SAME whitespace split: WS_RE is a raw-string RE2
@@ -1648,7 +1650,248 @@ def near_index_evolution(sf_dir: str):
         survivors, batch_format="pyarrow")
 
 
-# crawl derivation ranges for embedding_index_evolution. Every transform
+# simhash incremental/evolution: derivation ranges and banding. SimHash is
+# ORDER-INVARIANT over word unigrams, so the near-dup streams' word-sorted
+# scrambles would be hamming-0 dups here; novel docs instead REVERSE every
+# word (changes every FNV word hash). max_hamming matches the simhash
+# detector's cluster policies (dedup_clusters_simhash).
+_SIM_MAXHAM = 8
+_EVO_SIM_MUT_HI = 50                           # crawl-1 one-word mutations
+_EVO_SIM_REV_LO, _EVO_SIM_REV_HI = 50, 75      # crawl-1 reversed (novel)
+_EVO_SIM_MUT2_LO, _EVO_SIM_MUT2_HI = 100, 125  # crawl-2 mutations of PRIOR
+_EVO_SIM_REV2_LO, _EVO_SIM_REV2_HI = 150, 175  # crawl-2 reversed (novel)
+_EVO_SIM_BASE1 = 6_000_000
+_EVO_SIM_BASE2 = 7_000_000
+
+
+def _sim_band_rows(b: pa.Table) -> pa.Table:
+    """(bk, band, cv, sig, doc_id) band rows — 4 per doc. ``bk`` is the
+    COLLISION-FREE probe key cv*4+band (cv is 16 bits, band 2), so the
+    range probe needs no re-check of the blocking columns; the full sig
+    rides the row, fusing the Hamming verify into the probe."""
+    sigs = simhash64_batch(b["text"].to_pylist())
+    rep, band, cv = explode_sig16(sigs, 4)
+    ids = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64), 4)
+    return pa.table({"bk": pa.array(cv * 4 + band, pa.int64()),
+                     "band": pa.array(band),
+                     "cv": pa.array(cv),
+                     "sig": pa.array(rep, pa.uint64()),
+                     "doc_id": pa.array(ids, pa.int64())})
+
+
+class _SimBandProbe:
+    """Actor-pool banded simhash probe: each batch of bk-sorted band rows
+    range-scans the persisted index and emits the doc_ids with ANY
+    partner at hamming <= max (probe and verify fused — the signature is
+    in the row). Self-matches (same doc_id) are excluded so an evolved
+    index never flags a doc against itself."""
+
+    def __init__(self, index, max_hamming: int):
+        self.joiner = KeyedBatchJoiner(
+            index, columns=["bk", "sig", "doc_id"])
+        self.max_hamming = max_hamming
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        empty = pa.table({"nid": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        k = b["bk"].to_numpy(zero_copy_only=False)
+        side = self.joiner._side_for(k)
+        if side is None:
+            return empty
+        skeys, stable = side
+        lo = np.searchsorted(skeys, k, "left")
+        hi = np.searchsorted(skeys, k, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        starts = np.cumsum(cnt) - cnt
+        ridx = np.repeat(lo, cnt) + (np.arange(total)
+                                     - np.repeat(starts, cnt))
+        take = pa.array(ridx)
+        s_sig = stable["sig"].take(take).to_numpy(zero_copy_only=False)
+        s_id = stable["doc_id"].take(take).to_numpy(zero_copy_only=False)
+        n_sig = np.repeat(b["sig"].to_numpy(zero_copy_only=False), cnt)
+        n_id = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), cnt)
+        hm = hamming64_batch(n_sig, s_sig)
+        hit = (hm <= self.max_hamming) & (n_id != s_id)
+        return pa.table({"nid": pa.array(np.unique(n_id[hit]), pa.int64())})
+
+
+def _sim_mut(words: list[str]) -> str:
+    w = list(words)
+    if len(w) > 4:
+        w[3] = "mutated"
+    return " ".join(w)
+
+
+def simhash_crawl_docs(sf_dir: str, crawl: int):
+    """Derived crawl streams for the simhash lifecycle (one spelling for
+    both queries; every transform is SQL-expressible so the oracle
+    rebuilds the identical streams). Crawl 1: one-word mutations of docs
+    0-49 (near-dups of prior) and every-word-REVERSED docs 50-74 (novel
+    under simhash). Crawl 2: mutations of the reversed docs 50-74
+    (near-dups of crawl-1 survivors — findable only via the appended
+    state), mutations of prior docs 100-124 (near-dups of version-1
+    state), reversed docs 150-174 (novel)."""
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        out_ids: list[int] = []
+        out_txt: list[str] = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            words = t.split()
+            if crawl == 1:
+                if i < _EVO_SIM_MUT_HI:
+                    out_ids.append(_EVO_SIM_BASE1 + i)
+                    out_txt.append(_sim_mut(words))
+                elif i < _EVO_SIM_REV_HI:
+                    out_ids.append(_EVO_SIM_BASE1 + i)
+                    out_txt.append(" ".join(w[::-1] for w in words))
+            else:
+                if _EVO_SIM_REV_LO <= i < _EVO_SIM_REV_HI:
+                    out_ids.append(_EVO_SIM_BASE2 + i)
+                    out_txt.append(_sim_mut([w[::-1] for w in words]))
+                elif _EVO_SIM_MUT2_LO <= i < _EVO_SIM_MUT2_HI:
+                    out_ids.append(_EVO_SIM_BASE2 + i)
+                    out_txt.append(_sim_mut(words))
+                elif _EVO_SIM_REV2_LO <= i < _EVO_SIM_REV2_HI:
+                    out_ids.append(_EVO_SIM_BASE2 + i)
+                    out_txt.append(" ".join(w[::-1] for w in words))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def _sim_staged_uris(sf_dir: str) -> tuple[str, str, str]:
+    """One-time staging shared by simhash_incremental and
+    simhash_index_evolution: the version-1 bk-sorted prior band index
+    and the two derived crawl streams (idempotent guards)."""
+    import os
+
+    from ..sources import lancelite
+
+    tag = _content_tag(sf_dir)
+    suri = f"/tmp/ccc_prior_sim_idx_{tag}"
+    n1_uri = f"/tmp/ccc_evo_sim_new1_{tag}"
+    n2_uri = f"/tmp/ccc_evo_sim_new2_{tag}"
+    if not os.path.exists(os.path.join(suri, "_versions")):
+        prior = (_read(sf_dir, "documents", ["doc_id", "text"])
+                 .map_batches(_sim_band_rows, batch_format="pyarrow")
+                 .sort("bk"))
+        lancelite.write_dataset(prior, suri, key_stats="bk")
+    for uri, crawl in ((n1_uri, 1), (n2_uri, 2)):
+        if not os.path.exists(os.path.join(uri, "_versions")):
+            lancelite.write_dataset(
+                simhash_crawl_docs(sf_dir, crawl).sort("doc_id"), uri,
+                key_stats="doc_id")
+    return suri, n1_uri, n2_uri
+
+
+def _sim_survivors(new_uri: str, index):
+    """Shared increment-side pipeline: sign the staged new table's docs,
+    bk-sort, probe+verify against the persisted index, anti-filter the
+    matched ids. Returns the surviving (doc_id) Dataset."""
+    import ray
+
+    from ..sources import lancelite
+
+    matched_ds = (lancelite.read(new_uri, columns=["doc_id", "text"])
+                  .map_batches(_sim_band_rows, batch_format="pyarrow")
+                  .sort("bk")
+                  .map_batches(_SimBandProbe, batch_format="pyarrow",
+                               batch_size=4096,
+                               fn_constructor_args=(index, _SIM_MAXHAM),
+                               concurrency=(1, 4), num_cpus=1))
+    matched = set()
+    for t in ray.get(matched_ds.to_arrow_refs()):
+        matched.update(t["nid"].to_pylist())
+    matched_ref = ray.put(np.sort(np.fromiter(matched, dtype=np.int64,
+                                              count=len(matched))))
+
+    def survivors(b: pa.Table) -> pa.Table:
+        m = cached_get(matched_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(m, ids), 0, max(m.size - 1, 0))
+        is_dup = m[pos] == ids if m.size else np.zeros(len(ids), bool)
+        return pa.table({"doc_id": pa.array(ids[~is_dup], pa.int64())})
+
+    return lancelite.read(new_uri, columns=["doc_id"]).map_batches(
+        survivors, batch_format="pyarrow")
+
+
+def simhash_incremental(sf_dir: str):
+    """Cross-crawl incremental SIMHASH near-dup: new docs whose 64-bit
+    simhash lies within the detector's hamming bound of ANY prior doc
+    (banded 4x16-bit candidate blocking, fused Hamming verify) are
+    dropped against the persisted VERSION-1 band index; survivors stream
+    out. The sixth detector joins the incremental family; pinned to
+    version 1 so semantics are independent of simhash_index_evolution."""
+    from ..sources.keyed import KeyedFragmentIndex
+
+    suri, n1_uri, _ = _sim_staged_uris(sf_dir)
+    return _sim_survivors(n1_uri,
+                          KeyedFragmentIndex(suri, "bk", version=1))
+
+
+def simhash_index_evolution(sf_dir: str):
+    """Multi-crawl state evolution of the SIMHASH band index — the sixth
+    and last detector's evolution twin: crawl-1 survivors' band rows are
+    APPENDED as lancelite version 2 and crawl 2 probes the evolved union
+    (mutations of crawl-1's reversed docs are findable ONLY through the
+    appended rows; mutations of prior docs only through version 1; fresh
+    reversed docs survive). Same keyed-flags anti-join, O(increment)
+    steps, and two-crawl SQL simulation oracle as the other axes."""
+    import os
+
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedBatchJoiner, KeyedFragmentIndex
+
+    suri, n1_uri, n2_uri = _sim_staged_uris(sf_dir)
+    tag = _content_tag(sf_dir)
+    acc_uri = f"/tmp/ccc_evo_sim_acc_{tag}"
+
+    if not os.path.exists(os.path.join(acc_uri, "_versions")):
+        surv1 = _sim_survivors(n1_uri,
+                               KeyedFragmentIndex(suri, "bk", version=1))
+        flags_uri = f"/tmp/ccc_evo_sim_flags_{tag}"
+        lancelite.write_dataset(surv1.sort("doc_id"), flags_uri,
+                                key_stats="doc_id")
+        fidx = KeyedFragmentIndex(flags_uri, "doc_id")
+
+        class _KeepSurvivors:
+            """Keyed SEMI-join: keep new docs present in the survivor
+            flags table (doc_id-sorted batches, range pruning holds)."""
+
+            def __init__(self, index):
+                self.j = KeyedBatchJoiner(index, columns=["doc_id"])
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                _, found, _ = self.j.probe(
+                    b["doc_id"].to_numpy(zero_copy_only=False))
+                return b.filter(pa.array(found))
+
+        acc = (lancelite.read(n1_uri, columns=["doc_id", "text"])
+               .map_batches(_KeepSurvivors, batch_format="pyarrow",
+                            batch_size=4096, fn_constructor_args=(fidx,),
+                            concurrency=(1, 4), num_cpus=1))
+        lancelite.write_dataset(acc.sort("doc_id"), acc_uri,
+                                key_stats="doc_id")
+
+    if lancelite.latest_version(suri) < 2:
+        bands2 = (lancelite.read(acc_uri, columns=["doc_id", "text"])
+                  .map_batches(_sim_band_rows, batch_format="pyarrow")
+                  .sort("bk"))
+        lancelite.write_dataset(bands2, suri, mode="append",
+                                key_stats="bk")
+
+    return _sim_survivors(n2_uri, KeyedFragmentIndex(suri, "bk"))
 # is exact in float32 (copy, negate, scale by powers of two), so the Ray
 # stream and the SQL oracle's list_transform rebuild bit-identical vectors;
 # fixture margins make threshold decisions unambiguous (natural |cosine|

@@ -112,6 +112,10 @@ SQL_QUERIES = [
     "embedding_index_evolution",
     # round 5: standalone crawl-1 leg (new-vs-prior, version-1 pinned)
     "embedding_incremental",
+    # round 5: simhash lifecycle (sixth detector) — banded incremental
+    # probe + evolution, word-REVERSAL novelty (simhash is word-order
+    # invariant, so scrambles would be hamming-0 dups)
+    "simhash_incremental", "simhash_index_evolution",
     # round 5: exact-detector evolution twin on the text axis (survivor
     # hashes appended as version 2; crawl-2 anti-probes the union)
     "hash_index_evolution",
