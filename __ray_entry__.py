@@ -278,6 +278,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental (version-1 pinned) + index evolution
         "simhash_incremental": A.simhash_incremental,
         "simhash_index_evolution": A.simhash_index_evolution,
+        # round 5: seventh detector — ngram-Jaccard lifecycle over a
+        # persisted INVERTED INDEX (frozen version-1 hot set)
+        "ngram_incremental": A.ngram_incremental,
+        "ngram_index_evolution": A.ngram_index_evolution,
         # round 5: exact-detector evolution twins (hash / payload digest),
         # completing the incremental x evolution matrix on all five
         # detectors
@@ -913,6 +917,65 @@ WITH prior AS (
 )
 SELECT vec_id FROM new2 WHERE vec_id NOT IN (SELECT vec_id FROM ver2)"""
 
+    # ngram incremental / index evolution: the SAME derived crawl streams
+    # as near_index_evolution (sliced from its SQL, so the stream spelling
+    # cannot drift) probed with the ngram-Jaccard detector. The df-cap hot
+    # set is computed over the PRIOR corpus only (doc_id < 1e6) — the
+    # frozen version-1 policy the Ray index build uses.
+    near_streams = near_index_evolution_sql[
+        :near_index_evolution_sql.index("), docs AS (")] + ")"
+    ng_chain = f""", ngdocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM new1
+  UNION ALL SELECT doc_id, text FROM new2
+), wt AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM ngdocs
+), sh0 AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+        FROM wt)
+), hot AS (
+  SELECT sh FROM sh0 WHERE doc_id < 1000000
+  GROUP BY sh HAVING count(*) > {NGRAM_DF_CAP}
+), sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
+), cnt AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), co1 AS (
+  SELECT b.doc_id AS nid, a.doc_id AS pid, count(*) AS co
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.doc_id < 1000000
+    AND b.doc_id >= 1000000 AND b.doc_id < 3000000
+  GROUP BY 1, 2
+), ver1 AS (
+  SELECT DISTINCT nid
+  FROM co1 JOIN cnt ca ON ca.doc_id = co1.nid
+           JOIN cnt cb ON cb.doc_id = co1.pid
+  WHERE co * 1.0 / (ca.c + cb.c - co) >= {A._NG_THRESHOLD}
+)"""
+    ngram_incremental_sql = (
+        near_streams + ng_chain
+        + "\nSELECT doc_id FROM new1 "
+          "WHERE doc_id NOT IN (SELECT nid FROM ver1)")
+    ngram_index_evolution_sql = (
+        near_streams + ng_chain + f""", ngsurv1 AS (
+  SELECT doc_id FROM new1 WHERE doc_id NOT IN (SELECT nid FROM ver1)
+), co2 AS (
+  SELECT b.doc_id AS nid, a.doc_id AS pid, count(*) AS co
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE b.doc_id >= 3000000
+    AND (a.doc_id < 1000000
+         OR a.doc_id IN (SELECT doc_id FROM ngsurv1))
+  GROUP BY 1, 2
+), ver2 AS (
+  SELECT DISTINCT nid
+  FROM co2 JOIN cnt ca ON ca.doc_id = co2.nid
+           JOIN cnt cb ON cb.doc_id = co2.pid
+  WHERE co * 1.0 / (ca.c + cb.c - co) >= {A._NG_THRESHOLD}
+)
+SELECT doc_id FROM new2 WHERE doc_id NOT IN (SELECT nid FROM ver2)""")
+
     # simhash incremental / index evolution: the SAME bit-identical
     # words->wh->votes->sig->chunks chain as simhash_sql (sliced, so the
     # spelling cannot drift), over derived crawl streams; stream
@@ -1046,6 +1109,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "embedding_incremental": embedding_incremental_sql,
         "simhash_incremental": simhash_incremental_sql,
         "simhash_index_evolution": simhash_index_evolution_sql,
+        "ngram_incremental": ngram_incremental_sql,
+        "ngram_index_evolution": ngram_index_evolution_sql,
         "hash_index_evolution": A.hash_index_evolution_sql(),
         "payload_index_evolution": AO.payload_index_evolution_sql(),
         "sentence_dedup": A.sentence_dedup_sql(),

@@ -95,6 +95,7 @@ QUERY_NAMES = [
     "embedding_index_evolution", "hash_index_evolution",
     "payload_index_evolution", "embedding_incremental",
     "simhash_incremental", "simhash_index_evolution",
+    "ngram_incremental", "ngram_index_evolution",
 ]
 
 

@@ -30,7 +30,7 @@ from ..sources.keyed import KeyedBatchJoiner
 from ..stages.dedup_family import (_embed_matrix, _l2norm, _shingle_hashes,
                                    explode_sig16, hamming64_batch,
                                    minhash_signatures_batch,
-                                   simhash64_batch)
+                                   simhash64_batch, word_ngrams)
 
 WS_RE = spec.WS_CLASS + "+"
 # DuckDB spelling of the SAME whitespace split: WS_RE is a raw-string RE2
@@ -1374,6 +1374,26 @@ class _NearVerify:
         return pa.table({"nid": pa.array(matched, pa.int64())})
 
 
+def _near_stage_streams(sf_dir: str) -> tuple[str, str]:
+    """One-time staging of the derived crawl-1 / crawl-2 document streams
+    (idempotent) — shared by the minhash (near) AND ngram lifecycles,
+    which probe the same streams with different detectors."""
+    import os
+
+    from ..sources import lancelite
+
+    tag = _content_tag(sf_dir)
+    new_uri = f"/tmp/ccc_inc_near_new_{tag}"
+    new2_uri = f"/tmp/ccc_evo_near_new2_{tag}"
+    if not os.path.exists(os.path.join(new_uri, "_versions")):
+        lancelite.write_dataset(incremental_near_docs(sf_dir).sort("doc_id"),
+                                new_uri, key_stats="doc_id")
+    if not os.path.exists(os.path.join(new2_uri, "_versions")):
+        lancelite.write_dataset(evolution_near_docs(sf_dir).sort("doc_id"),
+                                new2_uri, key_stats="doc_id")
+    return new_uri, new2_uri
+
+
 def _near_probe_matched(sf_dir: str, new_uri: str, band_idx, text_idx):
     """The increment-side near-dup probe shared by dedup_incremental_near
     and near_index_evolution: signature ONLY the staged new table's docs,
@@ -1465,11 +1485,7 @@ def dedup_incremental_near(sf_dir: str):
     from ..sources import lancelite
 
     band_idx, text_idx = _near_prior_index(sf_dir)
-    tag = _content_tag(sf_dir)
-    new_uri = f"/tmp/ccc_inc_near_new_{tag}"
-    if not os.path.exists(os.path.join(new_uri, "_versions")):
-        lancelite.write_dataset(incremental_near_docs(sf_dir).sort("doc_id"),
-                                new_uri, key_stats="doc_id")
+    new_uri, _ = _near_stage_streams(sf_dir)
 
     matched_ds = _near_probe_matched(sf_dir, new_uri, band_idx, text_idx)
     matched = set()
@@ -1576,12 +1592,8 @@ def near_index_evolution(sf_dir: str):
 
     buri, turi = _near_prior_uris(sf_dir)
     tag = _content_tag(sf_dir)
-    new_uri = f"/tmp/ccc_inc_near_new_{tag}"
     acc_uri = f"/tmp/ccc_evo_near_acc_{tag}"
-    new2_uri = f"/tmp/ccc_evo_near_new2_{tag}"
-    if not os.path.exists(os.path.join(new_uri, "_versions")):
-        lancelite.write_dataset(incremental_near_docs(sf_dir).sort("doc_id"),
-                                new_uri, key_stats="doc_id")
+    new_uri, new2_uri = _near_stage_streams(sf_dir)
 
     # -- crawl 1: accept the increment's survivors --------------------------
     if not os.path.exists(os.path.join(acc_uri, "_versions")):
@@ -1626,10 +1638,7 @@ def near_index_evolution(sf_dir: str):
         lancelite.write_dataset(lancelite.read(acc_uri), turi,
                                 mode="append", key_stats="doc_id")
 
-    # -- crawl 2: stage and probe the EVOLVED index --------------------------
-    if not os.path.exists(os.path.join(new2_uri, "_versions")):
-        lancelite.write_dataset(evolution_near_docs(sf_dir).sort("doc_id"),
-                                new2_uri, key_stats="doc_id")
+    # -- crawl 2: probe the EVOLVED index -------------------------------------
     matched_ds = _near_probe_matched(
         sf_dir, new2_uri, KeyedFragmentIndex(buri, "bk"),
         KeyedFragmentIndex(turi, "doc_id"))
@@ -1648,6 +1657,290 @@ def near_index_evolution(sf_dir: str):
 
     return lancelite.read(new2_uri, columns=["doc_id"]).map_batches(
         survivors, batch_format="pyarrow")
+
+
+# ngram-jaccard incremental/evolution: the seventh detector's lifecycle,
+# probing the SAME derived crawl streams as the minhash one but against a
+# persisted INVERTED INDEX — (shingle-key, shingle, doc_id, nd) posting
+# rows — instead of a signature table. The df-cap hot set is FROZEN at
+# version-1 (prior-corpus document frequency): a production epoch pins
+# its boilerplate list when the index is built, so appended survivor
+# postings use the same representation and Jaccard stays comparable
+# across crawls (the oracle computes hot over prior-only to match).
+_NG_N = 3
+_NG_THRESHOLD = 0.5
+
+
+def _ng_posting_rows(b: pa.Table, hot: frozenset) -> pa.Table:
+    """Explode docs to capped word-ngram posting rows. ``shk`` is the
+    crc32 of the shingle (range-probe key; collisions are resolved by
+    the carried exact shingle string); ``nd`` is the doc's capped
+    distinct-shingle count — the Jaccard denominator rides every row."""
+    import zlib
+
+    ids_np = b["doc_id"].to_numpy(zero_copy_only=False)
+    out_ids: list[int] = []
+    out_sh: list[str] = []
+    out_nd: list[int] = []
+    for i, t in zip(ids_np, b["text"].to_pylist()):
+        grams = word_ngrams(t, _NG_N) - hot
+        for sh in grams:
+            out_ids.append(int(i))
+            out_sh.append(sh)
+            out_nd.append(len(grams))
+    shk = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in out_sh),
+                      dtype=np.int64, count=len(out_sh))
+    return pa.table({"shk": pa.array(shk, pa.int64()),
+                     "sh": pa.array(out_sh, pa.string()),
+                     "doc_id": pa.array(out_ids, pa.int64()),
+                     "nd": pa.array(out_nd, pa.int64())})
+
+
+class _NgramProbe:
+    """Actor-pool inverted-index probe: each batch of shk-sorted new
+    posting rows range-scans the persisted index, resolves shk collisions
+    by exact shingle equality, and emits one (nid, pid, nd_new, nd_prior)
+    row per SHARED SHINGLE — the pair's intersection partials, summed by
+    the downstream pair exchange."""
+
+    def __init__(self, index):
+        self.joiner = KeyedBatchJoiner(
+            index, columns=["shk", "sh", "doc_id", "nd"])
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        empty = pa.table({"nid": pa.array([], pa.int64()),
+                          "pid": pa.array([], pa.int64()),
+                          "nd_new": pa.array([], pa.int64()),
+                          "nd_prior": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        k = b["shk"].to_numpy(zero_copy_only=False)
+        side = self.joiner._side_for(k)
+        if side is None:
+            return empty
+        skeys, stable = side
+        lo = np.searchsorted(skeys, k, "left")
+        hi = np.searchsorted(skeys, k, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        starts = np.cumsum(cnt) - cnt
+        ridx = np.repeat(lo, cnt) + (np.arange(total)
+                                     - np.repeat(starts, cnt))
+        take = pa.array(ridx)
+        s_sh = stable["sh"].take(take)
+        n_sh = pa.array(np.repeat(np.asarray(b["sh"].to_pylist(),
+                                             dtype=object), cnt))
+        ok = pc.equal(s_sh, n_sh).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nid": pa.array(np.repeat(
+                b["doc_id"].to_numpy(zero_copy_only=False), cnt)[ok],
+                pa.int64()),
+            "pid": pa.array(stable["doc_id"].take(take)
+                            .to_numpy(zero_copy_only=False)[ok], pa.int64()),
+            "nd_new": pa.array(np.repeat(
+                b["nd"].to_numpy(zero_copy_only=False), cnt)[ok],
+                pa.int64()),
+            "nd_prior": pa.array(stable["nd"].take(take)
+                                 .to_numpy(zero_copy_only=False)[ok],
+                                 pa.int64())})
+
+
+def _ng_hot_set(sf_dir: str) -> frozenset:
+    """The FROZEN version-1 hot set: word ngrams whose PRIOR-corpus df
+    exceeds the detector's cap (dedup_family.NGRAM_DF_CAP), found with
+    the same two-pass bucket-exchange df count ngram_jaccard_pairs uses
+    and persisted as a tiny lancelite table (content-keyed)."""
+    import os
+    import zlib
+
+    from ..sources import lancelite
+    from ..stages.decide import scaled_buckets
+    from ..stages.dedup_family import NGRAM_DF_CAP, word_ngrams
+    from ..stages.exchange import bucket_exchange
+
+    hot_uri = f"/tmp/ccc_prior_ng_hot_{_content_tag(sf_dir)}"
+    if not os.path.exists(os.path.join(hot_uri, "_versions")):
+        nb = scaled_buckets(None, rows_per_bucket=500_000, lo=4)
+
+        def df_partials(batch: pa.Table) -> pa.Table:
+            cnt: dict[str, int] = {}
+            for t in batch["text"].to_pylist():
+                for sh in word_ngrams(t, _NG_N):
+                    cnt[sh] = cnt.get(sh, 0) + 1
+            shs = list(cnt)
+            bucket = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) % nb for s in shs),
+                dtype=np.int64, count=len(shs))
+            return pa.table({"bucket": pa.array(bucket, pa.int64()),
+                             "sh": pa.array(shs, pa.string()),
+                             "c": pa.array([cnt[s] for s in shs],
+                                           pa.int64())})
+
+        def hot_bucket(t: pa.Table) -> pa.Table:
+            g = t.select(["sh", "c"]).to_pandas().groupby("sh")["c"].sum()
+            return pa.table({"sh": pa.array(g.index[g > NGRAM_DF_CAP],
+                                            pa.string())})
+
+        hot: list[str] = []
+        for t in bucket_exchange(
+                _read(sf_dir, "documents", ["text"])
+                .map_batches(df_partials, batch_format="pyarrow"),
+                nb, hot_bucket):
+            hot.extend(t["sh"].to_pylist())
+        lancelite.write_table(
+            pa.table({"sh": pa.array(sorted(hot), pa.string())}), hot_uri)
+    return frozenset(lancelite.read_arrow(hot_uri)["sh"].to_pylist())
+
+
+def _ng_staged_uris(sf_dir: str) -> tuple[str, frozenset]:
+    """Version-1 staging of the prior inverted index (+ the frozen hot
+    set it was built under)."""
+    import os
+
+    from ..sources import lancelite
+
+    hot = _ng_hot_set(sf_dir)
+    puri = f"/tmp/ccc_prior_ng_idx_{_content_tag(sf_dir)}"
+    if not os.path.exists(os.path.join(puri, "_versions")):
+        prior = (_read(sf_dir, "documents", ["doc_id", "text"])
+                 .map_batches(lambda b: _ng_posting_rows(b, hot),
+                              batch_format="pyarrow")
+                 .sort("shk"))
+        lancelite.write_dataset(prior, puri, key_stats="shk")
+    return puri, hot
+
+
+def _ng_survivors(sf_dir: str, new_uri: str, index, hot: frozenset):
+    """Shared increment-side pipeline: explode the staged new table under
+    the frozen hot set, shk-sort, probe the inverted index, sum the
+    per-shingle partials into pair intersection counts through one slim
+    exchange, threshold on exact Jaccard, anti-filter the matched ids."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources import lancelite
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    partials = (lancelite.read(new_uri, columns=["doc_id", "text"])
+                .map_batches(lambda b: _ng_posting_rows(b, hot),
+                             batch_format="pyarrow")
+                .sort("shk")
+                .map_batches(_NgramProbe, batch_format="pyarrow",
+                             batch_size=4096, fn_constructor_args=(index,),
+                             concurrency=(1, 4), num_cpus=1))
+
+    nb = scaled_buckets(
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows,
+        rows_per_bucket=500_000, lo=4)
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        nid = b["nid"].to_numpy(zero_copy_only=False)
+        pid = b["pid"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((nid * 31 + pid) % nb,
+                                                  pa.int64()))
+
+    def verify(t: pa.Table) -> pa.Table:
+        # sum shared-shingle partials per pair, then exact Jaccard
+        df = (t.select(["nid", "pid", "nd_new", "nd_prior"]).to_pandas()
+              .groupby(["nid", "pid", "nd_new", "nd_prior"], sort=False)
+              .size().reset_index(name="co"))
+        j = df["co"] / (df["nd_new"] + df["nd_prior"] - df["co"])
+        return pa.table({"nid": pa.array(
+            df.loc[j >= _NG_THRESHOLD, "nid"].unique().astype(np.int64))})
+
+    v_empty = pa.table({"nid": pa.array([], pa.int64())})
+    matched_ds = bucket_exchange_dataset(
+        partials.map_batches(pair_bucket, batch_format="pyarrow"),
+        nb, verify, v_empty)
+    matched = set()
+    for t in ray.get(matched_ds.to_arrow_refs()):
+        matched.update(t["nid"].to_pylist())
+    matched_ref = ray.put(np.sort(np.fromiter(matched, dtype=np.int64,
+                                              count=len(matched))))
+
+    def survivors(b: pa.Table) -> pa.Table:
+        m = cached_get(matched_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(m, ids), 0, max(m.size - 1, 0))
+        is_dup = m[pos] == ids if m.size else np.zeros(len(ids), bool)
+        return pa.table({"doc_id": pa.array(ids[~is_dup], pa.int64())})
+
+    return lancelite.read(new_uri, columns=["doc_id"]).map_batches(
+        survivors, batch_format="pyarrow")
+
+
+def ngram_incremental(sf_dir: str):
+    """Cross-crawl incremental NGRAM-Jaccard near-dup — the seventh
+    detector joins the incremental family: new docs probe a persisted
+    INVERTED INDEX of the prior corpus's capped word-3-gram postings
+    (version 1, pinned) and are dropped on exact Jaccard >= 0.5 against
+    any prior doc; survivors stream out. Per increment only new docs are
+    exploded; the prior corpus is never re-shingled."""
+    from ..sources.keyed import KeyedFragmentIndex
+
+    puri, hot = _ng_staged_uris(sf_dir)
+    new_uri, _ = _near_stage_streams(sf_dir)
+    return _ng_survivors(sf_dir, new_uri,
+                         KeyedFragmentIndex(puri, "shk", version=1), hot)
+
+
+def ngram_index_evolution(sf_dir: str):
+    """Multi-crawl state evolution of the NGRAM inverted index — the
+    seventh and last detector's evolution twin, and the one whose
+    persisted state is an INVERTED INDEX rather than a signature table:
+    crawl-1 survivors' posting rows (under the FROZEN version-1 hot set)
+    are APPENDED as lancelite version 2, and crawl 2 probes the evolved
+    union over the same derived streams the minhash lifecycle uses —
+    scramble-mutations match only the appended survivors, prior-doc
+    mutations only version-1 state, fresh scrambles survive."""
+    import os
+
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedBatchJoiner, KeyedFragmentIndex
+
+    puri, hot = _ng_staged_uris(sf_dir)
+    new_uri, new2_uri = _near_stage_streams(sf_dir)
+    tag = _content_tag(sf_dir)
+    acc_uri = f"/tmp/ccc_evo_ng_acc_{tag}"
+
+    if not os.path.exists(os.path.join(acc_uri, "_versions")):
+        surv1 = _ng_survivors(sf_dir, new_uri,
+                              KeyedFragmentIndex(puri, "shk", version=1),
+                              hot)
+        flags_uri = f"/tmp/ccc_evo_ng_flags_{tag}"
+        lancelite.write_dataset(surv1.sort("doc_id"), flags_uri,
+                                key_stats="doc_id")
+        fidx = KeyedFragmentIndex(flags_uri, "doc_id")
+
+        class _KeepSurvivors:
+            def __init__(self, index):
+                self.j = KeyedBatchJoiner(index, columns=["doc_id"])
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                _, found, _ = self.j.probe(
+                    b["doc_id"].to_numpy(zero_copy_only=False))
+                return b.filter(pa.array(found))
+
+        acc = (lancelite.read(new_uri, columns=["doc_id", "text"])
+               .map_batches(_KeepSurvivors, batch_format="pyarrow",
+                            batch_size=4096, fn_constructor_args=(fidx,),
+                            concurrency=(1, 4), num_cpus=1))
+        lancelite.write_dataset(acc.sort("doc_id"), acc_uri,
+                                key_stats="doc_id")
+
+    if lancelite.latest_version(puri) < 2:
+        post2 = (lancelite.read(acc_uri, columns=["doc_id", "text"])
+                 .map_batches(lambda b: _ng_posting_rows(b, hot),
+                              batch_format="pyarrow")
+                 .sort("shk"))
+        lancelite.write_dataset(post2, puri, mode="append",
+                                key_stats="shk")
+
+    return _ng_survivors(sf_dir, new2_uri,
+                         KeyedFragmentIndex(puri, "shk"), hot)
 
 
 # simhash incremental/evolution: derivation ranges and banding. SimHash is

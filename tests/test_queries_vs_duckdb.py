@@ -119,6 +119,10 @@ SQL_QUERIES = [
     # round 5: exact-detector evolution twin on the text axis (survivor
     # hashes appended as version 2; crawl-2 anti-probes the union)
     "hash_index_evolution",
+    # round 5: seventh detector — ngram-Jaccard lifecycle over a
+    # persisted inverted index (frozen version-1 hot set; probes the
+    # SAME derived crawl streams as the minhash lifecycle)
+    "ngram_incremental", "ngram_index_evolution",
 ]
 
 
