@@ -291,6 +291,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": A.vocab_topk,
         "decontaminate": A.decontaminate,
         "pack_sequences": A.pack_sequences,
+        # round 5: fetch-layer canonical-URL keep-first dedup, D4-style
+        # frequency downsampling (planted dup clusters), and GPT-3-style
+        # fractional n-gram decontamination
+        "url_dedup": A.url_dedup,
+        "soft_dedup": A.soft_dedup,
+        "contamination_overlap": A.contamination_overlap,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1116,6 +1122,9 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "sentence_dedup": A.sentence_dedup_sql(),
         "vocab_topk": A.vocab_topk_sql(),
         "decontaminate": A.decontaminate_sql(),
+        "url_dedup": A.url_dedup_sql(),
+        "soft_dedup": A.soft_dedup_sql(),
+        "contamination_overlap": A.contamination_overlap_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

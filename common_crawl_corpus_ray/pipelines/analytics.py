@@ -3999,3 +3999,262 @@ FROM (SELECT doc_id, lang,
                                 ORDER BY {hh}, doc_id) AS rn,
              count(*) OVER (PARTITION BY lang) AS n
       FROM documents)"""
+
+
+# --- canonical-URL dedup / soft dedup / fractional decontamination ----------
+# Three more steps a real CC-style training-data pipeline runs, each with a
+# bit-exact SQL oracle (C4/CCNet run URL-canonical dedup before any content
+# pass, cf. cc_corpus.py's URL handling at the fetch layer; soft dedup is
+# the frequency-downsampling rule from "SemDeDup/D4"-style mixes; the
+# fractional-overlap rule is the GPT-3-style decontamination threshold).
+
+_URL_TRACK = "?utm_source=feed&utm_medium=rss"
+SOFT_DEDUP_SALT = ":sd"
+_SOFT_OFF = 1_000_000        # planted-copy doc_id offset (disjoint id space)
+_SOFT_ONE = 1 << 60          # md5_i64 values are uniform in [0, 2^60)
+_OVERLAP_DIV = 8             # contaminated iff n_hits >= n_grams / 8
+
+
+def _url_synth(b: pa.Table) -> pa.Array:
+    """Deterministic URL per doc — url_parse's subdomain/TLD scheme over a
+    doc_id-derived site with a COLLIDING path (doc_id // 2) and a tracking
+    query string on odd ids. Every (4m, 4m+1) pair shares site, TLD and
+    page and differs only by a 'www.' label + tracking params — exactly
+    the duplicate class URL canonicalization exists to catch — while
+    (4m+2, 4m+3) pairs ('blog.' vs 'a.b.') stay distinct as negatives."""
+    subs = pa.array(_URL_SUBS, pa.string())
+    tlds = pa.array(_URL_TLDS, pa.string())
+    track = pa.array(["", _URL_TRACK], pa.string())
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    return pc.binary_join_element_wise(
+        "https://", pc.take(subs, pa.array(ids % 4)),
+        "site", pc.cast(pa.array((ids // 8) % 32), pa.string()), ".",
+        pc.take(tlds, pa.array((ids // 4) % 4)),
+        "/p/", pc.cast(pa.array(ids // 2), pa.string()),
+        pc.take(track, pa.array(ids % 2)), "")
+
+
+def url_dedup(sf_dir: str):
+    """Canonical-URL keep-first dedup — the fetch-layer dedup a CC
+    pipeline runs BEFORE reading any page body: canonicalize (strip the
+    query string and a leading 'www.' label) and keep the min doc_id per
+    canonical URL. Text never enters the pipeline; only (canon, id)
+    partials shuffle, pre-aggregated per batch exactly like
+    exact_dedup_first's hash partials, so the groupby moves one row per
+    distinct URL per block."""
+    from ray.data.aggregate import Min, Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        url = _url_synth(b)
+        canon = pc.replace_substring_regex(
+            pc.replace_substring_regex(url, r"\?.*$", ""),
+            r"^https://www\.", "https://")
+        t = pa.table({"canon_url": canon, "doc_id": b["doc_id"]})
+        g = t.group_by("canon_url").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["canon_url", "min_id", "n"])
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("canon_url")
+            .aggregate(Min("min_id", alias_name="doc_id"),
+                       Sum("n", alias_name="n_dups")))
+
+
+def url_dedup_sql() -> str:
+    sub = ("CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.' "
+           "WHEN 2 THEN 'blog.' ELSE 'a.b.' END")
+    tld = ("CASE (doc_id // 4) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' "
+           "WHEN 2 THEN 'org' ELSE 'com.au' END")
+    trk = f"CASE doc_id % 2 WHEN 1 THEN '{_URL_TRACK}' ELSE '' END"
+    url = (f"'https://' || {sub} || 'site' || CAST((doc_id // 8) % 32 AS VARCHAR) "
+           f"|| '.' || {tld} "
+           f"|| '/p/' || CAST(doc_id // 2 AS VARCHAR) || {trk}")
+    return f"""
+WITH u AS (SELECT doc_id, {url} AS url FROM documents),
+c AS (SELECT doc_id,
+             regexp_replace(regexp_replace(url, '\\?.*$', ''),
+                            '^https://www\\.', 'https://') AS canon_url
+      FROM u)
+SELECT canon_url, min(doc_id) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM c GROUP BY canon_url"""
+
+
+def soft_dedup(sf_dir: str):
+    """Frequency-based downsampling ("soft dedup"): instead of keeping
+    exactly one member per exact-duplicate cluster, keep each member
+    independently with probability 1/cluster_size via a deterministic
+    per-doc hash threshold — the D4-style rule that preserves the corpus'
+    natural distribution in expectation while collapsing boilerplate
+    floods. keep iff md5_i64(doc_id || ':sd') < 2^60 // cluster_size.
+
+    The fixture corpus has no exact text duplicates, so the stream is
+    deterministically augmented in place (the repo's mutated-fixture
+    pattern): donors with doc_id % 5 == 2 gain one copy (+1e6), donors
+    with doc_id % 10 == 3 gain two (+1e6, +2e6) — cluster sizes 1, 2 and
+    3 all present, rebuilt identically by the oracle's UNION ALL.
+
+    Scale shape: NO broadcast anywhere (unlike decontaminate's benchmark
+    set, the cluster-count map is O(distinct texts) — corpus-sized at
+    100 TB). Docs co-locate by text-hash bucket through one slim exchange
+    of (text_hash, doc_id, salt) rows — text itself never shuffles — and
+    each reduce task counts its own clusters and applies the threshold
+    locally; output streams back as a Dataset (refs, never on the
+    driver)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    nb = scaled_buckets(
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows,
+        rows_per_bucket=4_000_000, lo=4)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        base = md5_i64_array(b["text"]).to_numpy(zero_copy_only=False)
+        bids = b["doc_id"].to_numpy(zero_copy_only=False)
+        # plant duplicate copies (hash rides along; text never re-hashed)
+        c1, c2 = bids % 5 == 2, bids % 10 == 3
+        ids = np.concatenate([bids, bids[c1] + _SOFT_OFF,
+                              bids[c2] + _SOFT_OFF, bids[c2] + 2 * _SOFT_OFF])
+        h = np.concatenate([base, base[c1], base[c2], base[c2]])
+        salt = md5_i64_array(
+            [f"{i}{SOFT_DEDUP_SALT}" for i in ids]).to_numpy(
+                zero_copy_only=False)
+        return pa.table({"bucket": pa.array(h & (nb - 1), pa.int64()),
+                         "h": pa.array(h), "doc_id": pa.array(ids),
+                         "salt": pa.array(salt)})
+
+    def reduce(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        n = cnt[inv]
+        salt = t["salt"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "cluster_n": pa.array(n.astype(np.int64)),
+                         "kept": pa.array(salt < _SOFT_ONE // n)})
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_n": pa.array([], pa.int64()),
+                      "kept": pa.array([], pa.bool_())})
+    return bucket_exchange_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(keyed, batch_format="pyarrow"),
+        nb, reduce, empty)
+
+
+def soft_dedup_sql() -> str:
+    salt = sql_md5_i64(f"CONCAT(CAST(doc_id AS VARCHAR), '{SOFT_DEDUP_SALT}')")
+    return f"""
+WITH s AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {_SOFT_OFF}, text FROM documents
+    WHERE doc_id % 5 = 2
+  UNION ALL SELECT doc_id + {_SOFT_OFF}, text FROM documents
+    WHERE doc_id % 10 = 3
+  UNION ALL SELECT doc_id + {2 * _SOFT_OFF}, text FROM documents
+    WHERE doc_id % 10 = 3
+)
+SELECT doc_id, CAST(n AS BIGINT) AS cluster_n,
+       salt < {_SOFT_ONE} // n AS kept
+FROM (SELECT doc_id, {salt} AS salt,
+             count(*) OVER (PARTITION BY text) AS n
+      FROM s)"""
+
+
+def contamination_overlap(sf_dir: str):
+    """Fractional-overlap decontamination — the GPT-3-style rule that
+    flags a train doc only when a substantial share of it appears in the
+    benchmark: contaminated iff distinct-shared-{_CONTAM_N}-grams >=
+    distinct-grams / {_OVERLAP_DIV} (and the doc has at least one gram).
+    Same broadcast-bench + single-probe-pass shape as decontaminate (the
+    benchmark set is the small side; the corpus reads once, no shuffle);
+    the only addition is the per-doc distinct-gram total, computed in the
+    same lexsort pass."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % _CONTAM_MOD == _CONTAM_BENCH))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.uint64())})
+        _, g = _gram_hash_rows(t)
+        return pa.table({"g": pa.array(np.unique(g), pa.uint64())})
+
+    parts = [b["g"].to_numpy(zero_copy_only=False)
+             for b in ds.map_batches(bench_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.uint64))
+    bref = ray.put(bench)
+
+    def _distinct_per_doc(own, g, n_rows):
+        if not len(own):
+            return np.zeros(n_rows, dtype=np.int64)
+        order = np.lexsort((g, own))
+        so, sg = own[order], g[order]
+        first = np.ones(len(so), dtype=bool)
+        first[1:] = (so[1:] != so[:-1]) | (sg[1:] != sg[:-1])
+        return np.bincount(so[first], minlength=n_rows).astype(np.int64)
+
+    def probe(b: pa.Table, _ref=bref) -> pa.Table:
+        bg = cached_get(_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % _CONTAM_MOD != _CONTAM_BENCH))
+        n_hits = np.zeros(t.num_rows, dtype=np.int64)
+        n_grams = np.zeros(t.num_rows, dtype=np.int64)
+        if t.num_rows:
+            own, g = _gram_hash_rows(t)
+            n_grams = _distinct_per_doc(own, g, t.num_rows)
+            if len(g) and bg.size:
+                pos = np.clip(np.searchsorted(bg, g), 0, bg.size - 1)
+                hit = bg[pos] == g
+                n_hits = _distinct_per_doc(own[hit], g[hit], t.num_rows)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_hits": pa.array(n_hits),
+            "n_grams": pa.array(n_grams),
+            "contaminated": pa.array(
+                (n_hits * _OVERLAP_DIV >= n_grams) & (n_grams > 0)),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def contamination_overlap_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '{SQL_WS_RE}'),
+                     x -> x != '') AS p
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(p[i:i+{_CONTAM_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, p,
+               unnest(generate_series(1, len(p) - {_CONTAM_N - 1})) AS i
+        FROM w)
+), b AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {_CONTAM_MOD} = {_CONTAM_BENCH}
+), tot AS (
+  SELECT doc_id, count(DISTINCT gram) AS n_grams
+  FROM g WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_BENCH} GROUP BY doc_id
+), h AS (
+  SELECT doc_id, count(DISTINCT gram) AS n_hits
+  FROM g
+  WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_BENCH}
+    AND gram IN (SELECT gram FROM b)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+       coalesce(h.n_hits, 0) * {_OVERLAP_DIV} >= coalesce(tot.n_grams, 0)
+         AND coalesce(tot.n_grams, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_BENCH}) d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN h USING (doc_id)"""

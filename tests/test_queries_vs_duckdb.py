@@ -89,6 +89,12 @@ SQL_QUERIES = [
     # deterministic held-out slice, broadcast gram set + rolling hash);
     # GPT-style concat-then-chunk sequence packing (window-sum oracle)
     "decontaminate", "pack_sequences",
+    # round 5 (cont.): canonical-URL keep-first dedup (self-colliding URL
+    # synth: every (4m, 4m+1) pair differs only by 'www.' + tracking
+    # params), D4-style frequency downsampling over planted dup clusters
+    # (sizes 1/2/3, deterministic hash threshold), and GPT-3-style
+    # fractional 5-gram decontamination (n_hits*8 >= n_grams)
+    "url_dedup", "soft_dedup", "contamination_overlap",
     # round 5: simhash detector composed into the cluster policies
     # (detector x policy matrix closed) — oracle swaps the pairs CTE of
     # the cluster SQL for the bit-identical simhash band join
