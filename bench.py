@@ -96,6 +96,7 @@ QUERY_NAMES = [
     "payload_index_evolution", "embedding_incremental",
     "simhash_incremental", "simhash_index_evolution",
     "ngram_incremental", "ngram_index_evolution",
+    "url_dedup", "soft_dedup", "contamination_overlap",
 ]
 
 
