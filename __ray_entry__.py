@@ -297,6 +297,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": A.url_dedup,
         "soft_dedup": A.soft_dedup,
         "contamination_overlap": A.contamination_overlap,
+        # round 5: Broder containment (excerpt/quotation) detector — the
+        # asymmetric measure Jaccard structurally misses; same inverted
+        # index, different per-pair arithmetic
+        "containment_dedup": A.containment_dedup,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1125,6 +1129,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "url_dedup": A.url_dedup_sql(),
         "soft_dedup": A.soft_dedup_sql(),
         "contamination_overlap": A.contamination_overlap_sql(),
+        "containment_dedup": A.containment_dedup_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -4258,3 +4258,100 @@ FROM (SELECT doc_id FROM documents
       WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_BENCH}) d
 LEFT JOIN tot USING (doc_id)
 LEFT JOIN h USING (doc_id)"""
+
+
+# --- containment (excerpt) dedup ---------------------------------------------
+
+_EXC_OFF = 3_000_000         # excerpt doc_id offset (disjoint id space)
+_EXC_MOD = 7                 # donors: doc_id % 7 == 1 with >= 10 words
+_EXC_MIN_WORDS = 10
+_CONTAIN_THRESHOLD = 0.8
+
+
+def _excerpt_stream(sf_dir: str):
+    """documents ∪ planted prefix excerpts: donors (doc_id % {_EXC_MOD}
+    == 1, >= {_EXC_MIN_WORDS} words) contribute a copy holding their first
+    (2/5 of words) plus a short novel citation suffix — a quote wrapped in
+    new context, the realistic shape: most of its word-3-gram set comes
+    from the donor, so containment lands in (0.8, 1.0) while Jaccard sits
+    near 0.4 (below the near-dup threshold): the duplicate class Jaccard
+    structurally cannot catch, measured through the threshold band rather
+    than only at the trivial subset point 1.0. Word split and rejoin use
+    the one shared WS_RE spelling so the SQL oracle derives byte-identical
+    excerpt text."""
+
+    def with_excerpts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        words = words_arrow(b["text"])
+        out_ids, out_txt = list(ids), b["text"].to_pylist()
+        for k in np.nonzero(ids % _EXC_MOD == 1)[0]:
+            w = [x for x in words[int(k)].as_py() if x != ""]
+            if len(w) < _EXC_MIN_WORDS:
+                continue
+            out_ids.append(int(ids[k]) + _EXC_OFF)
+            out_txt.append(" ".join(w[: len(w) * 2 // 5])
+                           + f" cited by reviewer r{int(ids[k])}")
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(with_excerpts, batch_format="pyarrow"))
+
+
+def containment_dedup(sf_dir: str):
+    """Broder-containment near-dup: pairs whose shared distinct word-3-gram
+    count is >= {_CONTAIN_THRESHOLD} of the SMALLER doc's gram set — the
+    excerpt/quotation detector (a 200-word snippet inside a 2000-word page
+    scores containment 1.0 but Jaccard ~0.1). Runs the ngram inverted-index
+    machinery end to end (df cap, posting explode, two slim exchanges);
+    only the final per-pair arithmetic differs, so the 100-TB shape is the
+    audited ngram one."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup_family import ngram_jaccard_pairs
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return ngram_jaccard_pairs(
+        _excerpt_stream(sf_dir), "doc_id", "text", n=_NG_N,
+        threshold=_CONTAIN_THRESHOLD, metric="containment",
+        n_rows=n_rows + n_rows // _EXC_MOD + 1)
+
+
+def containment_dedup_sql() -> str:
+    from ..stages.dedup_family import NGRAM_DF_CAP
+    return f"""
+WITH wt0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '{SQL_WS_RE}'),
+                     x -> x != '') AS w
+  FROM documents
+), docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_EXC_OFF},
+         array_to_string(w[1:(len(w) * 2) // 5], ' ')
+           || ' cited by reviewer r' || CAST(doc_id AS VARCHAR)
+  FROM wt0
+  WHERE doc_id % {_EXC_MOD} = 1 AND len(w) >= {_EXC_MIN_WORDS}
+), wt AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM docs
+), sh0 AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+        FROM wt)
+), hot AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > {NGRAM_DF_CAP}
+), sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
+), cnt AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, co * 1.0 / least(ca.c, cb.c) AS containment
+FROM co JOIN cnt ca ON ca.doc_id = co.id_a
+        JOIN cnt cb ON cb.doc_id = co.id_b
+WHERE co * 1.0 / least(ca.c, cb.c) >= {_CONTAIN_THRESHOLD}"""

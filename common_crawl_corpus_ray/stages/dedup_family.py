@@ -655,8 +655,17 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
                         max_df: int = NGRAM_DF_CAP,
                         n_rows: int | None = None,
                         return_dataset: bool = False,
-                        assume_projected: bool = False):
+                        assume_projected: bool = False,
+                        metric: str = "jaccard"):
     """Exact word-n-gram Jaccard near-dup via a distributed inverted index.
+
+    ``metric="containment"`` swaps the final score for Broder containment
+    co / min(|A|, |B|) — the asymmetric measure that catches a short doc
+    EMBEDDED in a long one (excerpts, quotations), where Jaccard stays
+    below any useful threshold because the union is dominated by the long
+    doc. Everything upstream (df cap, posting explode, both exchanges) is
+    shared; only the per-pair arithmetic inside the reduce differs, so the
+    scale shape is identical.
 
     Shuffle shape: explode each doc to distinct (shingle, id, n_doc) rows
     (the per-doc distinct-shingle count rides along with every exploded
@@ -770,19 +779,24 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     # and apply the jaccard threshold inside the reduce — the candidate
     # pair table (~quadratic in natural shingle overlap) never lands on
     # the driver; only verified pairs return.
+    score_col = "containment" if metric == "containment" else "jaccard"
+
     def sum_and_filter(t: pa.Table) -> pa.Table | None:
         df = (t.select(["id_a", "id_b", "ca", "cb", "co"]).to_pandas()
               .groupby(["id_a", "id_b", "ca", "cb"], sort=False)["co"].sum()
               .reset_index())
         c = df["co"].to_numpy().astype(np.float64)
-        j = c / (df["ca"].to_numpy() + df["cb"].to_numpy() - c)
+        if metric == "containment":
+            j = c / np.minimum(df["ca"].to_numpy(), df["cb"].to_numpy())
+        else:
+            j = c / (df["ca"].to_numpy() + df["cb"].to_numpy() - c)
         keep = j >= threshold                 # unrounded: int ratio is
         if not keep.any():                    # bit-identical in SQL too
             return None
         return pa.table({
             "id_a": pa.array(df["id_a"].to_numpy()[keep], pa.int64()),
             "id_b": pa.array(df["id_b"].to_numpy()[keep], pa.int64()),
-            "jaccard": pa.array(j[keep], pa.float64())})
+            score_col: pa.array(j[keep], pa.float64())})
 
     partials_empty = pa.table({
         "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
@@ -798,7 +812,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
         # driver
         pairs_empty = pa.table({"id_a": pa.array([], pa.int64()),
                                 "id_b": pa.array([], pa.int64()),
-                                "jaccard": pa.array([], pa.float64())})
+                                score_col: pa.array([], pa.float64())})
         from .exchange import bucket_exchange_refs, refs_to_dataset
         return refs_to_dataset(
             bucket_exchange_refs(partials, nb, sum_and_filter), pairs_empty)
@@ -807,7 +821,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     if not tabs:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+                             score_col: pd.Series([], dtype="float64")})
     out = pa.concat_tables(tabs, promote_options="default").to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

@@ -95,6 +95,10 @@ SQL_QUERIES = [
     # (sizes 1/2/3, deterministic hash threshold), and GPT-3-style
     # fractional 5-gram decontamination (n_hits*8 >= n_grams)
     "url_dedup", "soft_dedup", "contamination_overlap",
+    # round 5 (cont.): Broder containment dedup — excerpt plants (prefix
+    # 2/5 of donor words + a novel citation suffix) score in (0.8, 1.0)
+    # where Jaccard sits ~0.4; same capped inverted-index machinery
+    "containment_dedup",
     # round 5: simhash detector composed into the cluster policies
     # (detector x policy matrix closed) — oracle swaps the pairs CTE of
     # the cluster SQL for the bit-identical simhash band join
