@@ -17,6 +17,12 @@ import sys
 from collections.abc import Callable
 from typing import Any
 
+# cosine radius for ann_range_search: the fixture embeddings are
+# near-isotropic (max off-self cosine ~0.49), so 0.3 yields a non-trivial,
+# data-dependent result set with >=4e-4 margin to the nearest sim — far
+# above any float64 summation-order ulp between numpy and DuckDB.
+ANN_RANGE_TAU = 0.3
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
@@ -79,6 +85,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["vec_id", "embedding"])
         fn = ann.lsh_topk if approximate else ann.brute_force_topk
         return fn(ds, qids, qmat, k=A.ANN_K)
+
+    def ann_range(sf_dir: str):
+        import ray.data as rd
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        import pyarrow.compute as pc
+        q = t.filter(pc.less(t["vec_id"], A.ANN_NUM_QUERIES))
+        qids = q["vec_id"].to_numpy(zero_copy_only=False)
+        qmat = np.stack([np.asarray(e, dtype=np.float64)
+                         for e in q["embedding"].to_pylist()])
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        return ann.range_search(ds, qids, qmat, threshold=ANN_RANGE_TAU)
 
     def _table_rows(sf_dir: str, table: str) -> int:
         """Cheap metadata row count — the hint the dedup exchanges use to
@@ -317,6 +336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_query,
         "ann_lsh_topk": lambda sf: ann_query(sf, approximate=True),
         "ann_ivf_topk": ivf,
+        # round 5: cosine RADIUS search (data-dependent neighbor count —
+        # the embedding near-dup candidate generator top-k can't express)
+        "ann_range_search": ann_range,
         # --- models / multimodal / flagship ---
         "lid_documents": C.lid_documents,
         "audio_decode_stats": C.audio_decode_stats,
@@ -363,6 +385,14 @@ def oracle_sql() -> dict[str, str]:
     from common_crawl_corpus_ray.pipelines import clips_queries as C
 
     z = spec  # keep import obvious
+    ann_range_sql = f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {A.ANN_NUM_QUERIES})
+SELECT qid AS query_id, vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 4) AS sim
+FROM q, embeddings
+WHERE vec_id != qid
+  AND list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) >= {ANN_RANGE_TAU}"""
     ann_sql = f"""
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < {A.ANN_NUM_QUERIES})
@@ -1143,6 +1173,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "winnow_fingerprint": A.winnow_fingerprint_sql(),
         "text_search_topk": A.text_search_topk_sql(),
         "ann_cosine_topk": ann_sql,
+        "ann_range_search": ann_range_sql,
         "ngram_jaccard_dedup": ngram_jaccard_sql,
         "dedup_clusters": dedup_clusters_sql,
         "dedup_clusters_minhash": mh_cluster_ctes

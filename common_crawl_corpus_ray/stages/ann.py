@@ -57,6 +57,38 @@ def brute_force_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
     return out[["query_id", "neighbor_id", "sim"]]
 
 
+def range_search(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                 threshold: float = 0.3, round_to: int = 4):
+    """Exact cosine RADIUS search: every (query, row) pair with cosine >=
+    ``threshold``, excluding self — the candidate generator for
+    embedding-level near-dup review and retrieval-style filtering, where
+    top-k is the wrong shape because the neighbor count per query is
+    data-dependent. Same scan as ``brute_force_topk`` (query matrix
+    broadcast once, one numpy matmul per batch), but the result is
+    row-level (O(matches), unbounded per query), so it streams back as a
+    Dataset instead of a driver-merged top-k frame. The threshold is
+    applied to the UNROUNDED float64 similarity; rounding is presentation
+    only (mirrors the SQL oracle's WHERE-on-raw / ROUND-in-select)."""
+    import ray
+    qn = _normalize(query_mat)
+    q_ref = ray.put((query_ids, qn))
+
+    def partial_range(b: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(q_ref)
+        vids = b["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(b["embedding"]))
+        sims = qmat @ m.T                     # [n_q, n_batch]
+        qi, vj = np.nonzero(sims >= threshold)
+        keep = qids[qi] != vids[vj]
+        return pa.table({
+            "query_id": pa.array(qids[qi][keep], pa.int64()),
+            "neighbor_id": pa.array(vids[vj][keep], pa.int64()),
+            "sim": pa.array(np.round(sims[qi, vj][keep], round_to),
+                            pa.float64())})
+
+    return ds.map_batches(partial_range, batch_format="pyarrow")
+
+
 def lsh_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
              k: int = 10, n_planes: int = 8, n_tables: int = 20,
              probe_hamming: int = 1, seed: int = 42):

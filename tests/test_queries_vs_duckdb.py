@@ -99,6 +99,9 @@ SQL_QUERIES = [
     # 2/5 of donor words + a novel citation suffix) score in (0.8, 1.0)
     # where Jaccard sits ~0.4; same capped inverted-index machinery
     "containment_dedup",
+    # round 5 (cont.): exact cosine radius search (data-dependent neighbor
+    # count; threshold on the unrounded float64 sim, >=4e-4 fixture margin)
+    "ann_range_search",
     # round 5: simhash detector composed into the cluster policies
     # (detector x policy matrix closed) — oracle swaps the pairs CTE of
     # the cluster SQL for the bit-identical simhash band join
