@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # asymmetric measure Jaccard structurally misses; same inverted
         # index, different per-pair arithmetic
         "containment_dedup": A.containment_dedup,
+        # round 5: semi-structured (JSON) field extraction + rollup with
+        # exact two-level distinct-user counts
+        "json_props_rollup": A.json_props_rollup,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1160,6 +1163,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "soft_dedup": A.soft_dedup_sql(),
         "contamination_overlap": A.contamination_overlap_sql(),
         "containment_dedup": A.containment_dedup_sql(),
+        "json_props_rollup": A.json_props_rollup_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

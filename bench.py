@@ -97,7 +97,7 @@ QUERY_NAMES = [
     "simhash_incremental", "simhash_index_evolution",
     "ngram_incremental", "ngram_index_evolution",
     "url_dedup", "soft_dedup", "contamination_overlap",
-    "containment_dedup", "ann_range_search",
+    "containment_dedup", "ann_range_search", "json_props_rollup",
 ]
 
 

@@ -4355,3 +4355,81 @@ SELECT id_a, id_b, co * 1.0 / least(ca.c, cb.c) AS containment
 FROM co JOIN cnt ca ON ca.doc_id = co.id_a
         JOIN cnt cb ON cb.doc_id = co.id_b
 WHERE co * 1.0 / least(ca.c, cb.c) >= {_CONTAIN_THRESHOLD}"""
+
+
+# --- semi-structured (JSON) extraction rollup --------------------------------
+
+_PROPS_K_RE = r'"k": (\d+)'   # RE2, shared verbatim with the SQL oracle
+
+
+def json_props_rollup(sf_dir: str):
+    """Semi-structured extraction + rollup — the log-processing staple the
+    events table's JSON ``props`` column exists for: pull the integer
+    field ``k`` out of every props payload (vectorized RE2 extract, the
+    same spelling DuckDB's regexp_extract runs) and roll up per
+    event_type: row count, sum/min/max of k, and EXACT distinct users.
+
+    Scale shape: the k-stats are associative per-block partials into a
+    5-row groupby. Exact distinct-users cannot ride that aggregate, so it
+    goes two-level: blocks emit their LOCALLY-distinct (event_type,
+    user_id) pairs, one composite-key groupby collapses them globally
+    (shuffle volume = distinct pairs, not events), and a per-block count
+    partial re-aggregates into the same 5 groups — no per-group set ever
+    materializes in one task."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def k_partials(b: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(b["props"], _PROPS_K_RE.replace(
+                r"(\d+)", r"(?P<v>\d+)")), "v"), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        g = t.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return g.rename_columns(["event_type", "n", "sum_k", "min_k",
+                                 "max_k"])
+
+    stats = (_read(sf_dir, "events", ["event_type", "props"])
+             .map_batches(k_partials, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sum_k", alias_name="sum_k"),
+                        Min("min_k", alias_name="min_k"),
+                        Max("max_k", alias_name="max_k"))
+             .to_pandas())
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        tk = pc.binary_join_element_wise(
+            b["event_type"], pc.cast(b["user_id"], pa.string()), "|")
+        return pa.table({"tk": pc.unique(tk)})
+
+    def count_partials(b: pa.Table) -> pa.Table:
+        et = pc.split_pattern(b["tk"], "|", max_splits=1)
+        t = pa.table({"event_type": pc.list_element(et, 0)})
+        g = t.group_by("event_type").aggregate([("event_type", "count")])
+        return g.rename_columns(["event_type", "nu"])
+
+    from ray.data.aggregate import Sum as _Sum
+    users = (_read(sf_dir, "events", ["event_type", "user_id"])
+             .map_batches(pair_partials, batch_format="pyarrow")
+             .groupby("tk").aggregate(Count(alias_name="_c"))
+             .map_batches(count_partials, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(_Sum("nu", alias_name="n_users"))
+             .to_pandas())
+
+    out = stats.merge(users, on="event_type")
+    for c in ("n", "sum_k", "min_k", "max_k", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def json_props_rollup_sql() -> str:
+    k = f"CAST(regexp_extract(props, '{_PROPS_K_RE}', 1) AS BIGINT)"
+    return f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({k}) AS BIGINT) AS sum_k,
+       CAST(min({k}) AS BIGINT) AS min_k,
+       CAST(max({k}) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type"""

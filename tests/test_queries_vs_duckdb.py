@@ -102,6 +102,9 @@ SQL_QUERIES = [
     # round 5 (cont.): exact cosine radius search (data-dependent neighbor
     # count; threshold on the unrounded float64 sim, >=4e-4 fixture margin)
     "ann_range_search",
+    # round 5 (cont.): JSON props extraction + per-type rollup (shared RE2
+    # spelling both engines; exact distinct users via two-level pairs)
+    "json_props_rollup",
     # round 5: simhash detector composed into the cluster policies
     # (detector x policy matrix closed) — oracle swaps the pairs CTE of
     # the cluster SQL for the bit-identical simhash band join
