@@ -323,6 +323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: semi-structured (JSON) field extraction + rollup with
         # exact two-level distinct-user counts
         "json_props_rollup": A.json_props_rollup,
+        # round 5: TPC-H-Q3-shaped 3-way join — two chained keyed
+        # exchanges (custkey semi, orderkey join) + distributed top-k
+        "tpch_q3": A.tpch_q3,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1164,6 +1167,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "contamination_overlap": A.contamination_overlap_sql(),
         "containment_dedup": A.containment_dedup_sql(),
         "json_props_rollup": A.json_props_rollup_sql(),
+        "tpch_q3": A.tpch_q3_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -4433,3 +4433,173 @@ SELECT event_type,
        CAST(max({k}) AS BIGINT) AS max_k,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type"""
+
+
+# --- TPC-H Q3: three-way join composition ------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUT = "1997-06-30"       # order placed before, shipped after
+_Q3_K = 10
+
+
+def tpch_q3(sf_dir: str):
+    """TPC-H-Q3-shaped shipping-priority query — the JOIN COMPOSITION the
+    2-way hash_join can't show: customer (segment-filtered) ⋈ orders
+    (date-filtered) ⋈ lineitem (shipdate-filtered), revenue per order,
+    global top-{_Q3_K}. Three scale patterns chained:
+
+    1. custkey exchange: filtered customers and filtered orders
+       co-partition on c_custkey/o_custkey through one mixed-schema
+       exchange; the per-bucket reduce is a vectorized semi join (orders
+       whose customer is in the segment). NEITHER side is broadcast —
+       at corpus scale customers is a large table.
+    2. orderkey exchange: surviving orders union lineitem revenue
+       partials (pre-aggregated per block per key — the hash_join
+       combiner) co-partition on the SECOND key; the reduce joins and
+       finishes the per-order revenue sum in integer micro-units.
+    3. distributed top-k: each reduce emits only its local top-{_Q3_K}
+       (rev DESC, odate, okey — fully tiebroken), so the driver merges
+       nb x {_Q3_K} rows, never the join result.
+    """
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange, bucket_exchange_dataset
+
+    cut = np.datetime64(_Q3_CUT, "us")
+    n_li = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    nb1 = scaled_buckets(
+        pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows,
+        rows_per_bucket=2_000_000, lo=_JOIN_BUCKETS)
+    nb2 = scaled_buckets(n_li, rows_per_bucket=2_000_000, lo=_JOIN_BUCKETS)
+
+    mix1 = pa.schema([("bucket", pa.int64()), ("ckey", pa.int64()),
+                      ("okey", pa.int64()),
+                      ("odate", pa.timestamp("us")),
+                      ("oprio", pa.string())])
+
+    def _m1(nrows: int, **cols) -> pa.Table:
+        return pa.table({f.name: cols.get(f.name, pa.nulls(nrows, f.type))
+                         for f in mix1}, schema=mix1)
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["c_mktsegment"], _Q3_SEGMENT))
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return _m1(len(k), bucket=pa.array(k % nb1, pa.int64()),
+                   ckey=pa.array(k, pa.int64()))
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        od = b["odate"] if "odate" in b.column_names else b["o_orderdate"]
+        od = pc.cast(od, pa.timestamp("us"))
+        t = b.append_column("od_us", od)
+        t = t.filter(pc.less(od, pa.scalar(cut, pa.timestamp("us"))))
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return _m1(len(k), bucket=pa.array(k % nb1, pa.int64()),
+                   ckey=pa.array(k, pa.int64()),
+                   okey=t["o_orderkey"].combine_chunks(),
+                   odate=t["od_us"].combine_chunks(),
+                   oprio=t["o_orderpriority"].combine_chunks())
+
+    def semi(t: pa.Table) -> pa.Table | None:
+        is_o = pc.is_valid(t["okey"])
+        ck = np.unique(t.filter(pc.invert(is_o))["ckey"]
+                       .to_numpy(zero_copy_only=False))
+        o = t.filter(is_o)
+        if not ck.size or o.num_rows == 0:
+            return None
+        ok = o["ckey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck, ok), 0, ck.size - 1)
+        return (o.filter(pa.array(ck[pos] == ok))
+                .select(["okey", "odate", "oprio"]))
+
+    semi_empty = pa.table({"okey": pa.array([], pa.int64()),
+                           "odate": pa.array([], pa.timestamp("us")),
+                           "oprio": pa.array([], pa.string())})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+                 ).map_batches(c_rows, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate",
+                    "o_orderpriority"]).map_batches(
+                        o_rows, batch_format="pyarrow")
+    survivors = bucket_exchange_dataset(cust.union(orders), nb1, semi,
+                                        semi_empty)
+
+    mix2 = pa.schema([("bucket", pa.int64()), ("okey", pa.int64()),
+                      ("odate", pa.timestamp("us")),
+                      ("oprio", pa.string()), ("rev", pa.int64())])
+
+    def _m2(nrows: int, **cols) -> pa.Table:
+        return pa.table({f.name: cols.get(f.name, pa.nulls(nrows, f.type))
+                         for f in mix2}, schema=mix2)
+
+    def o2_rows(b: pa.Table) -> pa.Table:
+        k = b["okey"].to_numpy(zero_copy_only=False)
+        return _m2(len(k), bucket=pa.array(k % nb2, pa.int64()),
+                   okey=b["okey"].combine_chunks(),
+                   odate=b["odate"].combine_chunks(),
+                   oprio=b["oprio"].combine_chunks())
+
+    def l_rows(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b["l_shipdate"], pa.timestamp("us"))
+        t = b.filter(pc.greater(sd, pa.scalar(cut, pa.timestamp("us"))))
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        price_c = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"okey": k, "rev": price_c * (100 - disc_c)})
+        g = df.groupby("okey", sort=False)["rev"].sum()
+        kk = g.index.to_numpy(np.int64)
+        return _m2(len(kk), bucket=pa.array(kk % nb2, pa.int64()),
+                   okey=pa.array(kk, pa.int64()),
+                   rev=pa.array(g.to_numpy(np.int64), pa.int64()))
+
+    def join_topk(t: pa.Table) -> pa.Table | None:
+        is_l = pc.is_valid(t["rev"])
+        li = (t.filter(is_l).select(["okey", "rev"]).to_pandas()
+              .groupby("okey", sort=False)["rev"].sum().reset_index())
+        od = (t.filter(pc.invert(is_l)).select(["okey", "odate", "oprio"])
+              .to_pandas().drop_duplicates("okey"))
+        m = od.merge(li, on="okey")
+        if m.empty:
+            return None
+        m = (m.sort_values(["rev", "odate", "okey"],
+                           ascending=[False, True, True]).head(_Q3_K))
+        return pa.table({
+            "l_orderkey": pa.array(m["okey"].to_numpy(np.int64)),
+            "revenue_micro": pa.array(m["rev"].to_numpy(np.int64)),
+            "o_orderdate": pa.array(m["odate"], pa.timestamp("us")),
+            "o_orderpriority": pa.array(m["oprio"], pa.string())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+               ).map_batches(l_rows, batch_format="pyarrow")
+    tabs = [t for t in bucket_exchange(
+        survivors.map_batches(o2_rows, batch_format="pyarrow").union(li),
+        nb2, join_topk) if t is not None and t.num_rows]
+    if not tabs:
+        return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                             "revenue_micro": pd.Series([], dtype="int64"),
+                             "o_orderdate": pd.Series([],
+                                                      dtype="datetime64[us]"),
+                             "o_orderpriority": pd.Series([], dtype=object)})
+    out = pa.concat_tables(tabs).to_pandas()
+    return (out.sort_values(["revenue_micro", "o_orderdate", "l_orderkey"],
+                            ascending=[False, True, True])
+            .head(_Q3_K).reset_index(drop=True))
+
+
+def tpch_q3_sql() -> str:
+    rev = ("CAST(round(l_extendedprice * 100) AS BIGINT) * "
+           "(100 - CAST(round(l_discount * 100) AS BIGINT))")
+    return f"""
+SELECT l_orderkey,
+       CAST(SUM({rev}) AS BIGINT) AS revenue_micro,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{_Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUT} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{_Q3_CUT} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_micro DESC, o_orderdate, l_orderkey
+LIMIT {_Q3_K}"""

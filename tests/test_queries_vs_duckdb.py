@@ -105,6 +105,9 @@ SQL_QUERIES = [
     # round 5 (cont.): JSON props extraction + per-type rollup (shared RE2
     # spelling both engines; exact distinct users via two-level pairs)
     "json_props_rollup",
+    # round 5 (cont.): TPC-H Q3 three-way join (custkey semi exchange ->
+    # orderkey join exchange -> per-bucket top-10, integer micro money)
+    "tpch_q3",
     # round 5: simhash detector composed into the cluster policies
     # (detector x policy matrix closed) — oracle swaps the pairs CTE of
     # the cluster SQL for the bit-identical simhash band join
