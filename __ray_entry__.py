@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: TPC-H-Q3-shaped 3-way join — two chained keyed
         # exchanges (custkey semi, orderkey join) + distributed top-k
         "tpch_q3": A.tpch_q3,
+        # round 5: star-schema fact scan against broadcast dims (Q9-lite)
+        "star_profit": A.star_profit,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1168,6 +1170,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "containment_dedup": A.containment_dedup_sql(),
         "json_props_rollup": A.json_props_rollup_sql(),
         "tpch_q3": A.tpch_q3_sql(),
+        "star_profit": A.star_profit_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -4603,3 +4603,99 @@ WHERE c_mktsegment = '{_Q3_SEGMENT}'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue_micro DESC, o_orderdate, l_orderkey
 LIMIT {_Q3_K}"""
+
+
+# --- star-schema profit rollup (TPC-H Q9-lite) -------------------------------
+
+_STAR_PTYPE = "PROMO"
+
+
+def star_profit(sf_dir: str):
+    """Star-schema aggregation (TPC-H-Q9-lite) — the remaining classic
+    join shape after hash_join (one co-partition) and tpch_q3 (chained
+    exchanges): a FACT stream scanned once against BROADCAST dimensions.
+    Lineitems of '{_STAR_PTYPE}'-type parts roll profit up by (supplier
+    nation, part brand): part (filtered 6x) maps partkey->brand,
+    supplier ⨝ nation maps suppkey->nation name; both ship once via
+    ray.put as sorted key arrays, every fact batch does two searchsorted
+    probes + one integer profit multiply, and the only shuffle is the
+    <=625-row groupby of per-block partials. This is the annotate_region
+    broadcast-dim pattern composed to a multi-dim star; a dimension too
+    large to broadcast swaps in the KeyedFragmentIndex side-table probe
+    (the dedup_incremental pattern) without touching the fact pass."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type", "p_brand"])
+    part = part.filter(pc.equal(part["p_type"], _STAR_PTYPE))
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    pk, brand = pk[order], np.asarray(part["p_brand"].to_pylist(),
+                                      dtype=object)[order]
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sorder = np.argsort(sk)
+    sk = sk[sorder]
+    snat = np.asarray([nmap[k] for k in sup["s_nationkey"].to_pylist()],
+                      dtype=object)[sorder]
+    dims = ray.put((pk, brand, sk, snat))
+
+    def fact(b: pa.Table, _ref=dims) -> pa.Table:
+        pkk, pbr, skk, snn = cached_get(_ref)
+        lp = b["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pkk, lp), 0, max(pkk.size - 1, 0))
+        hit = pkk[pos] == lp if pkk.size else np.zeros(len(lp), bool)
+        if not hit.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "p_brand": pa.array([], pa.string()),
+                             "profit_micro": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+        price_c = _cents(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False))[hit]
+        disc_c = _cents(b["l_discount"].to_numpy(zero_copy_only=False))[hit]
+        spos = np.clip(np.searchsorted(skk, ls[hit]), 0, skk.size - 1)
+        df = pd.DataFrame({
+            "n_name": snn[spos],
+            "p_brand": pbr[pos[hit]],
+            "profit_micro": price_c * (100 - disc_c)})
+        g = (df.groupby(["n_name", "p_brand"], sort=False)["profit_micro"]
+             .agg(["sum", "size"]).reset_index())
+        return pa.table({
+            "n_name": pa.array(g["n_name"], pa.string()),
+            "p_brand": pa.array(g["p_brand"], pa.string()),
+            "profit_micro": pa.array(g["sum"].to_numpy(np.int64)),
+            "n_items": pa.array(g["size"].to_numpy(np.int64))})
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(fact, batch_format="pyarrow")
+            .groupby(["n_name", "p_brand"])
+            .aggregate(Sum("profit_micro", alias_name="profit_micro"),
+                       Sum("n_items", alias_name="n_items")))
+
+
+def star_profit_sql() -> str:
+    rev = ("CAST(round(l_extendedprice * 100) AS BIGINT) * "
+           "(100 - CAST(round(l_discount * 100) AS BIGINT))")
+    return f"""
+SELECT n_name, p_brand,
+       CAST(SUM({rev}) AS BIGINT) AS profit_micro,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_type = '{_STAR_PTYPE}'
+GROUP BY n_name, p_brand"""

@@ -108,6 +108,9 @@ SQL_QUERIES = [
     # round 5 (cont.): TPC-H Q3 three-way join (custkey semi exchange ->
     # orderkey join exchange -> per-bucket top-10, integer micro money)
     "tpch_q3",
+    # round 5 (cont.): star-schema profit rollup over broadcast dims
+    # (part/supplier/nation — the last unused fixture tables)
+    "star_profit",
     # round 5: simhash detector composed into the cluster policies
     # (detector x policy matrix closed) — oracle swaps the pairs CTE of
     # the cluster SQL for the bit-identical simhash band join
