@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": A.tpch_q3,
         # round 5: star-schema fact scan against broadcast dims (Q9-lite)
         "star_profit": A.star_profit,
+        # round 5: long->wide pivot / per-user feature matrix
+        "user_event_pivot": A.user_event_pivot,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1171,6 +1173,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "json_props_rollup": A.json_props_rollup_sql(),
         "tpch_q3": A.tpch_q3_sql(),
         "star_profit": A.star_profit_sql(),
+        "user_event_pivot": A.user_event_pivot_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -98,7 +98,7 @@ QUERY_NAMES = [
     "ngram_incremental", "ngram_index_evolution",
     "url_dedup", "soft_dedup", "contamination_overlap",
     "containment_dedup", "ann_range_search", "json_props_rollup",
-    "tpch_q3", "star_profit",
+    "tpch_q3", "star_profit", "user_event_pivot",
 ]
 
 

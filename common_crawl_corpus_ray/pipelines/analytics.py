@@ -4699,3 +4699,63 @@ JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation ON n_nationkey = s_nationkey
 WHERE p_type = '{_STAR_PTYPE}'
 GROUP BY n_name, p_brand"""
+
+
+# --- per-user event pivot (feature-matrix construction) ----------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_event_pivot(sf_dir: str):
+    """Pivot / feature-matrix construction — the feature-engineering step
+    an ML pipeline runs over an event log: one row per user, one count
+    column per event type (schema fixed by the known type vocabulary)
+    plus total spend in integer cents. Long→wide INSIDE the block map
+    (each block emits an already-pivoted partial per user it saw), so the
+    groupby shuffles at most |users in block| slim rows per block and the
+    reduce is Ray's native Sum per column — no row-level long table ever
+    crosses the exchange, and no per-user set materializes anywhere.
+    Pivot columns come from a FIXED vocabulary (the only scale-safe pivot
+    contract; a data-driven column set would need a driver pass and an
+    unbounded schema)."""
+    from ray.data.aggregate import Sum
+
+    tidx = {t: i for i, t in enumerate(_PIVOT_TYPES)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_pylist()
+        val_c = np.round(b["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        users, inv = np.unique(uid, return_inverse=True)
+        n = users.size
+        counts = np.zeros((n, len(_PIVOT_TYPES)), dtype=np.int64)
+        ti = np.fromiter((tidx[t] for t in et), dtype=np.int64,
+                         count=len(et))
+        np.add.at(counts, (inv, ti), 1)
+        spend = np.zeros(n, dtype=np.int64)
+        is_p = ti == tidx["purchase"]
+        np.add.at(spend, inv[is_p], val_c[is_p])
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for t in _PIVOT_TYPES:
+            cols[f"n_{t}"] = pa.array(counts[:, tidx[t]])
+        cols["spend_cents"] = pa.array(spend)
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES]
+    aggs.append(Sum("spend_cents", alias_name="spend_cents"))
+    return (_read(sf_dir, "events", ["user_id", "event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(*aggs))
+
+
+def user_event_pivot_sql() -> str:
+    cols = ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES)
+    return f"""
+SELECT user_id, {cols},
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                     FILTER (event_type = 'purchase'), 0) AS BIGINT)
+         AS spend_cents
+FROM events GROUP BY user_id"""

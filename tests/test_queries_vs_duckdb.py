@@ -111,6 +111,9 @@ SQL_QUERIES = [
     # round 5 (cont.): star-schema profit rollup over broadcast dims
     # (part/supplier/nation — the last unused fixture tables)
     "star_profit",
+    # round 5 (cont.): long->wide pivot (fixed type vocabulary, block-side
+    # pivot partials, per-column Sum reduce; integer cents spend)
+    "user_event_pivot",
     # round 5: simhash detector composed into the cluster policies
     # (detector x policy matrix closed) — oracle swaps the pairs CTE of
     # the cluster SQL for the bit-identical simhash band join
