@@ -330,6 +330,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "star_profit": A.star_profit,
         # round 5: long->wide pivot / per-user feature matrix
         "user_event_pivot": A.user_event_pivot,
+        # round 5: exact substring (40-char window) dedup — the Lee et al.
+        # window-granular op; one read, rolling-hash window identity, two
+        # slim exchanges (h-keyed ownership, doc-keyed assembly)
+        "substring_dedup": A.substring_dedup,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1174,6 +1178,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "tpch_q3": A.tpch_q3_sql(),
         "star_profit": A.star_profit_sql(),
         "user_event_pivot": A.user_event_pivot_sql(),
+        "substring_dedup": A.substring_dedup_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -4759,3 +4759,185 @@ SELECT user_id, {cols},
                      FILTER (event_type = 'purchase'), 0) AS BIGINT)
          AS spend_cents
 FROM events GROUP BY user_id"""
+
+
+# --- exact substring (L-char window) dedup -----------------------------------
+
+_SSD_L = 40
+_SSD_BASE = np.uint64(1099511628211)   # FNV-1a prime; odd => bijective step
+
+
+def _ssd_pows() -> np.ndarray:
+    # Python-int modular arithmetic: numpy scalar uint64 wraparound is
+    # correct but emits RuntimeWarning per worker import
+    p, v = np.empty(_SSD_L, np.uint64), 1
+    for i in range(_SSD_L - 1, -1, -1):
+        p[i] = v
+        v = (v * int(_SSD_BASE)) & 0xFFFFFFFFFFFFFFFF
+    return p
+
+
+_SSD_POW = _ssd_pows()
+
+
+def _ssd_window_hashes(text: str) -> np.ndarray:
+    """Distinct 64-bit hashes of every ``_SSD_L``-char window of ``text``
+    (character windows, matching SQL ``substr`` semantics — UTF-32 code
+    points, not bytes)."""
+    codes = np.frombuffer(text.encode("utf-32-le"), np.uint32)
+    if codes.size < _SSD_L:
+        return np.empty(0, np.uint64)
+    w = np.lib.stride_tricks.sliding_window_view(codes, _SSD_L)
+    h = (w.astype(np.uint64) * _SSD_POW).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def substring_dedup(sf_dir: str):
+    """Exact substring-level duplicate detection — the window-granular op
+    of Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"): a length-{_SSD_L} character window is DUPLICATED in a doc if
+    the same window also occurs in any earlier (smaller doc_id) document.
+    Output per document: distinct-window total, distinct duplicated-window
+    count, and a has_dup flag. The fixture needs no planting — the
+    small-vocab corpus shares thousands of 40-char windows naturally.
+
+    Scale shape — ONE corpus read, one hashing pass, two slim exchanges:
+      1. every doc's DISTINCT window hashes go out as (h, doc_id) rows
+         keyed by h (window identity = 64-bit rolling hash, the
+         `decontaminate` precedent: a false merge needs two distinct
+         windows agreeing in 64 bits inside one comparison set); per-doc
+         totals ride the SAME exchange as pass-through rows keyed by
+         doc_id, so nothing is read or hashed twice;
+      2. each h-bucket reduce picks min(doc_id) as the window's owner and
+         emits per-doc duplicated-window partial counts keyed by doc_id;
+         the doc-bucket reduce sums partials and joins the totals.
+    Exchange volume is O(total distinct windows) slim 25-byte rows — the
+    honest cost of exact window dedup (suffix-array equivalents pay the
+    same); the sampled sibling for when that is too much is
+    `winnow_fingerprint` (analytics.py:2843), which keeps one window per
+    winnowing band. Text never shuffles; per-task memory is one bucket.
+    Per-doc loop is forced by variable-length rows; the window hashing
+    inside it is vectorized numpy (stride view x power dot)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=50_000, lo=8)
+
+    mid_schema = pa.schema([
+        ("bucket", pa.int64()), ("h", pa.int64()),
+        ("doc_id", pa.int64()), ("n", pa.int64()),
+        ("kind", pa.int8())])  # 0 window row / 1 doc total / 2 hit partial
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        hs, ds_, tot_n = [], [], []
+        for i, t in zip(ids, texts):
+            hu = _ssd_window_hashes(t)
+            tot_n.append(hu.size)
+            if hu.size:
+                hs.append(hu)
+                ds_.append(np.full(hu.size, i, np.int64))
+        h = (np.concatenate(hs) if hs else np.empty(0, np.uint64))
+        d = (np.concatenate(ds_) if ds_ else np.empty(0, np.int64))
+        ids64 = ids.astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(
+                [(h % np.uint64(nb)).astype(np.int64), ids64 % nb])),
+            "h": pa.array(np.concatenate(
+                [h.view(np.int64), np.zeros(len(ids64), np.int64)])),
+            "doc_id": pa.array(np.concatenate([d, ids64])),
+            "n": pa.array(np.concatenate(
+                [np.zeros(len(h), np.int64),
+                 np.asarray(tot_n, np.int64)])),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(h), np.int8),
+                 np.ones(len(ids64), np.int8)])),
+        }, schema=mid_schema)
+
+    def owner_hits(t: pa.Table) -> pa.Table | None:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)[kind == 0]
+        d = t["doc_id"].to_numpy(zero_copy_only=False)[kind == 0]
+        parts = [t.filter(pa.array(kind == 1))] if (kind == 1).any() else []
+        if len(h):
+            order = np.lexsort((d, h))
+            hs_, ds_ = h[order], d[order]
+            first = np.ones(len(hs_), bool)
+            first[1:] = hs_[1:] != hs_[:-1]
+            dup_docs = ds_[~first]
+            if dup_docs.size:
+                docs, counts = np.unique(dup_docs, return_counts=True)
+                parts.append(pa.table({
+                    "bucket": pa.array(docs % nb),
+                    "h": pa.array(np.zeros(docs.size, np.int64)),
+                    "doc_id": pa.array(docs),
+                    "n": pa.array(counts.astype(np.int64)),
+                    "kind": pa.array(np.full(docs.size, 2, np.int8)),
+                }, schema=mid_schema))
+        if not parts:
+            return None
+        return pa.concat_tables(parts)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_windows", pa.int64()),
+        ("n_dup_windows", pa.int64()), ("has_dup", pa.bool_())])
+
+    def assemble(t: pa.Table) -> pa.Table | None:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        tot_mask = kind == 1
+        if not tot_mask.any():
+            return None
+        docs = d[tot_mask]
+        order = np.argsort(docs)
+        docs = docs[order]
+        totals = n[tot_mask][order]
+        dups = np.zeros(docs.size, np.int64)
+        hit_mask = kind == 2
+        if hit_mask.any():
+            pos = np.searchsorted(docs, d[hit_mask])
+            np.add.at(dups, pos, n[hit_mask])
+        return pa.table({
+            "doc_id": pa.array(docs),
+            "n_windows": pa.array(totals),
+            "n_dup_windows": pa.array(dups),
+            "has_dup": pa.array(dups > 0),
+        }, schema=out_schema)
+
+    mid = bucket_exchange_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            explode, batch_format="pyarrow"),
+        nb, owner_hits, mid_schema.empty_table())
+    return bucket_exchange_dataset(mid, nb, assemble,
+                                   out_schema.empty_table())
+
+
+def substring_dedup_sql() -> str:
+    return f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, substr(text, i, {_SSD_L}) AS win
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {_SSD_L - 1})) AS i
+        FROM documents)
+), f AS (
+  SELECT win, min(doc_id) AS fd FROM dw GROUP BY win
+), hits AS (
+  SELECT dw.doc_id, count(*) AS n_dup
+  FROM dw JOIN f USING (win)
+  WHERE dw.doc_id > f.fd
+  GROUP BY dw.doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_win FROM dw GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_win, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       coalesce(h.n_dup, 0) > 0 AS has_dup
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN hits h USING (doc_id)"""

@@ -148,6 +148,10 @@ SQL_QUERIES = [
     # persisted inverted index (frozen version-1 hot set; probes the
     # SAME derived crawl streams as the minhash lifecycle)
     "ngram_incremental", "ngram_index_evolution",
+    # round 5 (cont.): exact substring (40-char window) dedup — natural
+    # small-vocab window sharing, no planting; window identity = 64-bit
+    # rolling hash (decontaminate precedent)
+    "substring_dedup",
 ]
 
 
