@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window-granular op; one read, rolling-hash window identity, two
         # slim exchanges (h-keyed ownership, doc-keyed assembly)
         "substring_dedup": A.substring_dedup,
+        # round 5: DSIR importance weights — hashed-unigram LLR of the
+        # benchmark target slice vs the raw remainder, integer micro-nat
+        # quantization so per-doc sums are float-order-proof
+        "dsir_weights": A.dsir_weights,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1179,6 +1183,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "star_profit": A.star_profit_sql(),
         "user_event_pivot": A.user_event_pivot_sql(),
         "substring_dedup": A.substring_dedup_sql(),
+        "dsir_weights": A.dsir_weights_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

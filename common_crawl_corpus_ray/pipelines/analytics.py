@@ -4941,3 +4941,160 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN hits h USING (doc_id)"""
+
+
+# --- DSIR importance weights -------------------------------------------------
+
+_DSIR_B = 256            # hashed unigram feature buckets
+_DSIR_SCALE = 1_000_000  # micro-nat quantization of the per-bucket log-ratio
+
+
+def _dsir_lr_micro(tgt: np.ndarray, raw: np.ndarray) -> np.ndarray:
+    """Per-bucket Laplace-smoothed log-likelihood ratio, FLOOR-quantized to
+    integer micro-nats. The quantization is the float-parity trick: per-doc
+    scores are then exact int64 sums, so engine-order float addition can
+    never flip a comparison bit; the only float op is one ln per BUCKET
+    (256 values), where a cross-libm ulp flips the floor with probability
+    ~2^-40 per bucket. Products are formed as exact Python ints and
+    converted to float64 ONCE — matching DuckDB's HUGEINT-then-cast, which
+    differs from float(a)*float(b) beyond 2^53."""
+    ntgt, nraw = int(tgt.sum()), int(raw.sum())
+    out = np.empty(_DSIR_B, np.int64)
+    for b in range(_DSIR_B):
+        x1 = np.float64((int(tgt[b]) + 1) * (nraw + _DSIR_B))
+        x2 = np.float64((int(raw[b]) + 1) * (ntgt + _DSIR_B))
+        out[b] = np.floor((np.log(x1) - np.log(x2)) * _DSIR_SCALE)
+    return out
+
+
+def _dsir_doc_buckets(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, bucket) per word token of the batch — Arrow split, ''
+    filtered (the oracles' list_filter), md5 hashed once per UNIQUE word
+    (the small-vocab corpus makes the unique set tiny next to the token
+    stream) and scattered back through the inverse index."""
+    words = words_arrow(t["text"])
+    counts = (pc.list_value_length(words)
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = pc.list_flatten(words)
+    own = np.repeat(np.arange(len(counts)), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        own = own[keep]
+    if len(own) == 0:
+        return own, np.empty(0, np.int64)
+    uniq, inv = np.unique(flat.to_numpy(zero_copy_only=False),
+                          return_inverse=True)
+    ub = (md5_i64_array(list(uniq)).to_numpy(zero_copy_only=False)
+          % _DSIR_B)
+    return own, ub[inv]
+
+
+def dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by the log-likelihood ratio of a hashed-unigram bag model fit on the
+    TARGET slice (the deterministic benchmark slice doc_id % {_CONTAM_MOD}
+    == {_CONTAM_BENCH}, shared with `decontaminate`) vs one fit on the raw
+    remainder. Positive score = target-like; real pipelines then resample
+    by these weights. Output per raw doc: token count, integer micro-nat
+    score, the float score, a per-token normalized score (the ranking key
+    real DSIR resamples by — length-unbiased), and a target-like flag. At
+    THIS fixture the target slice is an unenriched subsample of the same
+    distribution, so every doc scores slightly negative (smoothing
+    flattens the smaller target histogram) and the flag is uniformly
+    False; the score columns still rank docs by target affinity.
+
+    Scale shape — the decontaminate template: pass 1 streams the corpus
+    once emitting per-block (bucket -> tgt/raw token count) partials
+    ({_DSIR_B} rows each; the driver holds O(B), never O(vocab));
+    the quantized log-ratio table broadcasts ONCE via ray.put; pass 2
+    streams the corpus again scoring each doc with a vectorized bucket
+    lookup + int64 scatter-add. No shuffle on either pass."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        own, buckets = _dsir_doc_buckets(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        is_tgt = (ids % _CONTAM_MOD == _CONTAM_BENCH)[own]
+        tgt = np.bincount(buckets[is_tgt], minlength=_DSIR_B)
+        raw = np.bincount(buckets[~is_tgt], minlength=_DSIR_B)
+        return pa.table({"tgt": pa.array(tgt.astype(np.int64)),
+                         "raw": pa.array(raw.astype(np.int64))})
+
+    tgt = np.zeros(_DSIR_B, np.int64)
+    raw = np.zeros(_DSIR_B, np.int64)
+    for b in (ds.map_batches(hist_partial, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        tgt += b["tgt"].to_numpy(zero_copy_only=False)
+        raw += b["raw"].to_numpy(zero_copy_only=False)
+    lr_ref = ray.put(_dsir_lr_micro(tgt, raw))
+
+    def score(b: pa.Table, _ref=lr_ref) -> pa.Table:
+        lr_q = cached_get(_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % _CONTAM_MOD != _CONTAM_BENCH))
+        own, buckets = _dsir_doc_buckets(t)
+        micro = np.zeros(t.num_rows, np.int64)
+        n_tok = np.zeros(t.num_rows, np.int64)
+        if len(own):
+            np.add.at(micro, own, lr_q[buckets])
+            n_tok = np.bincount(own, minlength=t.num_rows)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "dsir_micro_nats": pa.array(micro),
+            "dsir_score": pa.array(micro / np.float64(_DSIR_SCALE)),
+            "dsir_per_token": pa.array(
+                micro / np.maximum(n_tok, 1) / np.float64(_DSIR_SCALE)),
+            "target_like": pa.array(micro > 0),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights_sql() -> str:
+    h = sql_md5_i64("w")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '{SQL_WS_RE}'),
+                            x -> x != '')) AS w
+  FROM documents
+), tb AS (
+  SELECT doc_id, {h} % {_DSIR_B} AS b FROM tok
+), hist AS (
+  SELECT b,
+         count(*) FILTER (doc_id % {_CONTAM_MOD} = {_CONTAM_BENCH}) AS tgt,
+         count(*) FILTER (doc_id % {_CONTAM_MOD} <> {_CONTAM_BENCH}) AS raw
+  FROM tb GROUP BY b
+), tots AS (
+  SELECT sum(tgt) AS ntgt, sum(raw) AS nraw FROM hist
+), lr AS (
+  SELECT b,
+         CAST(floor((ln((tgt + 1) * (nraw + {_DSIR_B}))
+                     - ln((raw + 1) * (ntgt + {_DSIR_B})))
+                    * {_DSIR_SCALE}.0) AS BIGINT) AS q
+  FROM hist, tots
+), sc AS (
+  SELECT tb.doc_id, count(*) AS n_tokens, sum(lr.q) AS micro
+  FROM tb JOIN lr USING (b)
+  WHERE tb.doc_id % {_CONTAM_MOD} <> {_CONTAM_BENCH}
+  GROUP BY tb.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sc.micro, 0) AS BIGINT) AS dsir_micro_nats,
+       CAST(coalesce(sc.micro, 0) AS BIGINT) / {_DSIR_SCALE}.0
+         AS dsir_score,
+       CAST(coalesce(sc.micro, 0) AS BIGINT)
+         / greatest(CAST(coalesce(sc.n_tokens, 1) AS BIGINT), 1)
+         / {_DSIR_SCALE}.0 AS dsir_per_token,
+       coalesce(sc.micro, 0) > 0 AS target_like
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_BENCH}) d
+LEFT JOIN sc USING (doc_id)"""

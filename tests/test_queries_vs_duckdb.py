@@ -152,6 +152,9 @@ SQL_QUERIES = [
     # small-vocab window sharing, no planting; window identity = 64-bit
     # rolling hash (decontaminate precedent)
     "substring_dedup",
+    # round 5 (cont.): DSIR importance weights (hashed-unigram LLR vs the
+    # decontaminate target slice; micro-nat integer quantization)
+    "dsir_weights",
 ]
 
 
