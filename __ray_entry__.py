@@ -338,6 +338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark target slice vs the raw remainder, integer micro-nat
         # quantization so per-doc sums are float-order-proof
         "dsir_weights": A.dsir_weights,
+        # round 5: per-doc top-3 tf-idf terms — integer-exact ranking key
+        # tf*(N-df); df computed in the term-keyed exchange, never a
+        # driver-side vocabulary table
+        "tfidf_topk": A.tfidf_topk,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1184,6 +1188,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "user_event_pivot": A.user_event_pivot_sql(),
         "substring_dedup": A.substring_dedup_sql(),
         "dsir_weights": A.dsir_weights_sql(),
+        "tfidf_topk": A.tfidf_topk_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

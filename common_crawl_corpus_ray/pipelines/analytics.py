@@ -5098,3 +5098,139 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents
       WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_BENCH}) d
 LEFT JOIN sc USING (doc_id)"""
+
+
+# --- per-document tf-idf top-k terms ----------------------------------------
+
+_TFIDF_K = 3
+
+
+def tfidf_topk(sf_dir: str):
+    """Per-document top-{_TFIDF_K} terms by tf-idf — the keyword-extraction
+    pass a corpus pipeline runs to tag documents for retrieval / topic
+    routing. RANKING is by the integer-exact surrogate tf * (N - df)
+    (monotone in tf, anti-monotone in df), tiebroken by term — so the
+    Ray and SQL engines order identically with zero float comparisons;
+    the conventional float tf * ln(N/df) rides along as an annotation
+    column (value-compared, never order-compared).
+
+    Scale shape — two slim exchanges, text never shuffles twice:
+      1. per-block (doc, term, tf) partials (exact: each doc lives in one
+         block) exchange keyed by term; each reduce counts df per term
+         exactly (all of a term's rows land in its bucket) and re-keys
+         the rows by doc;
+      2. the doc-bucket reduce ranks each doc's terms and keeps the top
+         {_TFIDF_K}. Per-task memory is one bucket's (doc, term) rows;
+         df is never a driver-side table (vocabulary at corpus scale is
+         too big to broadcast — the vocab_topk lesson)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=50_000, lo=8)
+
+    mid_schema = pa.schema([
+        ("bucket", pa.int64()), ("doc_id", pa.int64()),
+        ("term", pa.string()), ("tf", pa.int64()), ("df", pa.int64())])
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        words = words_arrow(b["text"])
+        counts = (pc.list_value_length(words)
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = pc.list_flatten(words)
+        own = np.repeat(np.arange(len(counts)), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            own = own[keep]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(own) == 0:
+            return mid_schema.empty_table()
+        uniq, inv = np.unique(flat.to_numpy(zero_copy_only=False),
+                              return_inverse=True)
+        key = own * len(uniq) + inv
+        ukey, tf = np.unique(key, return_counts=True)
+        d = ids[ukey // len(uniq)]
+        terms = uniq[ukey % len(uniq)]
+        hb = (md5_i64_array(list(terms)).to_numpy(zero_copy_only=False)
+              % nb)
+        return pa.table({
+            "bucket": pa.array(hb),
+            "doc_id": pa.array(d),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tf.astype(np.int64)),
+            "df": pa.array(np.zeros(len(d), np.int64)),
+        }, schema=mid_schema)
+
+    def attach_df(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        df = t.select(["doc_id", "term", "tf"]).to_pandas()
+        df["df"] = df.groupby("term")["term"].transform("size")
+        return pa.table({
+            "bucket": pa.array(df["doc_id"].to_numpy(np.int64) % nb),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "term": pa.array(df["term"], pa.string()),
+            "tf": pa.array(df["tf"].to_numpy(np.int64)),
+            "df": pa.array(df["df"].to_numpy(np.int64)),
+        }, schema=mid_schema)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("rank", pa.int64()),
+        ("term", pa.string()), ("tf", pa.int64()), ("df", pa.int64()),
+        ("tfidf", pa.float64())])
+
+    def topk(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        df = t.select(["doc_id", "term", "tf", "df"]).to_pandas()
+        df["s"] = df["tf"].to_numpy(np.int64) * (n_docs - df["df"]
+                                                 .to_numpy(np.int64))
+        df = df.sort_values(["doc_id", "s", "term"],
+                            ascending=[True, False, True])
+        df["rank"] = df.groupby("doc_id").cumcount() + 1
+        df = df[df["rank"] <= _TFIDF_K]
+        tfv = df["tf"].to_numpy(np.int64)
+        dfv = df["df"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "rank": pa.array(df["rank"].to_numpy(np.int64)),
+            "term": pa.array(df["term"], pa.string()),
+            "tf": pa.array(tfv),
+            "df": pa.array(dfv),
+            "tfidf": pa.array(tfv * np.log(np.float64(n_docs) / dfv)),
+        }, schema=out_schema)
+
+    mid = bucket_exchange_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            tf_partial, batch_format="pyarrow"),
+        nb, attach_df, mid_schema.empty_table())
+    return bucket_exchange_dataset(mid, nb, topk, out_schema.empty_table())
+
+
+def tfidf_topk_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '{SQL_WS_RE}'),
+                            x -> x != '')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), n AS (SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (n.n_docs - df.df) DESC, tf.w) AS rnk,
+         n.n_docs
+  FROM tf JOIN df USING (w), n
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, w AS term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tf * ln(n_docs * 1.0 / df) AS tfidf
+FROM scored WHERE rnk <= {_TFIDF_K}"""

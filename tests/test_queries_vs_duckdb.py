@@ -155,6 +155,9 @@ SQL_QUERIES = [
     # round 5 (cont.): DSIR importance weights (hashed-unigram LLR vs the
     # decontaminate target slice; micro-nat integer quantization)
     "dsir_weights",
+    # round 5 (cont.): per-doc top-3 tf-idf terms (integer-exact surrogate
+    # ranking key tf*(N-df); float tf-idf is annotation only)
+    "tfidf_topk",
 ]
 
 
