@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tf*(N-df); df computed in the term-keyed exchange, never a
         # driver-side vocabulary table
         "tfidf_topk": A.tfidf_topk,
+        # round 5: CCNet head/middle/tail terciles per language (exact
+        # NTILE on an integer micro-ratio quality key; slim-row exchange)
+        "ccnet_buckets": A.ccnet_buckets,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1189,6 +1192,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "substring_dedup": A.substring_dedup_sql(),
         "dsir_weights": A.dsir_weights_sql(),
         "tfidf_topk": A.tfidf_topk_sql(),
+        "ccnet_buckets": A.ccnet_buckets_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

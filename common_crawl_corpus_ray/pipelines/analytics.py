@@ -5234,3 +5234,76 @@ SELECT doc_id, CAST(rnk AS BIGINT) AS rank, w AS term,
        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        tf * ln(n_docs * 1.0 / df) AS tfidf
 FROM scored WHERE rnk <= {_TFIDF_K}"""
+
+
+# --- CCNet-style per-language quality terciles -------------------------------
+
+_CCNET_SCALE = 1_000_000
+
+
+def ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail split: within each language, rank
+    documents by a quality key and cut the ranking into three NTILE
+    terciles — the bucketing CCNet applies to LM perplexity before
+    keeping "head" for training. The quality key here is the integer
+    micro-ratio composite stop_hits*1e6 // n_words − punct*1e6 //
+    n_chars (stopword-rich, punctuation-light = better): pure integer
+    arithmetic, so both engines rank identically with zero float
+    comparisons; ties break on doc_id.
+
+    Scale shape: the key computes in a streaming map_batches; only SLIM
+    (doc_id, lang, q) rows — 24 B/doc, text never — enter the per-lang
+    exchange, where each language's reduce assigns exact NTILE buckets
+    (DuckDB semantics: first n%3 terciles take the extra row). The
+    honest caveat: exact NTILE needs each language's total order, so
+    per-task memory is O(docs-in-lang) slim rows; when one language is
+    the whole corpus, the production cut switches to the repo's
+    `global_percentiles` KLL path (approximate tercile cut points,
+    O(sketch) memory) and this op is the exact verifier at audit scale."""
+
+    def key(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        ln = np.maximum(pc.utf8_length(text)
+                        .to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        nw = np.maximum(nwords_arrow(text)
+                        .to_numpy(zero_copy_only=False), 1)
+        punct = (pc.count_substring_regex(text, spec.PUNCT_CLASS)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        stops = (pc.count_substring_regex(text, _STOP_PAT)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        q = (stops * _CCNET_SCALE) // nw - (punct * _CCNET_SCALE) // ln
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "q_micro": pa.array(q)})
+
+    _names = np.array(["head", "middle", "tail"])
+
+    def ntile3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["q_micro", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        n = len(g)
+        base, extra = divmod(n, 3)
+        sizes = np.array([base + (1 if i < extra else 0) for i in range(3)])
+        edges = np.cumsum(sizes)
+        g["bucket"] = _names[np.searchsorted(edges, np.arange(n),
+                                             side="right")]
+        return g[["doc_id", "lang", "q_micro", "bucket"]]
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
+            .map_batches(key, batch_format="pyarrow")
+            .groupby("lang").map_groups(ntile3, batch_format="pandas"))
+
+
+def ccnet_buckets_sql() -> str:
+    ln = "greatest(length(text), 1)"
+    nw = f"greatest({sql_nwords('text')}, 1)"
+    q = (f"CAST(len(regexp_extract_all(text, '{_q(_STOP_PAT)}')) AS BIGINT)"
+         f" * {_CCNET_SCALE} // {nw}"
+         f" - CAST(len(regexp_extract_all(text, '{_q(spec.PUNCT_CLASS)}'))"
+         f" AS BIGINT) * {_CCNET_SCALE} // {ln}")
+    return f"""
+WITH s AS (SELECT doc_id, lang, {q} AS q_micro FROM documents)
+SELECT doc_id, lang, q_micro,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY q_micro DESC, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM s"""

@@ -158,6 +158,9 @@ SQL_QUERIES = [
     # round 5 (cont.): per-doc top-3 tf-idf terms (integer-exact surrogate
     # ranking key tf*(N-df); float tf-idf is annotation only)
     "tfidf_topk",
+    # round 5 (cont.): CCNet-style per-language quality terciles (exact
+    # DuckDB NTILE semantics on an integer micro-ratio key)
+    "ccnet_buckets",
 ]
 
 
