@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: CCNet head/middle/tail terciles per language (exact
         # NTILE on an integer micro-ratio quality key; slim-row exchange)
         "ccnet_buckets": A.ccnet_buckets,
+        # round 5: SymSpell deletion-neighborhood fuzzy string join —
+        # OCR/typo candidates vs a frequency-cut lexicon, DP-verified
+        "spell_candidates": A.spell_candidates,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1193,6 +1196,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "dsir_weights": A.dsir_weights_sql(),
         "tfidf_topk": A.tfidf_topk_sql(),
         "ccnet_buckets": A.ccnet_buckets_sql(),
+        "spell_candidates": A.spell_candidates_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -5307,3 +5307,171 @@ SELECT doc_id, lang, q_micro,
                            ORDER BY q_micro DESC, doc_id)
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM s"""
+
+
+# --- SymSpell-style typo candidates (blocked fuzzy string match) -------------
+
+_SPELL_LEX_DEN = 256   # lexicon = words with n * DEN >= total tokens
+_SPELL_TYPO_MOD = 11
+_SPELL_TYPO_SRC = "table"
+_SPELL_TYPO_DST = "tble"
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, the DuckDB ``levenshtein()`` definition."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _spell_text(b: pa.Table) -> pa.Table:
+    """Deterministic typo plant: every {_SPELL_TYPO_MOD}th doc's first
+    '{_SPELL_TYPO_SRC}' becomes '{_SPELL_TYPO_DST}' (edit distance 1) —
+    the corpus vocabulary itself has no distance-1 neighbors, so the op
+    needs a planted OCR-style error to demonstrate recovery. Mirrors the
+    oracle's single-replacement regexp_replace (no 'g' flag)."""
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    mut = pc.replace_substring_regex(
+        b["text"], rf"\b{_SPELL_TYPO_SRC}\b", _SPELL_TYPO_DST,
+        max_replacements=1)
+    text = pc.if_else(pa.array(ids % _SPELL_TYPO_MOD == 0), mut, b["text"])
+    return pa.table({"doc_id": b["doc_id"], "text": text})
+
+
+def spell_candidates(sf_dir: str):
+    """OCR/typo-repair candidate generation — a fuzzy STRING JOIN between
+    the corpus vocabulary and a trusted lexicon (every word carrying at
+    least 1/{_SPELL_LEX_DEN} of the token mass — the scale-invariant
+    frequency cut real SymSpell dictionaries use): emit every
+    out-of-lexicon word within edit distance 1 of a lexicon word, with
+    its corpus frequency and the suggestion. The blocking is SymSpell's deletion
+    neighborhood: ed(w, l) <= 1 implies w == l, w is a 1-deletion of l,
+    l is a 1-deletion of w, or they share a 1-deletion — so candidates
+    come from O(|w|) dictionary lookups per word, never a vocab x lexicon
+    cross join; survivors verify with the exact DP.
+
+    Scale shape: block-local token counts flow through ONE word-keyed
+    exchange into an exact per-word frequency table — O(vocab) slim rows,
+    pinned with materialize() (the dedup_family slim-pin precedent:
+    vocabulary is Heaps-law sublinear in corpus size, it is the one table
+    here that is NOT O(corpus)). The lexicon is the frequency-filtered
+    slice of that table (words above the mass cut are bounded — a
+    heavy-word dictionary, not the vocabulary tail) and broadcasts with
+    its deletion-variant index via ray.put; the probe is a second
+    streaming pass over the pinned frequency table."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    import pyarrow.parquet as pq
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=50_000, lo=8)
+
+    mid_schema = pa.schema([
+        ("bucket", pa.int64()), ("word", pa.string()), ("n", pa.int64())])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = _spell_text(b)
+        words = words_arrow(t["text"])
+        flat = pc.list_flatten(words)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+        if len(flat) == 0:
+            return mid_schema.empty_table()
+        uniq, counts = np.unique(flat.to_numpy(zero_copy_only=False),
+                                 return_counts=True)
+        hb = (md5_i64_array(list(uniq)).to_numpy(zero_copy_only=False)
+              % nb)
+        return pa.table({"bucket": pa.array(hb),
+                         "word": pa.array(uniq, pa.string()),
+                         "n": pa.array(counts.astype(np.int64))},
+                        schema=mid_schema)
+
+    def sum_counts(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        df = (t.select(["bucket", "word", "n"]).to_pandas()
+              .groupby(["bucket", "word"], as_index=False)["n"].sum())
+        return pa.Table.from_pandas(df, schema=mid_schema,
+                                    preserve_index=False)
+
+    # O(vocab) slim rows — the one justified pin (vocabulary, not corpus);
+    # consumed twice: lexicon derivation + candidate probe
+    freq = bucket_exchange_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            count_partial, batch_format="pyarrow"),
+        nb, sum_counts, mid_schema.empty_table()).materialize()
+
+    total = int(freq.sum("n") or 0)
+    lexicon = [
+        w for b in freq.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                pc.multiply(t["n"], np.int64(_SPELL_LEX_DEN)),
+                np.int64(total))).select(["word"]),
+            batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        for w in b["word"].to_pylist()]
+
+    variants: dict[str, list[str]] = {}
+    for lw in lexicon:
+        for v in {lw} | {lw[:i] + lw[i + 1:] for i in range(len(lw))}:
+            variants.setdefault(v, []).append(lw)
+    lex_ref = ray.put((set(lexicon), variants))
+
+    out_schema = pa.schema([
+        ("word", pa.string()), ("n_occ", pa.int64()),
+        ("suggestion", pa.string())])
+
+    def probe(t: pa.Table, _ref=lex_ref) -> pa.Table:
+        lex_set, var_idx = cached_get(_ref)
+        words = t["word"].to_pylist()
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        ws, os_, ss = [], [], []
+        for w, n in zip(words, ns):
+            if w in lex_set:
+                continue
+            cands: set[str] = set()
+            for v in {w} | {w[:i] + w[i + 1:] for i in range(len(w))}:
+                cands.update(var_idx.get(v, ()))
+            for lw in sorted(cands):
+                if _levenshtein(w, lw) == 1:
+                    ws.append(w); os_.append(int(n)); ss.append(lw)
+        return pa.table({"word": pa.array(ws, pa.string()),
+                         "n_occ": pa.array(os_, pa.int64()),
+                         "suggestion": pa.array(ss, pa.string())},
+                        schema=out_schema)
+
+    return freq.map_batches(probe, batch_format="pyarrow")
+
+
+def spell_candidates_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN doc_id % {_SPELL_TYPO_MOD} = 0
+         THEN regexp_replace(text, '\\b{_SPELL_TYPO_SRC}\\b',
+                             '{_SPELL_TYPO_DST}')
+         ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '{SQL_WS_RE}'),
+                            x -> x != '')) AS w
+  FROM t
+), freq AS (
+  SELECT w, count(*) AS n FROM tok GROUP BY w
+), lex AS (
+  SELECT w FROM freq
+  WHERE n * {_SPELL_LEX_DEN} >= (SELECT sum(n) FROM freq)
+)
+SELECT f.w AS word, CAST(f.n AS BIGINT) AS n_occ, l.w AS suggestion
+FROM freq f JOIN lex l ON levenshtein(f.w, l.w) = 1
+WHERE f.w NOT IN (SELECT w FROM lex)"""

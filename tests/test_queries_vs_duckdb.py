@@ -161,6 +161,9 @@ SQL_QUERIES = [
     # round 5 (cont.): CCNet-style per-language quality terciles (exact
     # DuckDB NTILE semantics on an integer micro-ratio key)
     "ccnet_buckets",
+    # round 5 (cont.): SymSpell-blocked fuzzy string join (levenshtein
+    # oracle; planted 'tble' typo in every 11th doc)
+    "spell_candidates",
 ]
 
 
