@@ -5475,3 +5475,85 @@ WITH t AS (
 SELECT f.w AS word, CAST(f.n AS BIGINT) AS n_occ, l.w AS suggestion
 FROM freq f JOIN lex l ON levenshtein(f.w, l.w) = 1
 WHERE f.w NOT IN (SELECT w FROM lex)"""
+
+
+# --- per-source boilerplate prefix detection ---------------------------------
+
+
+def boilerplate_prefix(sf_dir: str):
+    """Boilerplate header detection: for every source, find the longest
+    common prefix (LCP) shared by ALL of its documents — the crawl-
+    cleaning pass that discovers per-site headers/banners before
+    stripping them. Uses the lexicographic LCP identity: the LCP of a
+    set equals the LCP of its lexicographic MIN and MAX — so the group
+    reduce needs two strings, not the group. A deterministic
+    '[<source>] ' header is planted on every document (both engines), so
+    each source provably carries a nonempty prefix to recover.
+
+    Scale shape: min/max are associative — each block emits per-source
+    (min, max, count) partials (2 texts per source per block, not the
+    corpus), and a bounded-cardinality per-source reduce (the
+    pages_group precedent) combines partials and computes the LCP by
+    vectorized code-point compare. No corpus-volume shuffle anywhere."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pylist()
+        txt = b["text"].to_pylist()
+        agg: dict[str, list] = {}
+        for s, t in zip(src, txt):
+            t = f"[{s}] {t}"
+            a = agg.get(s)
+            if a is None:
+                agg[s] = [t, t, 1]
+            else:
+                if t < a[0]:
+                    a[0] = t
+                if t > a[1]:
+                    a[1] = t
+                a[2] += 1
+        keys = sorted(agg)
+        return pa.table({
+            "source": pa.array(keys, pa.string()),
+            "lo": pa.array([agg[k][0] for k in keys], pa.string()),
+            "hi": pa.array([agg[k][1] for k in keys], pa.string()),
+            "n_docs": pa.array([agg[k][2] for k in keys], pa.int64())})
+
+    def lcp_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = g["lo"].min(), g["hi"].max()
+        a = np.frombuffer(lo.encode("utf-32-le"), np.uint32)
+        b = np.frombuffer(hi.encode("utf-32-le"), np.uint32)
+        m = min(a.size, b.size)
+        neq = np.nonzero(a[:m] != b[:m])[0]
+        plen = int(neq[0]) if neq.size else m
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "prefix": [lo[:plen]],
+            "prefix_len": np.array([plen], np.int64),
+            "n_docs": np.array([int(g["n_docs"].sum())], np.int64)})
+
+    return (_read(sf_dir, "documents", ["doc_id", "source", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source").map_groups(lcp_reduce, batch_format="pandas"))
+
+
+def boilerplate_prefix_sql() -> str:
+    return """
+WITH t AS (
+  SELECT source, '[' || source || '] ' || text AS text FROM documents
+), mm AS (
+  SELECT source, min(text) AS lo, max(text) AS hi, count(*) AS n_docs
+  FROM t GROUP BY source
+), p AS (
+  SELECT source,
+         coalesce(max(i) FILTER (substr(lo, 1, i) = substr(hi, 1, i)), 0)
+           AS plen
+  FROM (SELECT source, lo, hi,
+               unnest(generate_series(1, least(length(lo), length(hi))))
+                 AS i
+        FROM mm)
+  GROUP BY source
+)
+SELECT mm.source, substr(mm.lo, 1, p.plen) AS prefix,
+       CAST(p.plen AS BIGINT) AS prefix_len,
+       CAST(mm.n_docs AS BIGINT) AS n_docs
+FROM mm JOIN p USING (source)"""

@@ -164,6 +164,9 @@ SQL_QUERIES = [
     # round 5 (cont.): SymSpell-blocked fuzzy string join (levenshtein
     # oracle; planted 'tble' typo in every 11th doc)
     "spell_candidates",
+    # round 5 (cont.): per-source boilerplate prefix via the min/max LCP
+    # identity (planted '[source] ' header both engines)
+    "boilerplate_prefix",
 ]
 
 
