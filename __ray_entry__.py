@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: per-source boilerplate header discovery (LCP of group
         # = LCP(min,max); associative min/max partials, no corpus shuffle)
         "boilerplate_prefix": A.boilerplate_prefix,
+        # round 5: per-language interquartile winsorization (order-
+        # statistic quartiles from associative value-count partials)
+        "winsorize": A.winsorize,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1201,6 +1204,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "ccnet_buckets": A.ccnet_buckets_sql(),
         "spell_candidates": A.spell_candidates_sql(),
         "boilerplate_prefix": A.boilerplate_prefix_sql(),
+        "winsorize": A.winsorize_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -5557,3 +5557,84 @@ SELECT mm.source, substr(mm.lo, 1, p.plen) AS prefix,
        CAST(p.plen AS BIGINT) AS prefix_len,
        CAST(mm.n_docs AS BIGINT) AS n_docs
 FROM mm JOIN p USING (source)"""
+
+
+# --- per-language winsorization (robust outlier clipping) ---------------------
+
+
+def winsorize(sf_dir: str):
+    """Per-language interquartile winsorization of document length: clip
+    each doc's n_chars to its language's [Q1, Q3] — the robust-stats
+    outlier treatment a corpus profile applies before computing means
+    that a few megadocs would otherwise dominate. Quartiles are ORDER
+    STATISTICS (DuckDB quantile_disc semantics: the element at rank
+    ceil(q*n), verified rule), so everything is integer-exact — no
+    interpolated floats to disagree on.
+
+    Scale shape — the global_percentiles histogram trick, per group:
+    n_chars has a bounded integer domain, so per-block (lang, value,
+    count) partials merge associatively; the driver folds a tiny
+    O(langs x distinct-values) histogram, resolves each language's Q1/Q3
+    by cumulative rank, and broadcasts the cut table; pass 2 clips rows
+    streaming. No shuffle on either pass, and the TEXT column is never
+    read (columns= pruning carries only ints)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def vc_partial(b: pa.Table) -> pa.Table:
+        df = (b.select(["lang", "n_chars"]).to_pandas()
+              .groupby(["lang", "n_chars"], as_index=False).size())
+        return pa.table({
+            "lang": pa.array(df["lang"], pa.string()),
+            "v": pa.array(df["n_chars"].to_numpy(np.int64)),
+            "c": pa.array(df["size"].to_numpy(np.int64))})
+
+    hist: dict[str, dict[int, int]] = {}
+    for b in (ds.map_batches(vc_partial, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for lg, v, c in zip(b["lang"].to_pylist(), b["v"].to_pylist(),
+                            b["c"].to_pylist()):
+            hist.setdefault(lg, {})
+            hist[lg][v] = hist[lg].get(v, 0) + c
+
+    cuts: dict[str, tuple[int, int]] = {}
+    for lg, vc in hist.items():
+        vals = np.array(sorted(vc), np.int64)
+        cum = np.cumsum([vc[int(v)] for v in vals])
+        n = int(cum[-1])
+        q1 = int(vals[np.searchsorted(cum, -(-n // 4))])        # ceil(n/4)
+        q3 = int(vals[np.searchsorted(cum, -(-(3 * n) // 4))])  # ceil(3n/4)
+        cuts[lg] = (q1, q3)
+    cuts_ref = ray.put(cuts)
+
+    def clip(b: pa.Table, _ref=cuts_ref) -> pa.Table:
+        cu = cached_get(_ref)
+        langs = b["lang"].to_pylist()
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q1 = np.fromiter((cu[lg][0] for lg in langs), np.int64, len(langs))
+        q3 = np.fromiter((cu[lg][1] for lg in langs), np.int64, len(langs))
+        w = np.clip(v, q1, q3)
+        return pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "n_chars": pa.array(v),
+            "n_chars_winsor": pa.array(w),
+            "clipped": pa.array(w != v)})
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def winsorize_sql() -> str:
+    return """
+WITH q AS (
+  SELECT lang, quantile_disc(n_chars, 0.25) AS q1,
+         quantile_disc(n_chars, 0.75) AS q3
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(least(greatest(d.n_chars, q.q1), q.q3) AS BIGINT)
+         AS n_chars_winsor,
+       (d.n_chars < q.q1 OR d.n_chars > q.q3) AS clipped
+FROM documents d JOIN q USING (lang)"""

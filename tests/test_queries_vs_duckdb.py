@@ -167,6 +167,9 @@ SQL_QUERIES = [
     # round 5 (cont.): per-source boilerplate prefix via the min/max LCP
     # identity (planted '[source] ' header both engines)
     "boilerplate_prefix",
+    # round 5 (cont.): per-language interquartile winsorization (DuckDB
+    # quantile_disc rank rule replicated exactly; integer order stats)
+    "winsorize",
 ]
 
 
