@@ -1,0 +1,118 @@
+"""Edge-case tests for the round-5 corpus-hygiene ops over a handwritten
+corpus — cases the sf fixtures never exercise (docs shorter than the
+substring window, single-doc languages, typo words colliding with the
+lexicon), each still checked against the same DuckDB oracle so the two
+engines' edge behavior is pinned together, not separately."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from common_crawl_corpus_ray.pipelines import analytics as A
+
+_DOCS = [
+    # doc 0: shorter than the 40-char substring window -> zero windows
+    (0, "tiny doc", "en", "src0"),
+    # docs 1/2: byte-identical 60-char bodies -> every window duplicated
+    (1, "the quick brown fox jumps over the lazy dog again and again", "en",
+     "src0"),
+    (2, "the quick brown fox jumps over the lazy dog again and again", "en",
+     "src1"),
+    # doc 3: shares a 40+-char prefix with 1/2 but diverges -> partial dups
+    (3, "the quick brown fox jumps over the lazy cat asleep on the mat",
+     "fr", "src1"),
+    # doc 4: unique text, sole member of its language (NTILE n=1 path)
+    (4, "completely unrelated content with no shared windows at all here",
+     "de", "src2"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hygiene")
+    ids, texts, langs, srcs = zip(*_DOCS)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def con(corpus_dir):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{corpus_dir}/documents.parquet')")
+    return c
+
+
+def _match(ray_ds, sql, con, sort_cols):
+    got = ray_ds.to_pandas()
+    want = con.execute(sql).fetchdf()
+    assert list(sorted(got.columns)) == list(sorted(want.columns))
+    got = got[sorted(got.columns)].sort_values(sort_cols).reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(sort_cols).reset_index(drop=True)
+    for c in got.columns:
+        if pd.api.types.is_integer_dtype(want[c]):
+            got[c] = got[c].astype("int64")
+            want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want, atol=1e-9, rtol=0)
+    return got
+
+
+def test_substring_dedup_short_doc_and_identical_pair(
+        ray_session, corpus_dir, con):
+    got = _match(A.substring_dedup(corpus_dir), A.substring_dedup_sql(),
+                 con, ["doc_id"])
+    by_id = got.set_index("doc_id")
+    # doc 0 is shorter than the window: zero windows, never a dup
+    assert by_id.loc[0, "n_windows"] == 0
+    assert not by_id.loc[0, "has_dup"]
+    # doc 2 duplicates doc 1 byte-for-byte: every window duplicated
+    assert by_id.loc[2, "n_dup_windows"] == by_id.loc[2, "n_windows"] > 0
+    # doc 1 is the first occurrence: owns its windows
+    assert not by_id.loc[1, "has_dup"]
+    # doc 3 shares the long prefix only: some but not all windows dup
+    assert 0 < by_id.loc[3, "n_dup_windows"] < by_id.loc[3, "n_windows"]
+
+
+def test_ccnet_buckets_single_member_language(ray_session, corpus_dir, con):
+    got = _match(A.ccnet_buckets(corpus_dir), A.ccnet_buckets_sql(),
+                 con, ["doc_id"])
+    # a one-doc language lands in 'head' (NTILE(3) of n=1)
+    assert got.set_index("doc_id").loc[4, "bucket"] == "head"
+
+
+def test_boilerplate_prefix_single_doc_source(ray_session, corpus_dir, con):
+    got = _match(A.boilerplate_prefix(corpus_dir),
+                 A.boilerplate_prefix_sql(), con, ["source"])
+    by_src = got.set_index("source")
+    # single-doc source: the whole (planted-header + text) string is the LCP
+    assert by_src.loc["src2", "prefix_len"] == len("[src2] ") + len(
+        _DOCS[4][1])
+    # multi-doc source with diverging bodies: exactly the planted header
+    assert by_src.loc["src1", "prefix"].startswith("[src1] the quick brown")
+
+
+def test_winsorize_degenerate_groups(ray_session, corpus_dir, con):
+    got = _match(A.winsorize(corpus_dir), A.winsorize_sql(),
+                 con, ["doc_id"])
+    by_id = got.set_index("doc_id")
+    # single-doc language: Q1 == Q3 == its own value, nothing clipped
+    assert not by_id.loc[4, "clipped"]
+    assert by_id.loc[4, "n_chars_winsor"] == by_id.loc[4, "n_chars"]
+
+
+def test_dsir_and_tfidf_run_on_tiny_corpus(ray_session, corpus_dir, con):
+    _match(A.dsir_weights(corpus_dir), A.dsir_weights_sql(), con,
+           ["doc_id"])
+    got = _match(A.tfidf_topk(corpus_dir), A.tfidf_topk_sql(), con,
+                 ["doc_id", "rank"])
+    # every doc emits at most K ranked terms, ranks contiguous from 1
+    assert (got.groupby("doc_id")["rank"].max() <= 3).all()
+    assert (got.groupby("doc_id")["rank"].min() == 1).all()
