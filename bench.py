@@ -100,7 +100,7 @@ QUERY_NAMES = [
     "containment_dedup", "ann_range_search", "json_props_rollup",
     "tpch_q3", "star_profit", "user_event_pivot",
     "substring_dedup", "dsir_weights", "tfidf_topk", "ccnet_buckets",
-    "spell_candidates", "boilerplate_prefix", "winsorize",
+    "spell_candidates", "boilerplate_prefix", "winsorize", "pmi_bigrams",
 ]
 
 

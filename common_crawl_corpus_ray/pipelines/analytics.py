@@ -5638,3 +5638,216 @@ SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
          AS n_chars_winsor,
        (d.n_chars < q.q1 OR d.n_chars > q.q3) AS clipped
 FROM documents d JOIN q USING (lang)"""
+
+
+# --- PMI collocation extraction ----------------------------------------------
+
+_PMI_MIN_C = 5
+_PMI_K = 20
+_PMI_SCALE = 1_000_000
+
+
+def pmi_bigrams(sf_dir: str):
+    """Collocation extraction — the top-{_PMI_K} adjacent word bigrams by
+    pointwise mutual information, the corpus-linguistics statistic that
+    separates true collocations ("hash join") from chance adjacency.
+    PMI = ln(p(ab) / (p(a)p(b))) with p(ab)=c_ab/N2, p(a)=c_a/N1.
+    RANKING is by the integer surrogate (c_ab*N1^2*1e6) // (N2*c_a*c_b)
+    — floor of 1e6*exp(PMI), monotone in PMI — computed in exact Python
+    ints (DuckDB side: HUGEINT), tiebroken by the bigram; the float PMI
+    rides along as annotation. Bigrams below {_PMI_MIN_C} occurrences
+    are noise-floored out, the standard PMI guard.
+
+    Scale shape: corpus totals (N1, N2) come from a two-int-per-block
+    partial pass; then ONE mixed exchange carries block-local bigram
+    partials keyed by w1's bucket alongside unigram partials keyed by
+    the word — reduce A sums both, attaches c_a, and re-keys bigrams by
+    w2 while re-emitting its unigram sums (exchange volume is O(distinct
+    grams), never the token stream); reduce B attaches c_b, scores, and
+    keeps a per-bucket top-{_PMI_K}, so the driver merges nb x k rows
+    (the vocab_topk contract), never the bigram table."""
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange, bucket_exchange_dataset
+
+    import pyarrow.parquet as pq
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=50_000, lo=8)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(b: pa.Table):
+        words = words_arrow(b["text"])
+        counts = (pc.list_value_length(words)
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = pc.list_flatten(words)
+        own = np.repeat(np.arange(len(counts)), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            own = own[keep]
+        return own, flat.to_numpy(zero_copy_only=False)
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        own, w = tokens(b)
+        n1 = len(w)
+        n2 = int((own[1:] == own[:-1]).sum()) if n1 > 1 else 0
+        return pa.table({"n1": pa.array([n1], pa.int64()),
+                         "n2": pa.array([n2], pa.int64())})
+
+    n1 = n2 = 0
+    for b in (ds.map_batches(tot_partial, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        n1 += int(b["n1"][0].as_py())
+        n2 += int(b["n2"][0].as_py())
+
+    # kind 0 = bigram partial (w1, w2, c); kind 1 = unigram partial (w1, c)
+    mid_schema = pa.schema([
+        ("bucket", pa.int64()), ("w1", pa.string()), ("w2", pa.string()),
+        ("c", pa.int64()), ("ca", pa.int64()), ("kind", pa.int8())])
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        own, w = tokens(b)
+        if len(w) == 0:
+            return mid_schema.empty_table()
+        uw, inv = np.unique(w, return_inverse=True)
+        uc = np.bincount(inv)
+        adj = own[1:] == own[:-1]
+        key = inv[:-1][adj].astype(np.int64) * len(uw) + inv[1:][adj]
+        bk, bc = np.unique(key, return_counts=True)
+        w1 = uw[bk // len(uw)]
+        w2 = uw[bk % len(uw)]
+        hb1 = (md5_i64_array(list(w1)).to_numpy(zero_copy_only=False) % nb
+               if len(w1) else np.empty(0, np.int64))
+        hbu = (md5_i64_array(list(uw)).to_numpy(zero_copy_only=False) % nb)
+        z = np.zeros
+        return pa.table({
+            "bucket": pa.array(np.concatenate([hb1, hbu])),
+            "w1": pa.array(np.concatenate([w1, uw]), pa.string()),
+            "w2": pa.array(np.concatenate(
+                [w2, np.full(len(uw), "", object)]), pa.string()),
+            "c": pa.array(np.concatenate(
+                [bc.astype(np.int64), uc.astype(np.int64)])),
+            "ca": pa.array(z(len(w1) + len(uw), np.int64)),
+            "kind": pa.array(np.concatenate(
+                [z(len(w1), np.int8), np.ones(len(uw), np.int8)])),
+        }, schema=mid_schema)
+
+    def attach_ca(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        df = t.to_pandas()
+        uni = (df[df["kind"] == 1].groupby("w1", as_index=False)["c"].sum())
+        ca = dict(zip(uni["w1"], uni["c"]))
+        bg = (df[df["kind"] == 0]
+              .groupby(["w1", "w2"], as_index=False)["c"].sum())
+        bg = bg[bg["c"] >= _PMI_MIN_C]
+        if bg.empty and uni.empty:
+            return None
+        parts = []
+        if not bg.empty:
+            w2 = bg["w2"].to_numpy(object)
+            parts.append(pa.table({
+                "bucket": md5_i64_array(list(w2)),
+                "w1": pa.array(bg["w1"], pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "c": pa.array(bg["c"].to_numpy(np.int64)),
+                "ca": pa.array(np.fromiter(
+                    (ca[x] for x in bg["w1"]), np.int64, len(bg))),
+                "kind": pa.array(np.zeros(len(bg), np.int8)),
+            }, schema=mid_schema))
+            # bucket column above is the raw hash; reduce to [0, nb)
+            parts[-1] = parts[-1].set_column(
+                0, "bucket", pa.array(
+                    parts[-1]["bucket"].to_numpy(zero_copy_only=False)
+                    % nb))
+        if not uni.empty:
+            uw = uni["w1"].to_numpy(object)
+            parts.append(pa.table({
+                "bucket": pa.array(
+                    md5_i64_array(list(uw)).to_numpy(zero_copy_only=False)
+                    % nb),
+                "w1": pa.array(uw, pa.string()),
+                "w2": pa.array(np.full(len(uni), "", object), pa.string()),
+                "c": pa.array(uni["c"].to_numpy(np.int64)),
+                "ca": pa.array(np.zeros(len(uni), np.int64)),
+                "kind": pa.array(np.ones(len(uni), np.int8)),
+            }, schema=mid_schema))
+        return pa.concat_tables(parts)
+
+    mid = bucket_exchange_dataset(
+        ds.map_batches(gram_partial, batch_format="pyarrow"),
+        nb, attach_ca, mid_schema.empty_table())
+
+    def score_topk(t: pa.Table) -> pa.Table | None:
+        df = t.to_pandas()
+        uni = (df[df["kind"] == 1].groupby("w1", as_index=False)["c"].sum())
+        cb = dict(zip(uni["w1"], uni["c"]))
+        bg = df[df["kind"] == 0]
+        if bg.empty:
+            return None
+        rows = []
+        for w1, w2, c_ab, c_a in zip(bg["w1"], bg["w2"], bg["c"],
+                                     bg["ca"]):
+            c_b = int(cb[w2])
+            num = int(c_ab) * n1 * n1
+            den = n2 * int(c_a) * c_b
+            rows.append((w1, w2, int(c_ab), int(c_a), c_b,
+                         num * _PMI_SCALE // den,
+                         float(np.log(np.float64(num) / np.float64(den)))))
+        rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+        rows = rows[:_PMI_K]
+        return pa.table({
+            "w1": pa.array([r[0] for r in rows], pa.string()),
+            "w2": pa.array([r[1] for r in rows], pa.string()),
+            "c_ab": pa.array([r[2] for r in rows], pa.int64()),
+            "c_a": pa.array([r[3] for r in rows], pa.int64()),
+            "c_b": pa.array([r[4] for r in rows], pa.int64()),
+            "ratio_micro": pa.array([r[5] for r in rows], pa.int64()),
+            "pmi": pa.array([r[6] for r in rows], pa.float64())})
+
+    parts = bucket_exchange(mid, nb, score_topk)
+    merged = (pa.concat_tables(parts).to_pandas() if parts
+              else pd.DataFrame(columns=["w1", "w2", "c_ab", "c_a", "c_b",
+                                         "ratio_micro", "pmi"]))
+    merged = merged.sort_values(
+        ["ratio_micro", "w1", "w2"],
+        ascending=[False, True, True]).head(_PMI_K).reset_index(drop=True)
+    merged.insert(0, "rank", np.arange(1, len(merged) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def pmi_bigrams_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(text, '{SQL_WS_RE}'),
+                     x -> x != '') AS p
+  FROM documents
+), bg AS (
+  SELECT p[i] AS w1, p[i + 1] AS w2
+  FROM (SELECT p, unnest(generate_series(1, len(p) - 1)) AS i FROM w)
+), uni AS (
+  SELECT unnest(p) AS tok FROM w
+), ca AS (
+  SELECT tok, count(*) AS c FROM uni GROUP BY tok
+), cab AS (
+  SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2
+  HAVING count(*) >= {_PMI_MIN_C}
+), tots AS (
+  SELECT (SELECT count(*) FROM uni) AS n1,
+         (SELECT count(*) FROM bg) AS n2
+), scored AS (
+  SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+         (CAST(c_ab AS HUGEINT) * n1 * n1 * {_PMI_SCALE})
+           // (CAST(n2 AS HUGEINT) * a.c * b.c) AS ratio_micro,
+         ln(CAST(CAST(c_ab AS HUGEINT) * n1 * n1 AS DOUBLE)
+            / CAST(CAST(n2 AS HUGEINT) * a.c * b.c AS DOUBLE)) AS pmi
+  FROM cab JOIN ca a ON cab.w1 = a.tok JOIN ca b ON cab.w2 = b.tok, tots
+)
+SELECT CAST(row_number() OVER (ORDER BY ratio_micro DESC, w1, w2)
+            AS BIGINT) AS rank,
+       w1, w2, CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
+       CAST(c_b AS BIGINT) AS c_b,
+       CAST(ratio_micro AS BIGINT) AS ratio_micro, pmi
+FROM scored
+ORDER BY ratio_micro DESC, w1, w2
+LIMIT {_PMI_K}"""

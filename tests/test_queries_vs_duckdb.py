@@ -170,6 +170,9 @@ SQL_QUERIES = [
     # round 5 (cont.): per-language interquartile winsorization (DuckDB
     # quantile_disc rank rule replicated exactly; integer order stats)
     "winsorize",
+    # round 5 (cont.): PMI collocations (HUGEINT surrogate rank key,
+    # noise floor c_ab >= 5, float PMI annotation-only)
+    "pmi_bigrams",
 ]
 
 
