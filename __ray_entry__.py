@@ -357,6 +357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: PMI collocation top-k (integer exp-PMI surrogate rank,
         # mixed unigram/bigram exchange, per-bucket top-k partials)
         "pmi_bigrams": A.pmi_bigrams,
+        # round 5: Deequ-style column profiling (associative stat
+        # partials + exact distinct via the two-level pair exchange)
+        "profile_columns": A.profile_columns,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1209,6 +1212,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "boilerplate_prefix": A.boilerplate_prefix_sql(),
         "winsorize": A.winsorize_sql(),
         "pmi_bigrams": A.pmi_bigrams_sql(),
+        "profile_columns": A.profile_columns_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -5851,3 +5851,123 @@ SELECT CAST(row_number() OVER (ORDER BY ratio_micro DESC, w1, w2)
 FROM scored
 ORDER BY ratio_micro DESC, w1, w2
 LIMIT {_PMI_K}"""
+
+
+# --- column profiling (data-quality audit) -----------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def profile_columns(sf_dir: str):
+    """Data profiling — the Deequ-style audit a pipeline runs before
+    trusting a new table drop: for every column of `documents`, emit row
+    count, null count, EXACT distinct count, and min/max. All values
+    profile in the VARCHAR domain (CAST both engines) so one row schema
+    covers every column type; min/max are therefore lexicographic — the
+    profiling convention, stated, not a bug.
+
+    Scale shape: nulls/min/max/rows are associative per-block partials
+    (one slim row per column per block, driver folds O(cols x blocks));
+    exact distinct uses the json_props_rollup two-level contract —
+    blocks emit locally-distinct (col, value-hash) pairs into a hash
+    exchange, each bucket counts its distinct share, counts sum. Shuffle
+    volume is O(sum of distinct values), never the table; no per-column
+    value set ever sits in one task or on the driver. Distinct identity
+    is the 60-bit md5 (the text_hash precedent — collisions need two
+    values agreeing in 60 bits inside one column)."""
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    import pyarrow.parquet as pq
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=200_000, lo=8)
+
+    ds = _read(sf_dir, "documents", _PROFILE_COLS)
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for col in _PROFILE_COLS:
+            a = b[col]
+            sv = [None if v is None else str(v) for v in a.to_pylist()]
+            nn = sum(v is None for v in sv)
+            present = [v for v in sv if v is not None]
+            rows.append((col, len(sv), nn,
+                         min(present) if present else None,
+                         max(present) if present else None))
+        return pa.table({
+            "col": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "n_nulls": pa.array([r[2] for r in rows], pa.int64()),
+            "lo": pa.array([r[3] for r in rows], pa.string()),
+            "hi": pa.array([r[4] for r in rows], pa.string())})
+
+    agg: dict[str, list] = {}
+    for b in (ds.map_batches(stat_partial, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for col, nr, nn, lo, hi in zip(*(b[c].to_pylist() for c in
+                                         ("col", "n_rows", "n_nulls",
+                                          "lo", "hi"))):
+            a = agg.setdefault(col, [0, 0, None, None])
+            a[0] += nr
+            a[1] += nn
+            if lo is not None and (a[2] is None or lo < a[2]):
+                a[2] = lo
+            if hi is not None and (a[3] is None or hi > a[3]):
+                a[3] = hi
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        hs, cs = [], []
+        for ci, col in enumerate(_PROFILE_COLS):
+            vals = [str(v) for v in b[col].to_pylist() if v is not None]
+            if not vals:
+                continue
+            h = np.unique(
+                md5_i64_array(vals).to_numpy(zero_copy_only=False))
+            hs.append(h)
+            cs.append(np.full(h.size, ci, np.int64))
+        if not hs:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "ci": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        h = np.concatenate(hs)
+        ci = np.concatenate(cs)
+        return pa.table({"bucket": pa.array((h * len(_PROFILE_COLS) + ci)
+                                            % nb),
+                         "ci": pa.array(ci), "h": pa.array(h)})
+
+    def distinct_count(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        df = (t.select(["ci", "h"]).to_pandas()
+              .drop_duplicates().groupby("ci").size())
+        return pa.table({"ci": pa.array(df.index.to_numpy(np.int64)),
+                         "nd": pa.array(df.to_numpy(np.int64))})
+
+    nd = np.zeros(len(_PROFILE_COLS), np.int64)
+    for t in bucket_exchange(
+            ds.map_batches(pair_partial, batch_format="pyarrow"),
+            nb, distinct_count):
+        np.add.at(nd, t["ci"].to_numpy(zero_copy_only=False),
+                  t["nd"].to_numpy(zero_copy_only=False))
+
+    return pa.table({
+        "column": pa.array(_PROFILE_COLS, pa.string()),
+        "n_rows": pa.array([agg[c][0] for c in _PROFILE_COLS], pa.int64()),
+        "n_nulls": pa.array([agg[c][1] for c in _PROFILE_COLS],
+                            pa.int64()),
+        "n_distinct": pa.array(nd),
+        "min_str": pa.array([agg[c][2] for c in _PROFILE_COLS],
+                            pa.string()),
+        "max_str": pa.array([agg[c][3] for c in _PROFILE_COLS],
+                            pa.string())})
+
+
+def profile_columns_sql() -> str:
+    sels = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"min(CAST({c} AS VARCHAR)) AS min_str, "
+        f"max(CAST({c} AS VARCHAR)) AS max_str FROM documents"
+        for c in _PROFILE_COLS)
+    return sels

@@ -173,6 +173,9 @@ SQL_QUERIES = [
     # round 5 (cont.): PMI collocations (HUGEINT surrogate rank key,
     # noise floor c_ab >= 5, float PMI annotation-only)
     "pmi_bigrams",
+    # round 5 (cont.): column profiling audit (exact distinct, VARCHAR-
+    # domain min/max, null counts)
+    "profile_columns",
 ]
 
 
