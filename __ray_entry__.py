@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: Deequ-style column profiling (associative stat
         # partials + exact distinct via the two-level pair exchange)
         "profile_columns": A.profile_columns,
+        # round 5: windowed ordered funnel (first-qualifying-chain
+        # semantics; slim user-keyed exchange, per-bucket chain walk)
+        "event_funnel": A.event_funnel,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1213,6 +1216,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "winsorize": A.winsorize_sql(),
         "pmi_bigrams": A.pmi_bigrams_sql(),
         "profile_columns": A.profile_columns_sql(),
+        "event_funnel": A.event_funnel_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -5971,3 +5971,119 @@ def profile_columns_sql() -> str:
         f"max(CAST({c} AS VARCHAR)) AS max_str FROM documents"
         for c in _PROFILE_COLS)
     return sels
+
+
+# --- ordered funnel analysis ---------------------------------------------------
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+_FUNNEL_WINDOW_H = 24
+
+
+def event_funnel(sf_dir: str):
+    """Ordered funnel — the product-analytics progression query: how many
+    users performed view, THEN a click strictly after their first view,
+    THEN a purchase strictly after that click — each within
+    {_FUNNEL_WINDOW_H}h of the prior anchor (without the window the dense
+    fixture converts 100% at every stage; with it the funnel discriminates
+    150 -> 60 -> 25 at sf0.01). Stage k counts users whose earliest
+    qualifying stage-k event follows their stage-(k-1) anchor — the
+    "first qualifying chain" semantics (not mere set membership, which
+    sessionize/user_event_pivot already cover). Timestamps are integer
+    microseconds, so window arithmetic is exact on both engines. Output: one row per
+    stage with the surviving user count and the conversion ratio to
+    stage 1 (annotation; the ratio of two exact BIGINTs).
+
+    Scale shape: only slim (user_id, stage_idx, ts) rows — events outside
+    the funnel vocabulary are dropped AT THE READ-side map — enter one
+    user-keyed exchange; each bucket walks its users' chains with a
+    per-user groupby-min cascade (vectorized pandas per bucket), and
+    emits 3 partial counters; the driver folds O(buckets x stages)
+    ints. Timestamps tie-break deterministically because the chain uses
+    strict > over min() anchors only — no ordering of equal floats."""
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    import pyarrow.parquet as pq
+    n_ev = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    nb = scaled_buckets(n_ev, rows_per_bucket=500_000, lo=8)
+
+    def slim(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(_FUNNEL_STAGES))
+        t = b.filter(keep)
+        et = t["event_type"].to_pylist()
+        sidx = np.fromiter((_FUNNEL_STAGES.index(x) for x in et),
+                           np.int64, len(et))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(uid % nb),
+            "user_id": pa.array(uid),
+            "stage": pa.array(sidx),
+            "ts": t["ts"]})
+
+    def chain_counts(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        df = t.select(["user_id", "stage", "ts"]).to_pandas()
+        counts = np.zeros(len(_FUNNEL_STAGES), np.int64)
+        anchor = (df[df["stage"] == 0].groupby("user_id")["ts"].min())
+        counts[0] = len(anchor)
+        for k in range(1, len(_FUNNEL_STAGES)):
+            ev = df[df["stage"] == k].merge(
+                anchor.rename("anchor"), left_on="user_id",
+                right_index=True)
+            ev = ev[(ev["ts"] > ev["anchor"])
+                    & (ev["ts"] <= ev["anchor"]
+                       + pd.Timedelta(hours=_FUNNEL_WINDOW_H))]
+            anchor = ev.groupby("user_id")["ts"].min()
+            counts[k] = len(anchor)
+        return pa.table({
+            "stage_idx": pa.array(np.arange(len(counts), dtype=np.int64)),
+            "n": pa.array(counts)})
+
+    totals = np.zeros(len(_FUNNEL_STAGES), np.int64)
+    for t in bucket_exchange(
+            _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+            .map_batches(slim, batch_format="pyarrow"),
+            nb, chain_counts):
+        np.add.at(totals, t["stage_idx"].to_numpy(zero_copy_only=False),
+                  t["n"].to_numpy(zero_copy_only=False))
+
+    base = max(int(totals[0]), 1)
+    return pa.table({
+        "stage": pa.array(_FUNNEL_STAGES, pa.string()),
+        "stage_idx": pa.array(np.arange(len(totals), dtype=np.int64)),
+        "n_users": pa.array(totals),
+        "conversion": pa.array(totals / np.float64(base))})
+
+
+def event_funnel_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{_FUNNEL_STAGES[0]}' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STAGES[1]}' AND e.ts > v.t
+    AND e.ts <= v.t + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STAGES[2]}' AND e.ts > c.t
+    AND e.ts <= c.t + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+  GROUP BY e.user_id
+), n AS (
+  SELECT 0 AS stage_idx, '{_FUNNEL_STAGES[0]}' AS stage,
+         (SELECT count(*) FROM v) AS n_users
+  UNION ALL
+  SELECT 1, '{_FUNNEL_STAGES[1]}', (SELECT count(*) FROM c)
+  UNION ALL
+  SELECT 2, '{_FUNNEL_STAGES[2]}', (SELECT count(*) FROM p)
+)
+SELECT stage, CAST(stage_idx AS BIGINT) AS stage_idx,
+       CAST(n_users AS BIGINT) AS n_users,
+       n_users / CAST(greatest((SELECT n_users FROM n WHERE stage_idx = 0),
+                               1) AS DOUBLE) AS conversion
+FROM n"""

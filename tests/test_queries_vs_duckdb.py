@@ -176,6 +176,9 @@ SQL_QUERIES = [
     # round 5 (cont.): column profiling audit (exact distinct, VARCHAR-
     # domain min/max, null counts)
     "profile_columns",
+    # round 5 (cont.): 24h-windowed ordered funnel (view->click->purchase
+    # first-qualifying chain; discriminates 15->6->3 at sf0.001)
+    "event_funnel",
 ]
 
 
