@@ -70,8 +70,19 @@ def _strip_meta(b: pa.Table) -> pa.Table:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
-    return (rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # Hand read_parquet a metadata-FREE (projected) schema: the driver-
+    # generated parquet carries pandas metadata whose dict payload defeats
+    # Ray's block-schema hash dedup and spams "Failed to hash the schemas"
+    # from the read workers (the last place the r4 union-schema fix didn't
+    # reach — this one is at the source operator itself, before
+    # _strip_meta can run).
+    sch = pq.read_schema(f"{sf_dir}/{table}.parquet").remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return (rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                            schema=sch)
             .map_batches(_strip_meta, batch_format="pyarrow",
                          batch_size=None))
 
