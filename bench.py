@@ -101,7 +101,7 @@ QUERY_NAMES = [
     "tpch_q3", "star_profit", "user_event_pivot",
     "substring_dedup", "dsir_weights", "tfidf_topk", "ccnet_buckets",
     "spell_candidates", "boilerplate_prefix", "winsorize", "pmi_bigrams",
-    "profile_columns", "event_funnel",
+    "profile_columns", "event_funnel", "cohort_retention",
 ]
 
 

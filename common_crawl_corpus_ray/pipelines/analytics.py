@@ -6098,3 +6098,109 @@ SELECT stage, CAST(stage_idx AS BIGINT) AS stage_idx,
        n_users / CAST(greatest((SELECT n_users FROM n WHERE stage_idx = 0),
                                1) AS DOUBLE) AS conversion
 FROM n"""
+
+
+# --- cohort retention ---------------------------------------------------------
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def cohort_retention(sf_dir: str):
+    """Cohort retention — the growth-analytics matrix: users cohorted by
+    the week of their FIRST signup event; cell (cohort, k) counts users
+    with ANY event in week k after that anchor (k=0 is the signup week).
+    Week identity is the engine-neutral integer epoch_us // one-week-us
+    (never date_trunc, whose week-start convention differs across
+    engines); all arithmetic is int64 microseconds, nothing to disagree
+    on. Output: cohort_week, week_k, n_users.
+
+    Scale shape: timestamps cast to int64 micros AT THE READ-side map;
+    slim (user, is_signup, t) rows flow through one user-keyed exchange;
+    each bucket derives its users' anchors and distinct active weeks
+    vectorized (lexsort dedup, no per-user loop) and emits pre-counted
+    (cohort, k, n) partials; a tiny groupby sums them — shuffle volume
+    is O(events) slim rows once, then O(distinct cells)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    import pyarrow.parquet as pq
+    n_ev = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    nb = scaled_buckets(n_ev, rows_per_bucket=500_000, lo=8)
+
+    def slim(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        sign = pc.equal(b["event_type"], "signup").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(uid % nb),
+            "user_id": pa.array(uid),
+            "t": pa.array(t),
+            "is_signup": pa.array(sign)})
+
+    def cohort_cells(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["t"].to_numpy(zero_copy_only=False)
+        sign = t["is_signup"].to_numpy(zero_copy_only=False)
+        su, si = np.unique(uid[sign], return_inverse=True)
+        anchors = np.full(su.size, np.iinfo(np.int64).max)
+        np.minimum.at(anchors, si, ts[sign])
+        # map every event of a signed-up user to its week offset
+        pos = np.searchsorted(su, uid)
+        ok = (pos < su.size)
+        ok[ok] &= su[pos[ok]] == uid[ok]
+        a = anchors[pos[ok]]
+        tt = ts[ok]
+        after = tt >= a
+        a, tt = a[after], tt[after]
+        cohort = a // _WEEK_US
+        k = (tt - a) // _WEEK_US
+        u = uid[ok][after]
+        key = np.stack([u, cohort, k])
+        order = np.lexsort(key)
+        u, cohort, k = u[order], cohort[order], k[order]
+        first = np.ones(u.size, bool)
+        first[1:] = ((u[1:] != u[:-1]) | (cohort[1:] != cohort[:-1])
+                     | (k[1:] != k[:-1]))
+        cohort, k = cohort[first], k[first]
+        ck = np.stack([cohort, k])
+        order = np.lexsort(ck)
+        cohort, k = cohort[order], k[order]
+        new = np.ones(cohort.size, bool)
+        new[1:] = (cohort[1:] != cohort[:-1]) | (k[1:] != k[:-1])
+        gid = np.cumsum(new) - 1
+        n = np.bincount(gid)
+        return pa.table({
+            "cohort_week": pa.array(cohort[new]),
+            "week_k": pa.array(k[new]),
+            "n_users": pa.array(n.astype(np.int64))})
+
+    empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                      "week_k": pa.array([], pa.int64()),
+                      "n_users": pa.array([], pa.int64())})
+    cells = bucket_exchange_dataset(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(slim, batch_format="pyarrow"),
+        nb, cohort_cells, empty)
+    return (cells.groupby(["cohort_week", "week_k"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def cohort_retention_sql() -> str:
+    return f"""
+WITH a AS (
+  SELECT user_id, min(epoch_us(ts)) AS anchor FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), cell AS (
+  SELECT DISTINCT e.user_id,
+         a.anchor // {_WEEK_US} AS cohort_week,
+         (epoch_us(e.ts) - a.anchor) // {_WEEK_US} AS week_k
+  FROM events e JOIN a USING (user_id)
+  WHERE epoch_us(e.ts) >= a.anchor
+)
+SELECT cohort_week, week_k, CAST(count(*) AS BIGINT) AS n_users
+FROM cell GROUP BY cohort_week, week_k"""

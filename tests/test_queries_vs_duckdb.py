@@ -179,6 +179,9 @@ SQL_QUERIES = [
     # round 5 (cont.): 24h-windowed ordered funnel (view->click->purchase
     # first-qualifying chain; discriminates 15->6->3 at sf0.001)
     "event_funnel",
+    # round 5 (cont.): weekly cohort retention (engine-neutral integer
+    # epoch-week identity, int64 microsecond arithmetic)
+    "cohort_retention",
 ]
 
 
