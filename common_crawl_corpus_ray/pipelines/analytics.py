@@ -6204,3 +6204,96 @@ WITH a AS (
 )
 SELECT cohort_week, week_k, CAST(count(*) AS BIGINT) AS n_users
 FROM cell GROUP BY cohort_week, week_k"""
+
+
+# --- behavioral Markov transition matrix ---------------------------------------
+
+
+def event_transitions(sf_dir: str):
+    """First-order behavioral Markov matrix: for every user's ts-ordered
+    event stream, count (from_type -> to_type) adjacent transitions and
+    emit each cell with its row-conditional probability p(to | from) —
+    the sequence-mining summary behind next-action prediction and bot
+    detection. The fixture has no (user, ts) ties (verified), so the
+    ordering is total and both engines see identical adjacency;
+    probabilities are exact-int divisions (n / row_total), bit-identical
+    across engines.
+
+    Scale shape: slim (user, type, ts-micros) rows through one
+    user-keyed exchange; each bucket lexsorts ONCE by (user, ts),
+    masks same-user adjacency, and emits pre-counted (from, to, n)
+    partials — a bounded type-vocabulary cell set (<=25 rows per
+    bucket); the final groupby sums cells and one pass attaches row
+    probabilities. Shuffle volume is O(events) slim rows once."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    import pyarrow.parquet as pq
+    n_ev = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    nb = scaled_buckets(n_ev, rows_per_bucket=500_000, lo=8)
+    types = _PIVOT_TYPES
+    tidx = {t: i for i, t in enumerate(types)}
+
+    def slim(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = b["event_type"].to_pylist()
+        return pa.table({
+            "bucket": pa.array(uid % nb),
+            "user_id": pa.array(uid),
+            "ti": pa.array(np.fromiter((tidx[x] for x in et), np.int64,
+                                       len(et))),
+            "t": pa.array(pc.cast(b["ts"], pa.int64())
+                          .to_numpy(zero_copy_only=False))})
+
+    def cells(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ti = t["ti"].to_numpy(zero_copy_only=False)
+        ts = t["t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ti = uid[order], ti[order]
+        adj = uid[1:] == uid[:-1]
+        key = ti[:-1][adj] * len(types) + ti[1:][adj]
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "fi": pa.array(uk // len(types)),
+            "toi": pa.array(uk % len(types)),
+            "n": pa.array(n.astype(np.int64))})
+
+    empty = pa.table({"fi": pa.array([], pa.int64()),
+                      "toi": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    summed = (bucket_exchange_dataset(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(slim, batch_format="pyarrow"),
+        nb, cells, empty)
+        .groupby(["fi", "toi"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas())
+    row_tot = summed.groupby("fi")["n"].transform("sum")
+    tarr = np.array(types)
+    out = pd.DataFrame({
+        "from_type": tarr[summed["fi"].to_numpy(np.int64)],
+        "to_type": tarr[summed["toi"].to_numpy(np.int64)],
+        "n": summed["n"].to_numpy(np.int64),
+        "p": summed["n"].to_numpy(np.int64)
+             / row_tot.to_numpy(np.float64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def event_transitions_sql() -> str:
+    return """
+WITH s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+           AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, count(*) AS n FROM s
+  WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM c"""

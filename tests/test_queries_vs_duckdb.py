@@ -182,6 +182,9 @@ SQL_QUERIES = [
     # round 5 (cont.): weekly cohort retention (engine-neutral integer
     # epoch-week identity, int64 microsecond arithmetic)
     "cohort_retention",
+    # round 5 (cont.): behavioral Markov transition matrix (lead() over
+    # tie-free per-user order; exact-int conditional probabilities)
+    "event_transitions",
 ]
 
 
