@@ -6297,3 +6297,116 @@ WITH s AS (
 SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
        n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
 FROM c"""
+
+
+# --- referential-integrity audit ------------------------------------------------
+
+# (child_table, child_key, parent_table, parent_key) audited edges; the
+# parent WITHHOLDS keys = _FK_HOLD (mod _FK_MOD) on BOTH engines — a
+# deterministic partial-dimension-drop plant, since the pristine fixture
+# has zero natural orphans.
+_FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+]
+_FK_MOD, _FK_HOLD = 10, 7
+
+
+def fk_orphans(sf_dir: str):
+    """Referential-integrity audit — the Deequ-style constraint check a
+    pipeline runs after every table drop: for each FK edge, count child
+    rows (and distinct child keys) whose parent key is missing. The
+    fixture is pristine, so the audit runs against parents with one
+    withheld key decile (key % {_FK_MOD} == {_FK_HOLD}) — simulating the
+    partial dimension load this check exists to catch (~10% orphans per
+    edge, exact values oracle-pinned).
+
+    Scale shape, per edge: child blocks pre-aggregate (key, n) partials
+    (volume O(distinct keys per block)); parent key rows join them in ONE
+    hash-keyed exchange whose reduce counts rows/keys missing a parent
+    marker — the keyed anti-probe contract (dedup_incremental's shape),
+    never a broadcast of the parent key set (parents are fact-scale at
+    100 TB). The driver folds 2 ints per bucket per edge."""
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for child, ck, parent, pk in _FK_EDGES:
+        n_child_rows = pq.ParquetFile(
+            f"{sf_dir}/{child}.parquet").metadata.num_rows
+        nb = scaled_buckets(n_child_rows, rows_per_bucket=500_000, lo=8)
+
+        def child_partial(b: pa.Table, _ck=ck, _nb=nb) -> pa.Table:
+            k = b[_ck].to_numpy(zero_copy_only=False).astype(np.int64)
+            uk, n = np.unique(k, return_counts=True)
+            return pa.table({
+                "bucket": pa.array(uk % _nb),
+                "k": pa.array(uk),
+                "n": pa.array(n.astype(np.int64)),
+                "is_parent": pa.array(np.zeros(uk.size, np.bool_))})
+
+        def parent_partial(b: pa.Table, _pk=pk, _nb=nb) -> pa.Table:
+            k = b[_pk].to_numpy(zero_copy_only=False).astype(np.int64)
+            k = np.unique(k[k % _FK_MOD != _FK_HOLD])
+            return pa.table({
+                "bucket": pa.array(k % _nb),
+                "k": pa.array(k),
+                "n": pa.array(np.zeros(k.size, np.int64)),
+                "is_parent": pa.array(np.ones(k.size, np.bool_))})
+
+        def orphan_counts(t: pa.Table) -> pa.Table | None:
+            if t.num_rows == 0:
+                return None
+            isp = t["is_parent"].to_numpy(zero_copy_only=False)
+            k = t["k"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False)
+            pset = np.unique(k[isp])
+            cks, cns = k[~isp], n[~isp]
+            # child partials for a key may arrive from several blocks
+            uk, inv = np.unique(cks, return_inverse=True)
+            per_key = np.zeros(uk.size, np.int64)
+            np.add.at(per_key, inv, cns)
+            pos = np.clip(np.searchsorted(pset, uk), 0,
+                          max(pset.size - 1, 0))
+            missing = (pset.size == 0) | (pset[pos] != uk) \
+                if pset.size else np.ones(uk.size, bool)
+            return pa.table({
+                "n_orphans": pa.array([int(per_key[missing].sum())],
+                                      pa.int64()),
+                "n_orphan_keys": pa.array([int(missing.sum())],
+                                          pa.int64())})
+
+        child_ds = _read(sf_dir, child, [ck]).map_batches(
+            child_partial, batch_format="pyarrow")
+        parent_ds = _read(sf_dir, parent, [pk]).map_batches(
+            parent_partial, batch_format="pyarrow")
+        n_orph = n_keys = 0
+        for t in bucket_exchange(child_ds.union(parent_ds), nb,
+                                 orphan_counts):
+            n_orph += int(t["n_orphans"][0].as_py())
+            n_keys += int(t["n_orphan_keys"][0].as_py())
+        rows.append((f"{child}.{ck}->{parent}.{pk}",
+                     n_child_rows, n_orph, n_keys))
+
+    return pa.table({
+        "edge": pa.array([r[0] for r in rows], pa.string()),
+        "n_child": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
+        "n_orphan_keys": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def fk_orphans_sql() -> str:
+    sels = []
+    for child, ck, parent, pk in _FK_EDGES:
+        sels.append(f"""
+SELECT '{child}.{ck}->{parent}.{pk}' AS edge,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+       CAST(count(*) AS BIGINT) AS n_orphans,
+       CAST(count(DISTINCT c.{ck}) AS BIGINT) AS n_orphan_keys
+FROM {child} c
+WHERE c.{ck} NOT IN (SELECT {pk} FROM {parent}
+                     WHERE {pk} % {_FK_MOD} <> {_FK_HOLD})""")
+    return " UNION ALL ".join(sels)

@@ -185,6 +185,9 @@ SQL_QUERIES = [
     # round 5 (cont.): behavioral Markov transition matrix (lead() over
     # tie-free per-user order; exact-int conditional probabilities)
     "event_transitions",
+    # round 5 (cont.): referential-integrity audit (three FK edges,
+    # withheld-decile parent plant, keyed anti-probe)
+    "fk_orphans",
 ]
 
 
