@@ -6410,3 +6410,157 @@ FROM {child} c
 WHERE c.{ck} NOT IN (SELECT {pk} FROM {parent}
                      WHERE {pk} % {_FK_MOD} <> {_FK_HOLD})""")
     return " UNION ALL ".join(sels)
+
+
+# --- BM25 retrieval -------------------------------------------------------------
+
+# k1 = 1.2 and b = 0.75 folded into exact integer rationals: the BM25 term
+# ratio tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl) with avgdl = N1/N
+# multiplies out to 22*N1*tf / (10*N1*tf + 3*N1 + 9*dl*N) — every operand
+# an exact integer, so both engines feed ln/floor the same doubles.
+
+
+def bm25_topk(sf_dir: str):
+    """BM25-ranked retrieval — the canonical IR scoring that upgrades
+    `text_search_topk`'s raw tf-idf with document-length normalization
+    and the Robertson idf ln((N-df+0.5)/(df+0.5)) (spelled as the exact
+    integer ratio (2N-2df+1)/(2df+1)). Per-(doc, term) scores floor-
+    quantize to integer micro-units (the dsir_weights parity trick) and
+    sum as int64, so ranking never compares engine-local float sums;
+    negative-idf terms (df > N/2 — real in this small-vocab corpus) keep
+    their sign, matching textbook BM25. Hit set = any query-term
+    occurrence, NOT score > 0, since scores may be legitimately negative.
+
+    Scale shape: mirrors text_search_topk — df and the corpus token
+    total N1 come from per-block partials (bounded by the query
+    vocabulary + two ints); the scoring pass is one vectorized
+    map_batches with per-block top-k, so the final per-query cut sorts
+    <= k x blocks rows. The length normalizer uses each doc's OWN token
+    count computed in the same pass — no extra read."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as _pq
+    n_docs = _pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    terms = sorted({t for ts in SEARCH_QUERIES.values() for t in ts})
+    tpos = {t: j for j, t in enumerate(terms)}
+
+    def counts_and_dl(texts: list[str]):
+        c = np.zeros((len(texts), len(terms)), dtype=np.int64)
+        dl = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = t.split()
+            dl[i] = len(ws)
+            for w in ws:
+                j = tpos.get(w)
+                if j is not None:
+                    c[i, j] += 1
+        return c, dl
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        c, dl = counts_and_dl(b["text"].to_pylist())
+        return pa.table({
+            "term": pa.array(terms + ["\0n1"], pa.string()),
+            "v": pa.array(np.concatenate(
+                [(c > 0).sum(axis=0).astype(np.int64),
+                 np.array([dl.sum()], np.int64)]))})
+
+    stat_rows = (_read(sf_dir, "documents", ["text"])
+                 .map_batches(stat_partial, batch_format="pyarrow")
+                 .groupby("term").aggregate(Sum("v", alias_name="v"))
+                 .take_all())
+    stats = {r["term"]: int(r["v"]) for r in stat_rows}
+    n1 = stats.pop("\0n1")
+    df = stats
+
+    def cell_micro(tf: np.ndarray, dl: np.ndarray, dfj: int) -> np.ndarray:
+        """floor(1e6 * ln((2N-2df+1)/(2df+1)) * 22*N1*tf / (10*N1*tf +
+        3*N1 + 9*dl*N)) — int64 operands, one double conversion each,
+        identical op order to the SQL spelling."""
+        idf = np.log(np.float64(2 * n_docs - 2 * dfj + 1)
+                     / np.float64(2 * dfj + 1))
+        num = (22 * n1) * tf.astype(np.float64)
+        den = ((10 * n1) * tf + 3 * n1
+               + (9 * n_docs) * dl).astype(np.float64)
+        return np.floor(1_000_000.0 * idf * num / den).astype(np.int64)
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        c, dl = counts_and_dl(b["text"].to_pylist())
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_q, out_d, out_s = [], [], []
+        for qid, qterms in SEARCH_QUERIES.items():
+            s = np.zeros(len(ids), np.int64)
+            hit = np.zeros(len(ids), bool)
+            for qt in qterms:
+                j = tpos[qt]
+                tf = c[:, j]
+                m = tf > 0
+                if not m.any() or not df.get(qt):
+                    continue
+                hit |= m
+                s[m] += cell_micro(tf[m], dl[m], df[qt])
+            if not hit.any():
+                continue
+            t = pa.table({"doc_id": pa.array(ids[hit]),
+                          "score_micro": pa.array(s[hit], pa.int64())})
+            k = pc.select_k_unstable(
+                t, SEARCH_K, [("score_micro", "descending"),
+                              ("doc_id", "ascending")])
+            t = t.take(k)
+            out_q.extend([qid] * t.num_rows)
+            out_d.extend(t["doc_id"].to_pylist())
+            out_s.extend(t["score_micro"].to_pylist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "score_micro": pa.array(out_s, pa.int64())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_micro", "doc_id"],
+                          ascending=[False, True], kind="stable")
+        return g.head(SEARCH_K)
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(score_partial, batch_format="pyarrow")
+            .groupby("query_id").map_groups(final, batch_format="pandas")
+            .select_columns(["query_id", "doc_id", "score_micro"]))
+
+
+def bm25_topk_sql() -> str:
+    terms = sorted({t for ts in SEARCH_QUERIES.values() for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    q_rows = ", ".join(f"({qid}, '{t}')"
+                       for qid, ts in SEARCH_QUERIES.items() for t in ts)
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, word, count(*) AS c FROM w
+  WHERE word IN ({in_list}) GROUP BY 1, 2
+), df AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM w
+  WHERE word IN ({in_list}) GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents),
+n1 AS (SELECT sum(dl) AS n1 FROM dl),
+q(query_id, word) AS (VALUES {q_rows}),
+sc AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+         CAST(SUM(CAST(floor(1000000.0
+           * ln(CAST(2 * n.n - 2 * df.df + 1 AS DOUBLE)
+                / CAST(2 * df.df + 1 AS DOUBLE))
+           * CAST(22 * CAST(n1.n1 AS HUGEINT) * tf.c AS DOUBLE)
+           / CAST(10 * CAST(n1.n1 AS HUGEINT) * tf.c
+                  + 3 * CAST(n1.n1 AS HUGEINT)
+                  + 9 * CAST(dl.dl AS HUGEINT) * n.n AS DOUBLE))
+           AS BIGINT)) AS BIGINT) AS score_micro
+  FROM q JOIN tf USING (word) JOIN df USING (word)
+  JOIN dl ON tf.doc_id = dl.doc_id, n, n1
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_micro FROM sc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score_micro DESC, doc_id)
+        <= {SEARCH_K}"""

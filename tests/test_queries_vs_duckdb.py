@@ -188,6 +188,9 @@ SQL_QUERIES = [
     # round 5 (cont.): referential-integrity audit (three FK edges,
     # withheld-decile parent plant, keyed anti-probe)
     "fk_orphans",
+    # round 5 (cont.): BM25 retrieval (k1=1.2 b=0.75 as exact integer
+    # rationals; Robertson idf signs preserved)
+    "bm25_topk",
 ]
 
 
