@@ -102,7 +102,7 @@ QUERY_NAMES = [
     "substring_dedup", "dsir_weights", "tfidf_topk", "ccnet_buckets",
     "spell_candidates", "boilerplate_prefix", "winsorize", "pmi_bigrams",
     "profile_columns", "event_funnel", "cohort_retention",
-    "event_transitions", "fk_orphans", "bm25_topk",
+    "event_transitions", "fk_orphans", "bm25_topk", "ols_by_lang",
 ]
 
 

@@ -6564,3 +6564,90 @@ SELECT query_id, doc_id, score_micro FROM sc
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY score_micro DESC, doc_id)
         <= {SEARCH_K}"""
+
+
+# --- per-group OLS regression -----------------------------------------------------
+
+
+def ols_by_lang(sf_dir: str):
+    """Per-language least-squares fit of n_chars against token count —
+    the grouped-regression summary (slope ~ mean word length + 1) that
+    profiles how verbosity scales per language. Everything reduces to
+    the five integer MOMENT SUMS (n, Σx, Σy, Σxy, Σx², Σy²), which are
+    associative per-block partials; slope/intercept/r² derive from them
+    with exact-integer numerators and denominators and ONE double
+    division each, in the same operation order as the SQL spelling — so
+    the floats are bit-identical, not just close.
+
+    Scale shape: per-block per-lang moment rows (≤ langs per block, six
+    ints) fold on the driver (bounded language set; an unbounded group
+    key would swap the fold for a tiny groupby-sum) — corpus read once,
+    no shuffle, text column read only to tokenize."""
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = nwords_arrow(b["text"]).to_numpy(zero_copy_only=False)
+        y = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = b["lang"].to_pylist()
+        ul, inv = np.unique(langs, return_inverse=True)
+        def agg(v):
+            out = np.zeros(ul.size, np.int64)
+            np.add.at(out, inv, v)
+            return out
+        return pa.table({
+            "lang": pa.array(ul, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=ul.size)
+                          .astype(np.int64)),
+            "sx": pa.array(agg(x)), "sy": pa.array(agg(y)),
+            "sxy": pa.array(agg(x * y)), "sxx": pa.array(agg(x * x)),
+            "syy": pa.array(agg(y * y))})
+
+    tot: dict[str, list[int]] = {}
+    for b in (_read(sf_dir, "documents", ["lang", "text", "n_chars"])
+              .map_batches(moments, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for i, lg in enumerate(b["lang"].to_pylist()):
+            a = tot.setdefault(lg, [0] * 6)
+            for j, c in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy")):
+                a[j] += int(b[c][i].as_py())
+
+    langs = sorted(tot)
+    rows = []
+    for lg in langs:
+        n, sx, sy, sxy, sxx, syy = tot[lg]
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = np.float64(num) / np.float64(den)
+        intercept = ((np.float64(sy) - slope * np.float64(sx))
+                     / np.float64(n))
+        r2 = (np.float64(num * num)
+              / np.float64(den * (n * syy - sy * sy)))
+        rows.append((lg, n, slope, intercept, r2))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "slope": pa.array([r[2] for r in rows], pa.float64()),
+        "intercept": pa.array([r[3] for r in rows], pa.float64()),
+        "r2": pa.array([r[4] for r in rows], pa.float64())})
+
+
+def ols_by_lang_sql() -> str:
+    x = f"CAST({sql_nwords('text')} AS BIGINT)"
+    return f"""
+WITH p AS (
+  SELECT lang, {x} AS x, n_chars AS y FROM documents
+), s AS (
+  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM p GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept,
+       CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+         / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+         AS r2
+FROM s"""

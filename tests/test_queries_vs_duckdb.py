@@ -191,6 +191,9 @@ SQL_QUERIES = [
     # round 5 (cont.): BM25 retrieval (k1=1.2 b=0.75 as exact integer
     # rationals; Robertson idf signs preserved)
     "bm25_topk",
+    # round 5 (cont.): grouped OLS regression (exact integer moments,
+    # one double division per statistic, bit-identical floats)
+    "ols_by_lang",
 ]
 
 
