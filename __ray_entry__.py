@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: per-language OLS fit from integer moment sums
         # (bit-identical slope/intercept/r2 across engines)
         "ols_by_lang": A.ols_by_lang,
+        # round 5: Pareto skyline on (length, quality) — distributive
+        # local-skyline prune + small exact merge
+        "skyline_docs": A.skyline_docs,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1237,6 +1240,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "fk_orphans": A.fk_orphans_sql(),
         "bm25_topk": A.bm25_topk_sql(),
         "ols_by_lang": A.ols_by_lang_sql(),
+        "skyline_docs": A.skyline_docs_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -6651,3 +6651,102 @@ SELECT lang, CAST(n AS BIGINT) AS n,
          / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
          AS r2
 FROM s"""
+
+
+# --- Pareto skyline ---------------------------------------------------------------
+
+
+def _skyline_filter(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D Pareto skyline (maximize both): points no other
+    point strictly dominates (>= on both axes, > on at least one).
+    Sort by (x desc, y desc); a group of equal x survives iff its max y
+    strictly beats every y seen at larger x; within the group only the
+    max-y points (including exact duplicates, which never dominate each
+    other) survive. O(n log n) + a loop over DISTINCT x values."""
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    keep: list[int] = []
+    best = np.iinfo(np.int64).min
+    i, n = 0, len(xs)
+    while i < n:
+        j = i
+        while j < n and xs[j] == xs[i]:
+            j += 1
+        gy = ys[i]
+        if gy > best:
+            t = i
+            while t < j and ys[t] == gy:
+                keep.append(int(order[t]))
+                t += 1
+            best = gy
+        i = j
+    return np.array(sorted(keep), dtype=np.int64)
+
+
+def skyline_docs(sf_dir: str):
+    """Pareto skyline of the corpus on (length, quality): the documents
+    no other document beats on BOTH n_chars and the ccnet integer
+    quality key — the multi-objective frontier a curation pass inspects
+    when it must trade verbosity against cleanliness (skyline = the only
+    defensible "best" set when objectives conflict). Both axes are
+    integers, so dominance is exact on both engines.
+
+    Scale shape — the classic distributive-skyline split: a point
+    dominated inside its own block is dominated globally, so each block
+    emits only its LOCAL skyline (O(n log n) sort + a loop over distinct
+    x values); the driver merges candidate sets — typically O(log n)
+    points per block, worst case the block itself for anti-correlated
+    axes, disclosed — and applies the same exact filter once. One corpus
+    read, no shuffle."""
+
+    def local(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        ln = np.maximum(pc.utf8_length(text)
+                        .to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        nw = np.maximum(nwords_arrow(text)
+                        .to_numpy(zero_copy_only=False), 1)
+        punct = (pc.count_substring_regex(text, spec.PUNCT_CLASS)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        stops = (pc.count_substring_regex(text, _STOP_PAT)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        q = (stops * _CCNET_SCALE) // nw - (punct * _CCNET_SCALE) // ln
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = _skyline_filter(x, q)
+        return pa.table({"doc_id": pa.array(ids[k]),
+                         "n_chars": pa.array(x[k]),
+                         "q_micro": pa.array(q[k])})
+
+    parts = [b for b in (_read(sf_dir, "documents",
+                               ["doc_id", "text", "n_chars"])
+                         .map_batches(local, batch_format="pyarrow")
+                         .iter_batches(batch_size=None,
+                                       batch_format="pyarrow"))]
+    cand = (pa.concat_tables(parts) if parts
+            else pa.table({"doc_id": pa.array([], pa.int64()),
+                           "n_chars": pa.array([], pa.int64()),
+                           "q_micro": pa.array([], pa.int64())}))
+    x = cand["n_chars"].to_numpy(zero_copy_only=False)
+    y = cand["q_micro"].to_numpy(zero_copy_only=False)
+    k = _skyline_filter(x, y)
+    out = cand.take(pa.array(k)) if len(k) else cand
+    idx = pc.sort_indices(out, sort_keys=[("n_chars", "descending"),
+                                          ("doc_id", "ascending")])
+    return out.take(idx)
+
+
+def skyline_docs_sql() -> str:
+    ln = "greatest(length(text), 1)"
+    nw = f"greatest({sql_nwords('text')}, 1)"
+    q = (f"CAST(len(regexp_extract_all(text, '{_q(_STOP_PAT)}')) AS BIGINT)"
+         f" * {_CCNET_SCALE} // {nw}"
+         f" - CAST(len(regexp_extract_all(text, '{_q(spec.PUNCT_CLASS)}'))"
+         f" AS BIGINT) * {_CCNET_SCALE} // {ln}")
+    return f"""
+WITH s AS (SELECT doc_id, n_chars, {q} AS q_micro FROM documents)
+SELECT a.doc_id, a.n_chars, a.q_micro FROM s a
+WHERE NOT EXISTS (
+  SELECT 1 FROM s b
+  WHERE b.n_chars >= a.n_chars AND b.q_micro >= a.q_micro
+    AND (b.n_chars > a.n_chars OR b.q_micro > a.q_micro))
+ORDER BY a.n_chars DESC, a.doc_id"""

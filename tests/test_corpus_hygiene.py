@@ -116,3 +116,33 @@ def test_dsir_and_tfidf_run_on_tiny_corpus(ray_session, corpus_dir, con):
     # every doc emits at most K ranked terms, ranks contiguous from 1
     assert (got.groupby("doc_id")["rank"].max() <= 3).all()
     assert (got.groupby("doc_id")["rank"].min() == 1).all()
+
+
+def test_skyline_filter_matches_brute_force_and_is_distributive():
+    """_skyline_filter == the O(n^2) dominance definition on random
+    integer point sets, and the distributive property the distributed
+    split relies on (skyline of unioned local skylines == global
+    skyline) holds across random partitions."""
+    import numpy as np
+
+    from common_crawl_corpus_ray.pipelines.analytics import _skyline_filter
+
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n = int(rng.integers(1, 50))
+        x = rng.integers(0, 8, n).astype(np.int64)
+        y = rng.integers(0, 8, n).astype(np.int64)
+        got = set(_skyline_filter(x, y).tolist())
+        brute = {i for i in range(n)
+                 if not any(x[j] >= x[i] and y[j] >= y[i]
+                            and (x[j] > x[i] or y[j] > y[i])
+                            for j in range(n))}
+        assert got == brute
+        cut = n // 2
+        k1 = _skyline_filter(x[:cut], y[:cut])
+        k2 = _skyline_filter(x[cut:], y[cut:])
+        cx = np.concatenate([x[:cut][k1], x[cut:][k2]])
+        cy = np.concatenate([y[:cut][k1], y[cut:][k2]])
+        km = _skyline_filter(cx, cy)
+        assert (sorted(zip(cx[km], cy[km]))
+                == sorted(zip(x[list(brute)], y[list(brute)])))

@@ -194,6 +194,9 @@ SQL_QUERIES = [
     # round 5 (cont.): grouped OLS regression (exact integer moments,
     # one double division per statistic, bit-identical floats)
     "ols_by_lang",
+    # round 5 (cont.): 2-D Pareto skyline (NOT EXISTS dominance oracle;
+    # integer axes, distributive local prune)
+    "skyline_docs",
 ]
 
 
