@@ -320,6 +320,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # asymmetric measure Jaccard structurally misses; same inverted
         # index, different per-pair arithmetic
         "containment_dedup": A.containment_dedup,
+        # round 5: iterative fixed-point over a PARTITIONED state (ranks
+        # never driver-resident; edges functional, never materialized) +
+        # the versioned-corpus snapshot-diff audit (slim hash co-partition)
+        "pagerank": A.pagerank,
+        "corpus_diff": A.corpus_diff,
         # round 5: semi-structured (JSON) field extraction + rollup with
         # exact two-level distinct-user counts
         "json_props_rollup": A.json_props_rollup,
@@ -1221,6 +1226,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "soft_dedup": A.soft_dedup_sql(),
         "contamination_overlap": A.contamination_overlap_sql(),
         "containment_dedup": A.containment_dedup_sql(),
+        "pagerank": A.pagerank_sql(),
+        "corpus_diff": A.corpus_diff_sql(),
         "json_props_rollup": A.json_props_rollup_sql(),
         "tpch_q3": A.tpch_q3_sql(),
         "star_profit": A.star_profit_sql(),

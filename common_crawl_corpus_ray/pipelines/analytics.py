@@ -6750,3 +6750,185 @@ WHERE NOT EXISTS (
   WHERE b.n_chars >= a.n_chars AND b.q_micro >= a.q_micro
     AND (b.n_chars > a.n_chars OR b.q_micro > a.q_micro))
 ORDER BY a.n_chars DESC, a.doc_id"""
+
+
+# --- PageRank / snapshot diff -----------------------------------------------
+# Two final graph/lifecycle shapes: (1) an ITERATIVE fixed-point computation
+# (the one distributed shape the inventory lacked — kmeans iterates over a
+# broadcast state, PageRank iterates over a PARTITIONED state), and (2) the
+# snapshot diff audit every versioned-corpus workflow runs between releases.
+
+PR_ITERS = 5                 # fixed iteration count so SQL can chain CTEs
+PR_TELEPORT = 150_000        # 0.15 teleport mass in micro-units
+PR_DAMP = 85                 # 0.85 damping as integer percent
+PR_INIT = 1_000_000          # uniform start rank, micro-units
+
+
+def pagerank(sf_dir: str):
+    """Distributed PageRank over a FUNCTIONAL link graph (node doc_id v has
+    outdeg 1 + v%3 edges to (v*(2k+3) + k^2) mod N — irregular in/out
+    degrees, so ranks spread instead of staying uniform; the k=1 map is
+    5-to-1 on the 500-node fixture, planting genuine hubs).
+
+    Scale contract: the rank vector is a partitioned Dataset, NEVER
+    driver-resident (contrast kmeans, whose k x d state is broadcast-small).
+    Edges are derived from the node id inside each block — no edge table is
+    materialized or joined, so one iteration = one map over rank rows
+    emitting (dst, contribution) partials (pre-aggregated per block by
+    pa.Table.group_by, bounding the exchange at O(distinct dst per block))
+    + one slim keyed groupby. Every node also emits a zero self-partial so
+    in-degree-0 nodes keep their teleport row without a union. 5 iterations
+    = 5 slim shuffles — the honest cost of PageRank; at 100 TB the same
+    loop holds because nothing ever lands on the driver.
+
+    Integer micro-unit arithmetic end to end (r' = teleport +
+    damp * SUM(r // outdeg) // 100) so both engines agree bit-exactly —
+    the float `rank` column is a single exact int64/1e6 division."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({"v": pc.cast(b["doc_id"], pa.int64()),
+                         "r": pa.array(np.full(len(b), PR_INIT, np.int64))})
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        r = b["r"].to_numpy(zero_copy_only=False)
+        outdeg = 1 + v % 3
+        contrib = r // outdeg
+        dsts = [v]                    # zero self-row keeps sinks present
+        parts = [np.zeros(len(v), np.int64)]
+        for k in (1, 2, 3):
+            m = outdeg >= k
+            dsts.append((v[m] * (2 * k + 3) + k * k) % n)
+            parts.append(contrib[m])
+        t = pa.table({"v": np.concatenate(dsts), "p": np.concatenate(parts)})
+        return (t.group_by("v").aggregate([("p", "sum")])
+                .rename_columns(["v", "p"]))
+
+    def teleport(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": b["v"],
+                         "r": pa.array(PR_TELEPORT + (PR_DAMP * s) // 100)})
+
+    ranks = (_read(sf_dir, "documents", ["doc_id"])
+             .map_batches(init, batch_format="pyarrow"))
+    for _ in range(PR_ITERS):
+        ranks = (ranks.map_batches(partials, batch_format="pyarrow")
+                 .groupby("v").aggregate(Sum("p", alias_name="s"))
+                 .map_batches(teleport, batch_format="pyarrow"))
+
+    def final(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["v"], "rank_micro": b["r"],
+                         "rank": pa.array(r / 1e6)})
+
+    return ranks.map_batches(final, batch_format="pyarrow")
+
+
+def pagerank_sql() -> str:
+    def lvl(i: int) -> str:
+        return f"""r{i} AS (
+  SELECT nodes.v AS v,
+         CAST({PR_TELEPORT} + ({PR_DAMP} * COALESCE(SUM(r{i-1}.r // (1 + e.src % 3)), 0)) // 100 AS BIGINT) AS r
+  FROM nodes
+  LEFT JOIN e ON e.dst = nodes.v
+  LEFT JOIN r{i-1} ON r{i-1}.v = e.src
+  GROUP BY nodes.v)"""
+
+    chain = ",\n".join(lvl(i) for i in range(1, PR_ITERS + 1))
+    return f"""WITH
+n AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+nodes AS (SELECT doc_id AS v FROM documents),
+e AS (SELECT v AS src, (v * (2*k.k + 3) + k.k*k.k) % (SELECT cnt FROM n) AS dst
+      FROM nodes, (VALUES (1),(2),(3)) k(k)
+      WHERE k.k <= 1 + v % 3),
+r0 AS (SELECT v, CAST({PR_INIT} AS BIGINT) AS r FROM nodes),
+{chain}
+SELECT v AS doc_id, r AS rank_micro, r / 1000000.0 AS rank FROM r{PR_ITERS}"""
+
+
+DIFF_ADD_OFF = 1_000_000     # added-doc id offset (disjoint id space)
+
+
+def corpus_diff(sf_dir: str):
+    """Snapshot diff between two corpus versions — the release audit a
+    versioned table needs ('what changed between v1 and v2?'): rows added /
+    removed / modified by primary key, content compared by md5_i64 of text
+    so payloads never co-locate. v2 is derived deterministically from v1 in
+    BOTH engines (doc_id%10==3 removed, %10==7 text-revised, %10==1 cloned
+    to doc_id+1M as additions) so the fixture stays the driver's table.
+
+    Scale contract: each side ships only (doc_id, side flags, text hash) —
+    text itself never enters the exchange; the diff is ONE keyed groupby on
+    doc_id (each key carries <=2 slim rows) + a vectorized decide. At 100 TB
+    this is the minimal possible diff cost: one pass over each version, one
+    slim co-partition."""
+    from ray.data.aggregate import Sum
+
+    def sides(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mod10 = ids % 10
+        ha = md5_i64_array(b["text"]).to_numpy(zero_copy_only=False)
+        zeros = np.zeros(len(ids), np.int64)
+        ones = np.ones(len(ids), np.int64)
+        # side B rows: %10==3 dropped, %10==7 revised, others unchanged
+        keep = mod10 != 3
+        btext = pc.if_else(pa.array(mod10 == 7),
+                           pc.binary_join_element_wise(b["text"], " rev2", ""),
+                           b["text"])
+        hb = md5_i64_array(btext).to_numpy(zero_copy_only=False)
+        # side B additions: clones of %10==1 under a disjoint id space
+        addm = mod10 == 1
+        atext = pc.binary_join_element_wise(
+            "new: ", pc.take(b["text"], pa.array(np.nonzero(addm)[0])), "")
+        hadd = md5_i64_array(atext).to_numpy(zero_copy_only=False)
+        na = int(addm.sum())
+        nb = int(keep.sum())
+        return pa.table({
+            "doc_id": np.concatenate([ids, ids[keep],
+                                      ids[addm] + DIFF_ADD_OFF]),
+            "a": np.concatenate([ones, np.zeros(nb + na, np.int64)]),
+            "b": np.concatenate([zeros, np.ones(nb + na, np.int64)]),
+            "ah": np.concatenate([ha, np.zeros(nb + na, np.int64)]),
+            "bh": np.concatenate([zeros, hb[keep], hadd])})
+
+    def decide(b: pa.Table) -> pa.Table:
+        na = b["na"].to_numpy(zero_copy_only=False)
+        nb = b["nb"].to_numpy(zero_copy_only=False)
+        ha = b["ha"].to_numpy(zero_copy_only=False)
+        hb = b["hb"].to_numpy(zero_copy_only=False)
+        change = np.where(nb == 0, "removed",
+                          np.where(na == 0, "added",
+                                   np.where(ha != hb, "modified", "")))
+        keep = np.nonzero(change != "")[0]
+        return pa.table({"doc_id": pc.take(b["doc_id"], pa.array(keep)),
+                         "change": pa.array(change[keep])})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(sides, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("a", alias_name="na"), Sum("b", alias_name="nb"),
+                       Sum("ah", alias_name="ha"), Sum("bh", alias_name="hb"))
+            .map_batches(decide, batch_format="pyarrow"))
+
+
+def corpus_diff_sql() -> str:
+    ha = sql_md5_i64("a.text")
+    hb = sql_md5_i64("b.text")
+    return f"""
+WITH v2 AS (
+  SELECT doc_id, text || ' rev2' AS text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 NOT IN (3, 7)
+  UNION ALL
+  SELECT doc_id + {DIFF_ADD_OFF} AS doc_id, 'new: ' || text AS text
+  FROM documents WHERE doc_id % 10 = 1)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.doc_id IS NULL THEN 'added'
+            ELSE 'modified' END AS change
+FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR {ha} <> {hb}"""

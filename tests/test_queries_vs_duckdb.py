@@ -152,6 +152,11 @@ SQL_QUERIES = [
     # small-vocab window sharing, no planting; window identity = 64-bit
     # rolling hash (decontaminate precedent)
     "substring_dedup",
+    # round 5 (final): iterative PageRank over a functional link graph
+    # (partitioned rank state, integer micro-unit fixed point, 5 chained
+    # CTE levels in the oracle) + versioned-corpus snapshot diff
+    # (added/removed/modified by key, md5-hash compare, FULL OUTER oracle)
+    "pagerank", "corpus_diff",
     # round 5 (cont.): DSIR importance weights (hashed-unigram LLR vs the
     # decontaminate target slice; micro-nat integer quantization)
     "dsir_weights",
