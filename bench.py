@@ -103,7 +103,7 @@ QUERY_NAMES = [
     "spell_candidates", "boilerplate_prefix", "winsorize", "pmi_bigrams",
     "profile_columns", "event_funnel", "cohort_retention",
     "event_transitions", "fk_orphans", "bm25_topk", "ols_by_lang",
-    "skyline_docs",
+    "skyline_docs", "pagerank", "corpus_diff",
 ]
 
 

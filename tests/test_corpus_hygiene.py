@@ -146,3 +146,39 @@ def test_skyline_filter_matches_brute_force_and_is_distributive():
         km = _skyline_filter(cx, cy)
         assert (sorted(zip(cx[km], cy[km]))
                 == sorted(zip(x[list(brute)], y[list(brute)])))
+
+
+def test_corpus_diff_change_structure(ray_session):
+    """The diff must recover exactly the derivation: every %10==3 doc is
+    'removed', every %10==7 'modified', every %10==1 cloned id 'added' —
+    and nothing else (unchanged docs must not leak into the diff)."""
+    import pyarrow.parquet as pq
+
+    from common_crawl_corpus_ray.pipelines.analytics import (DIFF_ADD_OFF,
+                                                             corpus_diff)
+    sf = "/root/testdata/sf0.001"
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    got = corpus_diff(sf).to_pandas().sort_values("doc_id")
+    by = {c: set(g["doc_id"]) for c, g in got.groupby("change")}
+    assert by["removed"] == {int(i) for i in ids if i % 10 == 3}
+    assert by["modified"] == {int(i) for i in ids if i % 10 == 7}
+    assert by["added"] == {int(i) + DIFF_ADD_OFF for i in ids if i % 10 == 1}
+    assert len(got) == sum(len(v) for v in by.values())
+
+
+def test_pagerank_mass_and_hubs(ray_session):
+    """Structural invariants beyond the oracle: total rank mass stays
+    within the damped-teleport fixed-point envelope, and the k=1 edge
+    map's 5-to-1 collision (gcd(5, 500)) makes its images genuine hubs —
+    the top rank must exceed the uniform start."""
+    from common_crawl_corpus_ray.pipelines.analytics import (PR_INIT,
+                                                             pagerank)
+    df = pagerank("/root/testdata/sf0.001").to_pandas()
+    n = len(df)
+    assert df["rank_micro"].min() >= 150_000          # teleport floor
+    assert df["rank_micro"].max() > PR_INIT           # hubs concentrate
+    # mass: teleport adds 0.15/node/iter, damping keeps <= 0.85 of sum;
+    # after 5 iters total mass stays within [0.4, 1.2] of the start mass
+    total = df["rank_micro"].sum()
+    assert 0.4 * n * PR_INIT < total < 1.2 * n * PR_INIT
