@@ -386,6 +386,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: Pareto skyline on (length, quality) — distributive
         # local-skyline prune + small exact merge
         "skyline_docs": A.skyline_docs,
+        # round 5 (final): graph motif census — degree-oriented wedge
+        # enumeration over the co-purchase projection (support-pruned
+        # edges; 5 slim exchanges, payloads never move)
+        "triangle_count": A.triangle_count,
+        # round 5 (final): per-user interval-union coverage (boundary
+        # sweep, one user-keyed exchange, int64-exact cumsum with
+        # per-user reset)
+        "interval_union": A.interval_union,
+        # round 5 (final): SCD2 dimension merge — version-interval rows
+        # from one keyed co-partition of two snapshots
+        "scd2_merge": A.scd2_merge,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1248,6 +1259,9 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "bm25_topk": A.bm25_topk_sql(),
         "ols_by_lang": A.ols_by_lang_sql(),
         "skyline_docs": A.skyline_docs_sql(),
+        "triangle_count": A.triangle_count_sql(),
+        "interval_union": A.interval_union_sql(),
+        "scd2_merge": A.scd2_merge_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

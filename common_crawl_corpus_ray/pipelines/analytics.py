@@ -6932,3 +6932,493 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
             ELSE 'modified' END AS change
 FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
 WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR {ha} <> {hb}"""
+
+
+# --- graph motif counting: triangles over the co-purchase graph -----------
+
+TRI_SUPPORT = 2    # min distinct orders a part pair must share to be an edge
+
+
+def _pairs_within_runs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All (i < j) GLOBAL index pairs within consecutive runs of the given
+    sizes, fully vectorized (no Python loop over runs). For run sizes
+    [2, 3] over indices 0..4 this yields left=[0,1,1,2,3], right=
+    [1,2,3,3,4] — every in-run combination exactly once, left < right.
+    Shared by triangle_count's per-order pair generation and its per-apex
+    wedge generation; the caller bounds run sizes (orders hold <=~15
+    lines; oriented out-degree is O(sqrt(edges)))."""
+    counts = counts.astype(np.int64, copy=False)
+    n = int(counts.sum())
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(n, dtype=np.int64) - np.repeat(offsets, counts)
+    reps = np.repeat(counts - 1, counts) - pos
+    left = np.repeat(np.arange(n, dtype=np.int64), reps)
+    total = int(reps.sum())
+    cume = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    right = left + 1 + (np.arange(total, dtype=np.int64)
+                        - np.repeat(cume, reps))
+    return left, right
+
+
+def triangle_count(sf_dir: str):
+    """Distributed triangle counting over the co-purchase graph — the graph
+    motif census behind community/collusion detection: nodes are parts,
+    an (undirected) edge joins two parts that co-occur in >= TRI_SUPPORT
+    distinct orders (the support threshold is the df-cap analog that keeps
+    the co-occurrence projection from going quadratic on hub orders), and
+    the output is each node's triangle participation count. Algorithm =
+    the classic degree-oriented wedge enumeration (count each triangle
+    once from its lowest-degree apex), which bounds per-apex out-degree at
+    O(sqrt(m)) so wedge volume is O(m^1.5) worst case instead of
+    sum(d^2).
+
+    Scale shape, stage by stage (payloads never move; every exchange
+    carries slim int64 rows):
+      1. per-order pair partials — orders are hash-bucketed so each order's
+         (deduped) part list lands whole in one reduce; in-run pair
+         generation is vectorized (:func:`_pairs_within_runs`), partials
+         pre-aggregated per bucket, then one keyed groupby sums support
+         and the threshold prunes to the edge set E.
+      2. degree table — one slim groupby over E's endpoints.
+      3. two keyed co-partitions attach deg(u) then deg(v) to each edge
+         (degrees are O(nodes) — NOT broadcast; the union branches share
+         ONE schema object, the r4 block-hash lesson).
+      4. wedges — edges exchange keyed by their low-degree apex; per-apex
+         (b1 < b2) pairs via the same run-pair kernel.
+      5. probe — wedges and edges co-partition on hash(x, y); an in-bucket
+         sorted merge keeps only closed wedges; each triangle emits three
+         (node, 1) partials, one final groupby sums.
+    E is support-filtered and slim, so it is pinned with materialize()
+    once and re-read by stages 2/3/5 instead of re-running the lineitem
+    scan three times (the dedup_family slim-projection precedent)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    nb = scaled_buckets(n_li, rows_per_bucket=2_000_000, lo=8)
+
+    def slim_li(b: pa.Table) -> pa.Table:
+        o = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array(o % nb), "o": pa.array(o),
+                         "p": pa.array(p)})
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        o = t["o"].to_numpy(zero_copy_only=False)
+        p = t["p"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(len(o), bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        starts = np.nonzero(np.concatenate([[True], o[1:] != o[:-1]]))[0]
+        counts = np.diff(np.concatenate([starts, [len(o)]]))
+        li, ri = _pairs_within_runs(counts)
+        # within a run p is strictly increasing (deduped), so u < v holds
+        g = (pa.table({"u": p[li], "v": p[ri],
+                       "n": np.ones(len(li), np.int64)})
+             .group_by(["u", "v"]).aggregate([("n", "sum")]))
+        return g.rename_columns(["u", "v", "n"])
+
+    empty_uvn = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+
+    def support_cut(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n"], TRI_SUPPORT)).select(
+            ["u", "v"])
+
+    # slim, support-pruned edge set; consumed by 3 downstream stages
+    edges = (bucket_exchange_dataset(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(slim_li, batch_format="pyarrow"),
+        nb, pair_partials, empty_uvn)
+        .groupby(["u", "v"]).aggregate(Sum("n", alias_name="n"))
+        .map_batches(support_cut, batch_format="pyarrow")
+        .materialize())
+
+    def deg_partials(b: pa.Table) -> pa.Table:
+        node = np.concatenate([
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False)])
+        g = (pa.table({"node": node, "d": np.ones(len(node), np.int64)})
+             .group_by("node").aggregate([("d", "sum")]))
+        return g.rename_columns(["node", "d"])
+
+    degs = (edges.map_batches(deg_partials, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("d", alias_name="d"))
+            .materialize())
+
+    # ONE shared schema for deg/edge union branches (block-hash dedup)
+    mix = pa.schema([("bucket", pa.int64()), ("kind", pa.int8()),
+                     ("k", pa.int64()), ("other", pa.int64()),
+                     ("d1", pa.int64())])
+
+    def _mix(bucket, kind, k, other, d1) -> pa.Table:
+        return pa.table([pa.array(bucket), pa.array(kind, pa.int8()),
+                         pa.array(k), pa.array(other), pa.array(d1)],
+                        schema=mix)
+
+    def _attach(t: pa.Table, out_keyed_by_other: bool) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        other = t["other"].to_numpy(zero_copy_only=False)
+        d1 = t["d1"].to_numpy(zero_copy_only=False)
+        dm = kind == 0
+        dn, dd = k[dm], d1[dm]
+        o2 = np.argsort(dn)
+        dn, dd = dn[o2], dd[o2]
+        em = ~dm
+        dk = dd[np.searchsorted(dn, k[em])]
+        if out_keyed_by_other:        # first hop: re-key edge by v
+            return _mix(other[em] % nb, np.ones(int(em.sum()), np.int8),
+                        other[em], k[em], dk)
+        return pa.table({"u": other[em], "v": k[em], "du": d1[em],
+                         "dv": dk})
+
+    def tag_deg(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        d = b["d"].to_numpy(zero_copy_only=False)
+        return _mix(node % nb, np.zeros(len(node), np.int8), node,
+                    np.zeros(len(node), np.int64), d)
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return _mix(u % nb, np.ones(len(u), np.int8), u, v,
+                    np.zeros(len(u), np.int64))
+
+    empty_mix = mix.empty_table()
+    hop1 = bucket_exchange_dataset(
+        degs.map_batches(tag_deg, batch_format="pyarrow")
+        .union(edges.map_batches(tag_edge, batch_format="pyarrow")),
+        nb, lambda t: _attach(t, True), empty_mix)
+    # hop1 rows are edge rows keyed by v carrying du in d1; union degs again
+    empty_eded = pa.table({"u": pa.array([], pa.int64()),
+                           "v": pa.array([], pa.int64()),
+                           "du": pa.array([], pa.int64()),
+                           "dv": pa.array([], pa.int64())})
+    withdeg = bucket_exchange_dataset(
+        degs.map_batches(tag_deg, batch_format="pyarrow").union(hop1),
+        nb, lambda t: _attach(t, False), empty_eded)
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        du = b["du"].to_numpy(zero_copy_only=False)
+        dv = b["dv"].to_numpy(zero_copy_only=False)
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(fwd, u, v)
+        bb = np.where(fwd, v, u)
+        return pa.table({"bucket": pa.array(a % nb), "a": pa.array(a),
+                         "b": pa.array(bb)})
+
+    def wedge_partials(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        bb = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        starts = np.nonzero(np.concatenate([[True], a[1:] != a[:-1]]))[0]
+        counts = np.diff(np.concatenate([starts, [len(a)]]))
+        li, ri = _pairs_within_runs(counts)
+        x, y = bb[li], bb[ri]       # x < y within each apex run
+        return _mix((x + y * 1000003) % nb,
+                    np.ones(len(li), np.int8), x, y, a[li])
+
+    wedges = bucket_exchange_dataset(
+        withdeg.map_batches(orient, batch_format="pyarrow"),
+        nb, wedge_partials, empty_mix)
+
+    def tag_edge_probe(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return _mix((u + v * 1000003) % nb, np.zeros(len(u), np.int8),
+                    u, v, np.zeros(len(u), np.int64))
+
+    def close_wedges(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        x = t["k"].to_numpy(zero_copy_only=False)
+        y = t["other"].to_numpy(zero_copy_only=False)
+        apex = t["d1"].to_numpy(zero_copy_only=False)
+        em = kind == 0
+        eu, ev = x[em], y[em]
+        o2 = np.lexsort((ev, eu))
+        eu, ev = eu[o2], ev[o2]
+        wm = ~em
+        wx, wy, wa = x[wm], y[wm], apex[wm]
+        # vectorized two-key membership probe: map BOTH key components to
+        # their in-bucket dense ranks so the packed int64 sort key is
+        # bounded by (rows-per-bucket)^2 — no overflow regardless of raw
+        # node-id magnitude
+        _, uinv = np.unique(np.concatenate([eu, wx]), return_inverse=True)
+        uniqv, vinv = np.unique(np.concatenate([ev, wy]),
+                                return_inverse=True)
+        eur, wxr = uinv[:len(eu)], uinv[len(eu):]
+        evr, wyr = vinv[:len(ev)], vinv[len(ev):]
+        K = np.int64(len(uniqv) + 1)
+        ek = eur * K + evr
+        ek.sort()
+        wk = wxr * K + wyr
+        idx = np.searchsorted(ek, wk)
+        hit = (idx < len(ek)) & (ek[np.minimum(idx, len(ek) - 1)] == wk)
+        node = np.concatenate([wa[hit], wx[hit], wy[hit]])
+        g = (pa.table({"node": node, "n": np.ones(len(node), np.int64)})
+             .group_by("node").aggregate([("n", "sum")]))
+        return g.rename_columns(["node", "n"])
+
+    empty_nn = pa.table({"node": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({"part_key": b["node"], "n_triangles": b["n"]})
+
+    return (bucket_exchange_dataset(
+        wedges.union(edges.map_batches(tag_edge_probe,
+                                       batch_format="pyarrow")),
+        nb, close_wedges, empty_nn)
+        .groupby("node").aggregate(Sum("n", alias_name="n"))
+        .map_batches(final, batch_format="pyarrow"))
+
+
+def triangle_count_sql() -> str:
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_SUPPORT}),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) t(n)
+        GROUP BY n),
+oe AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                   THEN e.u ELSE e.v END AS a,
+              CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                   THEN e.v ELSE e.u END AS b
+       FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+tri AS (SELECT o1.a AS n0, o1.b AS n1, o2.b AS n2
+        FROM oe o1 JOIN oe o2 ON o1.a = o2.a AND o1.b < o2.b
+        JOIN e ON e.u = least(o1.b, o2.b) AND e.v = greatest(o1.b, o2.b)),
+m AS (SELECT n0 AS node FROM tri UNION ALL SELECT n1 FROM tri
+      UNION ALL SELECT n2 FROM tri)
+SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
+FROM m GROUP BY node"""
+
+
+# --- interval union: per-user covered listening time ----------------------
+
+IV_SLOT_US = 30_000_000      # interval length unit: 30 s in microseconds
+IV_SLOTS = 7                 # event e spans (1 + event_id % 7) slots
+
+
+def interval_union(sf_dir: str):
+    """Per-user interval-union coverage — the merge-overlapping-intervals
+    sweep behind listening-time / session-coverage metrics: each event
+    opens a half-open interval [ts, ts + (1 + event_id % IV_SLOTS) *
+    IV_SLOT_US) and the answer per user is the number of merged islands
+    and the total covered microseconds (overlaps counted once; touching
+    intervals merge, matching the SQL rule s > max(prev e)).
+
+    Scale shape: slim (user, start, end) int64 rows through ONE user-keyed
+    exchange; each bucket runs the classic boundary sweep fully vectorized
+    — one lexsort of 2n boundary rows by (user, pos, starts-before-ends),
+    a global cumsum whose per-user reset is a subtraction of the value at
+    each user's first row (no running-max-with-reset, which has no exact
+    segmented numpy kernel), and two np.add.reduceat folds for island
+    count and covered length. All arithmetic is int64 microseconds; both
+    engines agree bit-exactly. At 100 TB each user's history must fit one
+    reduce task — the same per-key contract sessionize declares."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_ev = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    nb = scaled_buckets(n_ev, rows_per_bucket=1_000_000, lo=8)
+
+    def slim(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = (1 + eid % IV_SLOTS) * IV_SLOT_US
+        return pa.table({"bucket": pa.array(uid % nb), "uid": pa.array(uid),
+                         "s": pa.array(ts), "e": pa.array(ts + dur)})
+
+    def sweep(t: pa.Table) -> pa.Table:
+        uid = t["uid"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        pos = np.concatenate([s, e])
+        delta = np.concatenate([np.ones(n, np.int64),
+                                np.full(n, -1, np.int64)])
+        u2 = np.concatenate([uid, uid])
+        order = np.lexsort((-delta, pos, u2))    # user, pos, starts first
+        u2, pos, delta = u2[order], pos[order], delta[order]
+        cum = np.cumsum(delta)
+        ub = np.concatenate([[True], u2[1:] != u2[:-1]])
+        bounds = np.nonzero(ub)[0]
+        widths = np.diff(np.concatenate([bounds, [len(u2)]]))
+        cum_before = np.concatenate([[0], cum[:-1]])
+        active = cum - np.repeat(cum_before[bounds], widths)
+        isl_start = ((delta == 1) & (active - delta == 0)).astype(np.int64)
+        n_isl = np.add.reduceat(isl_start, bounds)
+        gap = np.zeros(len(u2), np.int64)
+        gap[:-1] = ((pos[1:] - pos[:-1])
+                    * ((active[:-1] > 0) & (u2[1:] == u2[:-1])))
+        covered = np.add.reduceat(gap, bounds)
+        return pa.table({"user_id": pa.array(u2[bounds]),
+                         "n_islands": pa.array(n_isl),
+                         "covered_us": pa.array(covered)})
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_islands": pa.array([], pa.int64()),
+                      "covered_us": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(slim, batch_format="pyarrow"),
+        nb, sweep, empty)
+
+
+def interval_union_sql() -> str:
+    return f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (1 + event_id % {IV_SLOTS}) * {IV_SLOT_US} AS e
+  FROM events),
+w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM iv),
+g AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s) AS gid
+  FROM w),
+isl AS (SELECT user_id, gid, min(s) AS s0, max(e) AS e1
+        FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(e1 - s0) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id"""
+
+
+# --- SCD2 merge: versioned-dimension snapshot apply ------------------------
+
+SCD_OPEN = 9999              # sentinel 'open' valid_to (NULL would make the
+                             # driver's value hash depend on NULL encoding)
+SCD_ADD_OFF = 1_000_000      # added-row key offset (disjoint key space)
+
+
+def scd2_merge(sf_dir: str):
+    """Slowly-changing-dimension (type 2) merge — the lakehouse MERGE a
+    versioned dimension table runs per snapshot: given customer@v1 and a
+    deterministically derived customer@v2 (c_custkey%10==8 deleted,
+    %10==4 segment changed to 'MOVED', %10==2 cloned to key+SCD_ADD_OFF as
+    an insert), emit the version-interval rows — unchanged rows stay
+    (v1, OPEN); changed/deleted rows close at v2; changed/added rows open
+    a (v2, OPEN) row carrying the new attribute.
+
+    Scale shape: the corpus_diff co-partition with attribute-carrying
+    rows — each side ships only (key, side, segment) through ONE keyed
+    exchange (<= 2 slim rows per key in a reduce), and the in-bucket
+    decide is a vectorized first/last-per-run classification. No
+    driver-resident state; at 100 TB this is one pass per snapshot + one
+    slim co-partition, the minimal possible merge cost."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_c = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    nb = scaled_buckets(n_c, rows_per_bucket=2_000_000, lo=8)
+
+    def sides(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = b["c_mktsegment"]
+        m10 = k % 10
+        keep = m10 != 8
+        addm = m10 == 2
+        seg_b = pc.if_else(pa.array(m10 == 4), pa.scalar("MOVED"), seg)
+        kidx = pa.array(np.nonzero(keep)[0])
+        aidx = pa.array(np.nonzero(addm)[0])
+        na, nk = int(addm.sum()), int(keep.sum())
+        key = np.concatenate([k, k[keep], k[addm] + SCD_ADD_OFF])
+        side = np.concatenate([np.zeros(len(k), np.int64),
+                               np.ones(nk + na, np.int64)])
+        segs = pa.concat_arrays([seg.combine_chunks().cast(pa.string()),
+                                 pc.take(seg_b, kidx).combine_chunks()
+                                 .cast(pa.string()),
+                                 pc.take(seg, aidx).combine_chunks()
+                                 .cast(pa.string())])
+        return pa.table({"bucket": pa.array(key % nb), "k": pa.array(key),
+                         "side": pa.array(side), "seg": segs})
+
+    def decide(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, k))
+        k, side = k[order], side[order]
+        seg = pc.take(t["seg"], pa.array(order))
+        first = np.concatenate([[True], k[1:] != k[:-1]])
+        last = np.concatenate([k[1:] != k[:-1], [True]])
+        fi = np.nonzero(first)[0]
+        li = np.nonzero(last)[0]
+        ina = side[fi] == 0
+        inb = side[li] == 1
+        sa = pc.take(seg, pa.array(fi))
+        sb = pc.take(seg, pa.array(li))
+        changed = (ina & inb
+                   & pc.not_equal(sa, sb).to_numpy(zero_copy_only=False))
+        keys = k[fi]
+        # v1 rows (one per key present in A)
+        am = np.nonzero(ina)[0]
+        a_to = np.where(~inb[am] | changed[am], 2, SCD_OPEN)
+        # v2 rows (key added or attribute changed)
+        bm = np.nonzero(inb & (~ina | changed))[0]
+        return pa.table({
+            "c_custkey": np.concatenate([keys[am], keys[bm]]),
+            "c_mktsegment": pa.concat_arrays([
+                pc.take(sa, pa.array(am)).combine_chunks()
+                .cast(pa.string()),
+                pc.take(sb, pa.array(bm)).combine_chunks()
+                .cast(pa.string())]),
+            "valid_from": np.concatenate([np.ones(len(am), np.int64),
+                                          np.full(len(bm), 2, np.int64)]),
+            "valid_to": np.concatenate([a_to.astype(np.int64),
+                                        np.full(len(bm), SCD_OPEN,
+                                                np.int64)])})
+
+    empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "c_mktsegment": pa.array([], pa.string()),
+                      "valid_from": pa.array([], pa.int64()),
+                      "valid_to": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(sides, batch_format="pyarrow"),
+        nb, decide, empty)
+
+
+def scd2_merge_sql() -> str:
+    return f"""
+WITH v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 4 THEN 'MOVED' ELSE c_mktsegment END
+           AS seg
+  FROM customer WHERE c_custkey % 10 <> 8
+  UNION ALL
+  SELECT c_custkey + {SCD_ADD_OFF}, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 2),
+j AS (
+  SELECT COALESCE(a.c_custkey, b.c_custkey) AS k,
+         a.c_mktsegment AS sa, b.seg AS sb,
+         a.c_custkey IS NOT NULL AS ina, b.c_custkey IS NOT NULL AS inb
+  FROM customer a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+SELECT k AS c_custkey, sa AS c_mktsegment, CAST(1 AS BIGINT) AS valid_from,
+       CAST(CASE WHEN NOT inb OR sa <> sb THEN 2 ELSE {SCD_OPEN} END
+            AS BIGINT) AS valid_to
+FROM j WHERE ina
+UNION ALL
+SELECT k, sb, CAST(2 AS BIGINT), CAST({SCD_OPEN} AS BIGINT)
+FROM j WHERE inb AND (NOT ina OR sa <> sb)"""

@@ -202,6 +202,12 @@ SQL_QUERIES = [
     # round 5 (cont.): 2-D Pareto skyline (NOT EXISTS dominance oracle;
     # integer axes, distributive local prune)
     "skyline_docs",
+    # round 5 (final): triangle census over the co-purchase graph
+    # (degree-oriented wedges; support >= 2 edge prune mirrored in SQL),
+    # per-user interval-union coverage (boundary sweep vs window-max
+    # islands SQL), and SCD2 dimension merge (version-interval rows,
+    # FULL OUTER oracle)
+    "triangle_count", "interval_union", "scd2_merge",
 ]
 
 
