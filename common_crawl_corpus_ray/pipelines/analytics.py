@@ -6850,7 +6850,10 @@ r0 AS (SELECT v, CAST({PR_INIT} AS BIGINT) AS r FROM nodes),
 SELECT v AS doc_id, r AS rank_micro, r / 1000000.0 AS rank FROM r{PR_ITERS}"""
 
 
-DIFF_ADD_OFF = 1_000_000     # added-doc id offset (disjoint id space)
+# added docs clone id v to -v - 1: the negative mirror stays disjoint
+# from any real non-negative id space at ANY corpus size, where a fixed
+# additive offset collides once the table outgrows it (review catch —
+# same fix as scd2_merge)
 
 
 def corpus_diff(sf_dir: str):
@@ -6859,7 +6862,8 @@ def corpus_diff(sf_dir: str):
     removed / modified by primary key, content compared by md5_i64 of text
     so payloads never co-locate. v2 is derived deterministically from v1 in
     BOTH engines (doc_id%10==3 removed, %10==7 text-revised, %10==1 cloned
-    to doc_id+1M as additions) so the fixture stays the driver's table.
+    to -doc_id-1 as additions — the negative mirror stays disjoint at any
+    corpus size) so the fixture stays the driver's table.
 
     Scale contract: each side ships only (doc_id, side flags, text hash) —
     text itself never enters the exchange; the diff is ONE keyed groupby on
@@ -6889,7 +6893,7 @@ def corpus_diff(sf_dir: str):
         nb = int(keep.sum())
         return pa.table({
             "doc_id": np.concatenate([ids, ids[keep],
-                                      ids[addm] + DIFF_ADD_OFF]),
+                                      -ids[addm] - 1]),
             "a": np.concatenate([ones, np.zeros(nb + na, np.int64)]),
             "b": np.concatenate([zeros, np.ones(nb + na, np.int64)]),
             "ah": np.concatenate([ha, np.zeros(nb + na, np.int64)]),
@@ -6924,7 +6928,7 @@ WITH v2 AS (
   UNION ALL
   SELECT doc_id, text FROM documents WHERE doc_id % 10 NOT IN (3, 7)
   UNION ALL
-  SELECT doc_id + {DIFF_ADD_OFF} AS doc_id, 'new: ' || text AS text
+  SELECT -doc_id - 1 AS doc_id, 'new: ' || text AS text
   FROM documents WHERE doc_id % 10 = 1)
 SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
        CASE WHEN b.doc_id IS NULL THEN 'removed'
@@ -6949,6 +6953,9 @@ def _pairs_within_runs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     lines; oriented out-degree is O(sqrt(edges)))."""
     counts = counts.astype(np.int64, copy=False)
     n = int(counts.sum())
+    if n == 0:      # empty or all-zero runs: the repeat kernels below
+        empty = np.empty(0, np.int64)    # can't broadcast a len-1 cume
+        return empty, empty              # against zero repeats
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
     pos = np.arange(n, dtype=np.int64) - np.repeat(offsets, counts)
     reps = np.repeat(counts - 1, counts) - pos
@@ -6979,7 +6986,10 @@ def triangle_count(sf_dir: str):
          generation is vectorized (:func:`_pairs_within_runs`), partials
          pre-aggregated per bucket, then one keyed groupby sums support
          and the threshold prunes to the edge set E.
-      2. degree table — one slim groupby over E's endpoints.
+      2. degree table — E's endpoint partials through a node-keyed
+         exchange (never Ray's sort shuffle: slim high-cardinality
+         partials are exactly what it mis-prices, measured at 23.5 s
+         for 1.2M rows).
       3. two keyed co-partitions attach deg(u) then deg(v) to each edge
          (degrees are O(nodes) — NOT broadcast; the union branches share
          ONE schema object, the r4 block-hash lesson).
@@ -6987,12 +6997,13 @@ def triangle_count(sf_dir: str):
          (b1 < b2) pairs via the same run-pair kernel.
       5. probe — wedges and edges co-partition on hash(x, y); an in-bucket
          sorted merge keeps only closed wedges; each triangle emits three
-         (node, 1) partials, one final groupby sums.
+         (node, 1) partials, summed by one final node-keyed exchange
+         whose typed empty also pins the output schema when the graph is
+         triangle-free.
     E is support-filtered and slim, so it is pinned with materialize()
     once and re-read by stages 2/3/5 instead of re-running the lineitem
     scan three times (the dedup_family slim-projection precedent)."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
     from ..stages.decide import scaled_buckets
     from ..stages.exchange import bucket_exchange_dataset
@@ -7057,11 +7068,24 @@ def triangle_count(sf_dir: str):
             b["v"].to_numpy(zero_copy_only=False)])
         g = (pa.table({"node": node, "d": np.ones(len(node), np.int64)})
              .group_by("node").aggregate([("d", "sum")]))
+        g = g.rename_columns(["node", "d"])
+        return g.add_column(
+            0, "bucket",
+            pa.array(g["node"].to_numpy(zero_copy_only=False) % nb))
+
+    def deg_sum(t: pa.Table) -> pa.Table:
+        g = (t.select(["node", "d"]).group_by("node")
+             .aggregate([("d", "sum")]))
         return g.rename_columns(["node", "d"])
 
-    degs = (edges.map_batches(deg_partials, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("d", alias_name="d"))
-            .materialize())
+    empty_nd = pa.table({"node": pa.array([], pa.int64()),
+                         "d": pa.array([], pa.int64())})
+    # node-keyed exchange, NOT a Ray groupby: degree partials are slim
+    # high-cardinality rows, the shape the support stage measured at
+    # 23.5 s through the sort shuffle
+    degs = bucket_exchange_dataset(
+        edges.map_batches(deg_partials, batch_format="pyarrow"),
+        nb, deg_sum, empty_nd).materialize()
 
     # ONE shared schema for deg/edge union branches (block-hash dedup)
     mix = pa.schema([("bucket", pa.int64()), ("kind", pa.int8()),
@@ -7173,25 +7197,41 @@ def triangle_count(sf_dir: str):
         ek = eur * K + evr
         ek.sort()
         wk = wxr * K + wyr
-        idx = np.searchsorted(ek, wk)
-        hit = (idx < len(ek)) & (ek[np.minimum(idx, len(ek) - 1)] == wk)
+        if ek.size:
+            idx = np.searchsorted(ek, wk)
+            hit = ((idx < len(ek))
+                   & (ek[np.minimum(idx, len(ek) - 1)] == wk))
+        else:   # a bucket can hold only OPEN wedges (no probe edges
+            hit = np.zeros(len(wk), bool)   # hashed here): nothing closes
         node = np.concatenate([wa[hit], wx[hit], wy[hit]])
         g = (pa.table({"node": node, "n": np.ones(len(node), np.int64)})
              .group_by("node").aggregate([("n", "sum")]))
-        return g.rename_columns(["node", "n"])
+        g = g.rename_columns(["node", "n"])
+        return g.add_column(
+            0, "bucket",
+            pa.array(g["node"].to_numpy(zero_copy_only=False) % nb))
 
-    empty_nn = pa.table({"node": pa.array([], pa.int64()),
-                         "n": pa.array([], pa.int64())})
+    empty_bnn = pa.table({"bucket": pa.array([], pa.int64()),
+                          "node": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
 
-    def final(b: pa.Table) -> pa.Table:
-        return pa.table({"part_key": b["node"], "n_triangles": b["n"]})
+    def tri_sum(t: pa.Table) -> pa.Table:
+        g = (t.select(["node", "n"]).group_by("node")
+             .aggregate([("n", "sum")]))
+        return pa.table({"part_key": g["node"], "n_triangles": g["n_sum"]})
 
-    return (bucket_exchange_dataset(
-        wedges.union(edges.map_batches(tag_edge_probe,
-                                       batch_format="pyarrow")),
-        nb, close_wedges, empty_nn)
-        .groupby("node").aggregate(Sum("n", alias_name="n"))
-        .map_batches(final, batch_format="pyarrow"))
+    empty_out = pa.table({"part_key": pa.array([], pa.int64()),
+                          "n_triangles": pa.array([], pa.int64())})
+    # final node-keyed exchange instead of a Ray groupby: keeps the slim
+    # high-cardinality partials off the sort shuffle AND pins the output
+    # schema even when the graph is triangle-free (a groupby over
+    # all-empty blocks loses the column names entirely)
+    return bucket_exchange_dataset(
+        bucket_exchange_dataset(
+            wedges.union(edges.map_batches(tag_edge_probe,
+                                           batch_format="pyarrow")),
+            nb, close_wedges, empty_bnn),
+        nb, tri_sum, empty_out)
 
 
 def triangle_count_sql() -> str:
@@ -7319,14 +7359,16 @@ FROM isl GROUP BY user_id"""
 
 SCD_OPEN = 9999              # sentinel 'open' valid_to (NULL would make the
                              # driver's value hash depend on NULL encoding)
-SCD_ADD_OFF = 1_000_000      # added-row key offset (disjoint key space)
+# added rows clone key k to -k - 1: the NEGATIVE mirror is disjoint from
+# any real non-negative key space at ANY table size (a fixed additive
+# offset collides once the dimension outgrows it — review catch)
 
 
 def scd2_merge(sf_dir: str):
     """Slowly-changing-dimension (type 2) merge — the lakehouse MERGE a
     versioned dimension table runs per snapshot: given customer@v1 and a
     deterministically derived customer@v2 (c_custkey%10==8 deleted,
-    %10==4 segment changed to 'MOVED', %10==2 cloned to key+SCD_ADD_OFF as
+    %10==4 segment changed to 'MOVED', %10==2 cloned to -key-1 as
     an insert), emit the version-interval rows — unchanged rows stay
     (v1, OPEN); changed/deleted rows close at v2; changed/added rows open
     a (v2, OPEN) row carrying the new attribute.
@@ -7355,7 +7397,7 @@ def scd2_merge(sf_dir: str):
         kidx = pa.array(np.nonzero(keep)[0])
         aidx = pa.array(np.nonzero(addm)[0])
         na, nk = int(addm.sum()), int(keep.sum())
-        key = np.concatenate([k, k[keep], k[addm] + SCD_ADD_OFF])
+        key = np.concatenate([k, k[keep], -k[addm] - 1])
         side = np.concatenate([np.zeros(len(k), np.int64),
                                np.ones(nk + na, np.int64)])
         segs = pa.concat_arrays([seg.combine_chunks().cast(pa.string()),
@@ -7419,7 +7461,7 @@ WITH v2 AS (
            AS seg
   FROM customer WHERE c_custkey % 10 <> 8
   UNION ALL
-  SELECT c_custkey + {SCD_ADD_OFF}, c_mktsegment
+  SELECT -c_custkey - 1, c_mktsegment
   FROM customer WHERE c_custkey % 10 = 2),
 j AS (
   SELECT COALESCE(a.c_custkey, b.c_custkey) AS k,

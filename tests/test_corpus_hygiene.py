@@ -154,8 +154,7 @@ def test_corpus_diff_change_structure(ray_session):
     and nothing else (unchanged docs must not leak into the diff)."""
     import pyarrow.parquet as pq
 
-    from common_crawl_corpus_ray.pipelines.analytics import (DIFF_ADD_OFF,
-                                                             corpus_diff)
+    from common_crawl_corpus_ray.pipelines.analytics import corpus_diff
     sf = "/root/testdata/sf0.001"
     ids = pq.read_table(f"{sf}/documents.parquet",
                         columns=["doc_id"])["doc_id"].to_numpy()
@@ -163,7 +162,7 @@ def test_corpus_diff_change_structure(ray_session):
     by = {c: set(g["doc_id"]) for c, g in got.groupby("change")}
     assert by["removed"] == {int(i) for i in ids if i % 10 == 3}
     assert by["modified"] == {int(i) for i in ids if i % 10 == 7}
-    assert by["added"] == {int(i) + DIFF_ADD_OFF for i in ids if i % 10 == 1}
+    assert by["added"] == {-int(i) - 1 for i in ids if i % 10 == 1}
     assert len(got) == sum(len(v) for v in by.values())
 
 
