@@ -104,7 +104,7 @@ QUERY_NAMES = [
     "profile_columns", "event_funnel", "cohort_retention",
     "event_transitions", "fk_orphans", "bm25_topk", "ols_by_lang",
     "skyline_docs", "pagerank", "corpus_diff",
-    "triangle_count", "interval_union", "scd2_merge",
+    "triangle_count", "interval_union", "scd2_merge", "cube_rollup",
 ]
 
 

@@ -7475,3 +7475,69 @@ FROM j WHERE ina
 UNION ALL
 SELECT k, sb, CAST(2 AS BIGINT), CAST({SCD_OPEN} AS BIGINT)
 FROM j WHERE inb AND (NOT ina OR sa <> sb)"""
+
+
+# --- OLAP rollup with grouping sets ----------------------------------------
+
+CUBE_ALL = "ALL"     # rolled-level sentinel (NULL would make the driver's
+                     # value hash depend on NULL encoding — SCD_OPEN's logic)
+
+
+def cube_rollup(sf_dir: str):
+    """GROUPING SETS rollup — the OLAP subtotal table a corpus dashboard
+    serves: doc counts and char totals at FOUR levels at once
+    ((lang, source), per-lang, per-source, grand total), rolled levels
+    marked with the CUBE_ALL sentinel.
+
+    Scale shape: ONE corpus pass computes per-block (lang, source)
+    partials; one slim keyed groupby sums them to the finest level. The
+    three coarser levels are associative folds of THAT table — bounded at
+    |langs| x |sources| rows — so they cost a driver-side pandas groupby,
+    never a second corpus pass or shuffle (the bounded-cardinality reduce
+    precedent every stats query in this file uses). At 100 TB the only
+    full-data cost is the one partial pass."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({"lang": b["lang"], "source": b["source"],
+                       "n_chars": b["n_chars"]})
+             .group_by(["lang", "source"])
+             .aggregate([("n_chars", "count"), ("n_chars", "sum")]))
+        return g.rename_columns(["lang", "source", "n", "chars"])
+
+    fine = (_read(sf_dir, "documents", ["lang", "source", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n", alias_name="n_docs"),
+                       Sum("chars", alias_name="n_chars"))
+            .to_pandas())          # bounded: |langs| x |sources| rows
+
+    def lvl(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if keys:
+            out = (df.groupby(keys, as_index=False)
+                   [["n_docs", "n_chars"]].sum())
+        else:
+            out = pd.DataFrame({"n_docs": [df["n_docs"].sum()],
+                                "n_chars": [df["n_chars"].sum()]})
+        for col in ("lang", "source"):
+            if col not in keys:
+                out[col] = CUBE_ALL
+        return out[["lang", "source", "n_docs", "n_chars"]]
+
+    out = pd.concat([
+        fine[["lang", "source", "n_docs", "n_chars"]],
+        lvl(fine, ["lang"]), lvl(fine, ["source"]), lvl(fine, [])],
+        ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cube_rollup_sql() -> str:
+    return f"""
+SELECT COALESCE(lang, '{CUBE_ALL}') AS lang,
+       COALESCE(source, '{CUBE_ALL}') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())"""

@@ -208,6 +208,9 @@ SQL_QUERIES = [
     # islands SQL), and SCD2 dimension merge (version-interval rows,
     # FULL OUTER oracle)
     "triangle_count", "interval_union", "scd2_merge",
+    # round 5 (final): GROUPING SETS rollup (four levels, one corpus
+    # pass, COALESCE-sentinel rolled keys)
+    "cube_rollup",
 ]
 
 
