@@ -400,6 +400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (final): GROUPING SETS rollup — four OLAP levels from
         # one corpus pass; coarser levels fold the bounded finest table
         "cube_rollup": A.cube_rollup,
+        # round 5 (final): peak concurrency — global sweep-line max via a
+        # time-range-keyed exchange + bounded driver fold of slice nets
+        "peak_concurrency": A.peak_concurrency,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1266,6 +1269,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "interval_union": A.interval_union_sql(),
         "scd2_merge": A.scd2_merge_sql(),
         "cube_rollup": A.cube_rollup_sql(),
+        "peak_concurrency": A.peak_concurrency_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

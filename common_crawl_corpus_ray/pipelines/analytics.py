@@ -7541,3 +7541,149 @@ SELECT COALESCE(lang, '{CUBE_ALL}') AS lang,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM documents
 GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())"""
+
+
+# --- peak concurrency: sweep-line max simultaneous intervals ---------------
+
+
+def peak_concurrency(sf_dir: str):
+    """Peak concurrency per event type — the max-simultaneous-sessions
+    metric behind capacity planning: each event opens the same half-open
+    interval as :func:`interval_union` ([ts, ts + (1 + event_id %
+    IV_SLOTS) * IV_SLOT_US)), and the answer per event_type is the
+    maximum number of intervals open at one instant plus the earliest
+    microsecond where that peak is reached (ends apply before starts at
+    a shared boundary — half-open semantics, the SQL ORDER BY (pos, d)
+    rule with d = -1 sorting first).
+
+    Scale shape: a global running prefix-max cannot be computed per-key
+    like the sessionize/interval ops, so the exchange is TIME-RANGE
+    keyed instead: boundary rows (+1 at start, -1 at end) bucket by
+    ``(pos - tmin) // width`` so every bucket owns a contiguous time
+    slice; each reduce sorts its slice once and emits a BOUNDED summary
+    row per (event_type, slice) — net boundary sum, local running max,
+    and its earliest position. The driver folds nb x |etypes| summary
+    rows: an exclusive scan of the nets gives each slice's entry
+    concurrency, and the global peak is max(offset + local max). The
+    corpus streams once; only summary rows and the (tmin, tmax) probe
+    partials ever reach the driver, so the fold stays O(nb) at 100 TB.
+    An interval spanning many slices needs no special casing — its two
+    boundary rows land in their own slices independently.
+
+    The local max is taken over cum values at d=+1 rows: the last +1 row
+    of a position group carries the SQL RANGE-peer value (sum through
+    ALL rows at that pos), earlier +1 rows carry intermediate partial
+    sums that are <= it at the same pos, so neither the max nor the
+    earliest-pos tie-break can diverge from the oracle's run values.
+    """
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_ev = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    nb = scaled_buckets(2 * n_ev, rows_per_bucket=1_000_000, lo=8)
+
+    # pass 1: (tmin, tmax) probe — per-block partials, one slim column
+    def mm_partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64())
+        return pa.table({"lo": pa.array([pc.min(ts).as_py()], pa.int64()),
+                         "hi": pa.array([pc.max(ts).as_py()], pa.int64())})
+
+    mm = (_read(sf_dir, "events", ["ts"])
+          .map_batches(mm_partial, batch_format="pyarrow").take_all())
+    tmin = min(r["lo"] for r in mm)
+    tmax = max(r["hi"] for r in mm) + IV_SLOTS * IV_SLOT_US
+    width = max(1, (tmax - tmin + nb) // nb)
+
+    def slim(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        dur = (1 + eid % IV_SLOTS) * IV_SLOT_US
+        pos = np.concatenate([ts, ts + dur])
+        d = np.concatenate([np.ones(len(ts), np.int64),
+                            np.full(len(ts), -1, np.int64)])
+        et2 = np.concatenate([et, et])
+        return pa.table({"bucket": pa.array((pos - tmin) // width),
+                         "et": pa.array(et2), "pos": pa.array(pos),
+                         "d": pa.array(d)})
+
+    def summarize(t: pa.Table) -> pa.Table:
+        uniq, ec = np.unique(t["et"].to_numpy(zero_copy_only=False),
+                             return_inverse=True)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        tb = t["bucket"].to_numpy(zero_copy_only=False)
+        # ends (-1) before starts (+1) at a shared (et, pos)
+        order = np.lexsort((d, pos, ec))
+        ec, pos, d, tb = ec[order], pos[order], d[order], tb[order]
+        cum = np.cumsum(d)
+        gb = np.concatenate([[True], ec[1:] != ec[:-1]])
+        bounds = np.nonzero(gb)[0]
+        widths = np.diff(np.concatenate([bounds, [len(ec)]]))
+        base = np.repeat(np.concatenate([[0], cum[:-1]])[bounds], widths)
+        run = cum - base                      # per-et local running sum
+        rows = []
+        for i, b0 in enumerate(bounds):
+            b1 = b0 + widths[i]
+            seg, segpos, segd = run[b0:b1], pos[b0:b1], d[b0:b1]
+            starts = segd == 1
+            if starts.any():
+                lmax = int(seg[starts].max())
+                at = int(segpos[starts & (seg == lmax)][0])
+                has = 1
+            else:
+                lmax, at, has = 0, 0, 0
+            rows.append((uniq[ec[b0]], int(tb[b0]), int(segd.sum()),
+                         lmax, at, has))
+        return pa.table({
+            "et": pa.array([r[0] for r in rows], pa.string()),
+            "tb": pa.array([r[1] for r in rows], pa.int64()),
+            "net": pa.array([r[2] for r in rows], pa.int64()),
+            "lmax": pa.array([r[3] for r in rows], pa.int64()),
+            "at": pa.array([r[4] for r in rows], pa.int64()),
+            "has": pa.array([r[5] for r in rows], pa.int64())})
+
+    empty = pa.table({"et": pa.array([], pa.string()),
+                      "tb": pa.array([], pa.int64()),
+                      "net": pa.array([], pa.int64()),
+                      "lmax": pa.array([], pa.int64()),
+                      "at": pa.array([], pa.int64()),
+                      "has": pa.array([], pa.int64())})
+    summ = bucket_exchange_dataset(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+        .map_batches(slim, batch_format="pyarrow"),
+        nb, summarize, empty).to_pandas()     # bounded: nb x |etypes| rows
+
+    out = []
+    for g, df in summ.sort_values(["et", "tb"]).groupby("et", sort=True):
+        net = df["net"].to_numpy()
+        off = np.concatenate([[0], np.cumsum(net)[:-1]])
+        cand = off + df["lmax"].to_numpy()
+        ok = df["has"].to_numpy() == 1
+        peak = int(cand[ok].max())
+        at = int(df["at"].to_numpy()[ok & (cand == peak)].min())
+        out.append((g, peak, at))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "peak": pa.array([r[1] for r in out], pa.int64()),
+        "at_us": pa.array([r[2] for r in out], pa.int64())})
+
+
+def peak_concurrency_sql() -> str:
+    return f"""
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + (1 + event_id % {IV_SLOTS}) * {IV_SLOT_US} AS e
+  FROM events),
+b AS (SELECT event_type, s AS pos, 1 AS d FROM iv
+      UNION ALL SELECT event_type, e, -1 FROM iv),
+r AS (SELECT event_type, pos, d,
+             sum(d) OVER (PARTITION BY event_type ORDER BY pos, d) AS run
+      FROM b),
+m AS (SELECT event_type, max(run) AS peak FROM r GROUP BY event_type)
+SELECT r.event_type, CAST(m.peak AS BIGINT) AS peak,
+       CAST(min(r.pos) AS BIGINT) AS at_us
+FROM r JOIN m ON m.event_type = r.event_type AND r.run = m.peak
+GROUP BY r.event_type, m.peak"""

@@ -211,6 +211,9 @@ SQL_QUERIES = [
     # round 5 (final): GROUPING SETS rollup (four levels, one corpus
     # pass, COALESCE-sentinel rolled keys)
     "cube_rollup",
+    # round 5 (final): peak concurrency (sweep-line max, time-range
+    # exchange, RANGE-peer window oracle)
+    "peak_concurrency",
 ]
 
 
