@@ -403,6 +403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (final): peak concurrency — global sweep-line max via a
         # time-range-keyed exchange + bounded driver fold of slice nets
         "peak_concurrency": A.peak_concurrency,
+        # round 5 (final): pairwise source-vocabulary Jaccard — word-keyed
+        # exchange, bounded per-bucket pair partials, integer milli-Jaccard
+        "source_similarity": A.source_similarity,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1270,6 +1273,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "scd2_merge": A.scd2_merge_sql(),
         "cube_rollup": A.cube_rollup_sql(),
         "peak_concurrency": A.peak_concurrency_sql(),
+        "source_similarity": A.source_similarity_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -7687,3 +7687,99 @@ SELECT r.event_type, CAST(m.peak AS BIGINT) AS peak,
        CAST(min(r.pos) AS BIGINT) AS at_us
 FROM r JOIN m ON m.event_type = r.event_type AND r.run = m.peak
 GROUP BY r.event_type, m.peak"""
+
+
+# --- source similarity: pairwise vocabulary Jaccard ------------------------
+
+
+def source_similarity(sf_dir: str):
+    """Pairwise vocabulary overlap between sources — the corpus-curation
+    report behind "which feeds are redundant": for every source pair
+    with any shared vocabulary, the exact intersection / union of their
+    DISTINCT word sets and an integer milli-Jaccard
+    ``(1000 * inter) // union`` (no float crosses engines).
+
+    Scale shape: per-block DISTINCT (source, word) partials (a combiner
+    — the exchange moves one row per distinct pair per block, never per
+    token), one word-hash-keyed exchange so each word's source set lands
+    whole in a single bucket. Each reduce emits BOUNDED partials: pair
+    intersection counts (<= |sources|^2 rows) and per-source distinct
+    counts — words partition across buckets by hash, so bucket counts
+    are disjoint and sum exactly. The driver folds nb such bounded
+    tables; tokens and text never reach it. The in-bucket self-merge is
+    O(words x |sources(word)|^2), safe while the source roster is a
+    configuration-bounded set (the same contract the broadcast-lookup
+    joins declare)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=100_000, lo=8)
+
+    def partials(b: pa.Table) -> pa.Table:
+        w = words_arrow(b["text"])
+        nw = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        src = np.repeat(b["source"].to_numpy(zero_copy_only=False), nw)
+        flat = pc.list_flatten(w)
+        t = (pa.table({"source": pa.array(src), "word": flat})
+             .filter(pc.not_equal(flat, ""))
+             .group_by(["source", "word"]).aggregate([]))
+        bucket = md5_i64_array(t["word"]).to_numpy() % nb
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = (t.select(["source", "word"]).to_pandas()
+              .drop_duplicates())                 # merge block partials
+        sz = df.groupby("source").size().reset_index(name="n")
+        m = df.merge(df, on="word")
+        m = m[m["source_x"] < m["source_y"]]
+        pairs = (m.groupby(["source_x", "source_y"])
+                 .size().reset_index(name="n"))
+        return pa.table({
+            "a": pa.array(pd.concat([sz["source"], pairs["source_x"]],
+                                    ignore_index=True), pa.string()),
+            "b": pa.array(pd.concat([pd.Series([""] * len(sz)),
+                                     pairs["source_y"]],
+                                    ignore_index=True), pa.string()),
+            "n": pa.array(pd.concat([sz["n"], pairs["n"]],
+                                    ignore_index=True)
+                          .to_numpy(np.int64))})
+
+    parts = [t for t in bucket_exchange(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(partials, batch_format="pyarrow"),
+        nb, pair_partial) if t is not None and t.num_rows]
+    agg = (pa.concat_tables(parts).to_pandas()
+           .groupby(["a", "b"], sort=False)["n"].sum())  # bounded fold
+    sizes = {a: int(n) for (a, b), n in agg.items() if b == ""}
+    rows = sorted((a, b, int(n)) for (a, b), n in agg.items() if b != "")
+    uni = [sizes[a] + sizes[b] - n for a, b, n in rows]
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "inter": pa.array([r[2] for r in rows], pa.int64()),
+        "uni": pa.array(uni, pa.int64()),
+        "jacc_milli": pa.array(
+            [(1000 * r[2]) // u for r, u in zip(rows, uni)], pa.int64())})
+
+
+def source_similarity_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT DISTINCT source, word FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(text, '{SQL_WS_RE}'),
+                              x -> x != '')) AS word
+    FROM documents)),
+s AS (SELECT source, count(*) AS n FROM w GROUP BY source),
+i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+       CAST((1000 * inter) // (sa.n + sb.n - inter) AS BIGINT)
+         AS jacc_milli
+FROM i JOIN s sa ON sa.source = i.src_a
+       JOIN s sb ON sb.source = i.src_b"""

@@ -214,6 +214,9 @@ SQL_QUERIES = [
     # round 5 (final): peak concurrency (sweep-line max, time-range
     # exchange, RANGE-peer window oracle)
     "peak_concurrency",
+    # round 5 (final): pairwise source-vocabulary Jaccard (integer
+    # milli-Jaccard, word-keyed exchange)
+    "source_similarity",
 ]
 
 
