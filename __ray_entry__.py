@@ -406,6 +406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (final): pairwise source-vocabulary Jaccard — word-keyed
         # exchange, bounded per-bucket pair partials, integer milli-Jaccard
         "source_similarity": A.source_similarity,
+        # round 5 (final): per-doc character entropy in exact micro-nat
+        # integers — stateless fused-codepoint map, no shuffle
+        "char_entropy": A.char_entropy,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1274,6 +1277,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "cube_rollup": A.cube_rollup_sql(),
         "peak_concurrency": A.peak_concurrency_sql(),
         "source_similarity": A.source_similarity_sql(),
+        "char_entropy": A.char_entropy_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -105,7 +105,7 @@ QUERY_NAMES = [
     "event_transitions", "fk_orphans", "bm25_topk", "ols_by_lang",
     "skyline_docs", "pagerank", "corpus_diff",
     "triangle_count", "interval_union", "scd2_merge", "cube_rollup",
-    "peak_concurrency", "source_similarity",
+    "peak_concurrency", "source_similarity", "char_entropy",
 ]
 
 

@@ -7783,3 +7783,70 @@ SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
          AS jacc_milli
 FROM i JOIN s sa ON sa.source = i.src_a
        JOIN s sb ON sb.source = i.src_b"""
+
+
+# --- per-document character entropy ----------------------------------------
+
+
+def char_entropy(sf_dir: str):
+    """Per-document character entropy — the gibberish/boilerplate signal
+    quality filters cut on (low entropy = repeated filler, high = random
+    noise). Emitted as an exact integer surrogate so no float crosses
+    engines: with code-point counts c_i and n = sum(c_i),
+
+        ent_u = floor((1e6*n)*ln(n)) - sum_i floor((1e6*c_i)*ln(c_i))
+
+    which is 1e6 * n * H(doc) up to per-term quantization (micro-nats,
+    the dsir_weights playbook: quantize each log term identically on
+    both engines — same libm, same association order — then sum exact
+    integers; a flip needs a term within 1 ulp of an integer boundary,
+    ~2^-40 per term).
+
+    Scale shape: stateless map, no shuffle — the whole batch's texts are
+    fused into ONE UTF-32 code-point array, (doc, cp) histograms come
+    from a single np.unique over a packed 64-bit key (doc_idx << 21 |
+    cp), and the per-doc fold is one np.add.reduceat. No Python loop
+    touches a character."""
+
+    def ent(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        lens = np.fromiter((len(t) for t in texts), np.int64,
+                           count=len(texts))
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.int64)
+        doc = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        key = (doc << 21) | cp
+        uk, cnt = np.unique(key, return_counts=True)
+        term = np.floor((1e6 * cnt.astype(np.float64))
+                        * np.log(cnt)).astype(np.int64)
+        udoc = uk >> 21
+        starts = np.nonzero(
+            np.concatenate([[True], udoc[1:] != udoc[:-1]]))[0]
+        ent_u = np.zeros(len(texts), np.int64)
+        nz = lens > 0                       # empty text: entropy term 0
+        ent_u[nz] = np.floor(
+            (1e6 * lens[nz].astype(np.float64))
+            * np.log(lens[nz])).astype(np.int64)
+        # scatter-subtract per present doc (an empty doc never appears
+        # in udoc, so alignment is by explicit index, not position)
+        if starts.size:
+            ent_u[udoc[starts]] -= np.add.reduceat(term, starts)
+        return pa.table({"doc_id": b["doc_id"],
+                         "ent_u": pa.array(ent_u, pa.int64()),
+                         "n_cp": pa.array(lens, pa.int64())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(ent, batch_format="pyarrow"))
+
+
+def char_entropy_sql() -> str:
+    return """
+WITH e AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+c AS (SELECT doc_id, ch, count(*) AS c FROM e GROUP BY doc_id, ch),
+t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(floor((1000000.0 * c) * ln(c))) AS BIGINT) AS s
+      FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(floor((1000000.0 * n) * ln(n)) AS BIGINT) - s AS ent_u,
+       n AS n_cp
+FROM t"""

@@ -181,3 +181,53 @@ def test_pagerank_mass_and_hubs(ray_session):
     # after 5 iters total mass stays within [0.4, 1.2] of the start mass
     total = df["rank_micro"].sum()
     assert 0.4 * n * PR_INIT < total < 1.2 * n * PR_INIT
+
+
+# --- round-5 final-session trio edges --------------------------------------
+
+_ENT_DOCS = [
+    (0, "aaaaaaaa"),              # uniform -> entropy exactly 0
+    (1, "ab"),                    # two singleton chars: ent = 2*ln(2)
+    (2, "  世界\U0001f600"),  # space run + CJK + astral plane
+    (3, "x"),                     # single char: ln(1) - ln(1) = 0
+]
+
+
+@pytest.fixture(scope="module")
+def ent_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("entropy")
+    ids, texts = zip(*_ENT_DOCS)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_char_entropy_edges(ray_session, ent_dir):
+    got = (A.char_entropy(ent_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # uniform and single-char docs have exactly zero entropy (the
+    # quantization must not leak a stray micro-nat on the n == c_i case)
+    assert got.loc[0, "ent_u"] == 0 and got.loc[3, "ent_u"] == 0
+    assert got.loc[1, "ent_u"] > 0
+    # astral-plane text: n_cp counts code points, not UTF-16 units
+    assert got.loc[2, "n_cp"] == 5
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{ent_dir}/documents.parquet')")
+    want = (c.execute(A.char_entropy_sql()).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_source_similarity_edges(ray_session, corpus_dir, con):
+    # pins the single-doc-source and tiny-vocab edges against the oracle
+    # (srcs here hold 1-2 docs; sf sources never drop that low)
+    got = A.source_similarity(corpus_dir)
+    want = con.execute(A.source_similarity_sql()).fetchdf()
+    gd = (got.to_pandas().sort_values(["src_a", "src_b"])
+          .reset_index(drop=True))
+    wd = (want[sorted(want.columns)].sort_values(["src_a", "src_b"])
+          .reset_index(drop=True))
+    pd.testing.assert_frame_equal(gd[sorted(gd.columns)], wd)

@@ -217,6 +217,9 @@ SQL_QUERIES = [
     # round 5 (final): pairwise source-vocabulary Jaccard (integer
     # milli-Jaccard, word-keyed exchange)
     "source_similarity",
+    # round 5 (final): per-doc char entropy (micro-nat integer surrogate,
+    # per-term floor quantization on both engines)
+    "char_entropy",
 ]
 
 
