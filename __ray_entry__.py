@@ -409,6 +409,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (final): per-doc character entropy in exact micro-nat
         # integers — stateless fused-codepoint map, no shuffle
         "char_entropy": A.char_entropy,
+        # round 5 (final): k-anonymity audit — QI-keyed exchange, per-doc
+        # group-size annotation with the ids riding the same exchange
+        "k_anonymity": A.k_anonymity,
+        # round 5 (final): lang x source PMI map — combiner pass over the
+        # bounded contingency table, micro-nat integer contributions
+        "lang_source_mi": A.lang_source_mi,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1278,6 +1284,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "peak_concurrency": A.peak_concurrency_sql(),
         "source_similarity": A.source_similarity_sql(),
         "char_entropy": A.char_entropy_sql(),
+        "k_anonymity": A.k_anonymity_sql(),
+        "lang_source_mi": A.lang_source_mi_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "skyline_docs", "pagerank", "corpus_diff",
     "triangle_count", "interval_union", "scd2_merge", "cube_rollup",
     "peak_concurrency", "source_similarity", "char_entropy",
+    "k_anonymity", "lang_source_mi",
 ]
 
 

@@ -7850,3 +7850,122 @@ t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
 SELECT doc_id, CAST(floor((1000000.0 * n) * ln(n)) AS BIGINT) - s AS ent_u,
        n AS n_cp
 FROM t"""
+
+
+# --- k-anonymity audit ------------------------------------------------------
+
+KANON_K = 5                  # risk threshold: group size < K is risky
+KANON_NC_BUCKET = 64         # quasi-identifier coarsens n_chars to /64
+
+
+def k_anonymity(sf_dir: str):
+    """k-anonymity audit over the quasi-identifier (lang, source,
+    n_chars // 64) — the privacy-hygiene check a PII-scrubbed corpus
+    release runs: every document annotated with its QI group size and a
+    risky flag (group smaller than K=5 re-identifies its members).
+
+    Scale shape: slim (qi-hash-bucket, lang, source, nc-bucket, doc_id)
+    rows through ONE keyed exchange; each reduce counts its own QI
+    groups exactly (a QI lands whole in one bucket by hash) and emits
+    per-doc annotations. No counts table is ever joined back — the doc
+    ids ride the same exchange, so the annotate is free."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=2_000_000, lo=8)
+
+    def slim(b: pa.Table) -> pa.Table:
+        nc = pc.divide(b["n_chars"], KANON_NC_BUCKET)
+        qi = pc.binary_join_element_wise(
+            b["lang"], b["source"], pc.cast(nc, pa.string()), "\x1f")
+        bucket = md5_i64_array(qi).to_numpy() % nb
+        return pa.table({"bucket": pa.array(bucket, pa.int64()),
+                         "qi": qi, "doc_id": b["doc_id"]})
+
+    def annotate(t: pa.Table) -> pa.Table:
+        df = t.select(["qi", "doc_id"]).to_pandas()
+        n = df.groupby("qi")["doc_id"].transform("size").to_numpy(np.int64)
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                         "grp_n": pa.array(n),
+                         "risky": pa.array(n < KANON_K)})
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "grp_n": pa.array([], pa.int64()),
+                      "risky": pa.array([], pa.bool_())})
+    return bucket_exchange_dataset(
+        _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+        .map_batches(slim, batch_format="pyarrow"),
+        nb, annotate, empty)
+
+
+def k_anonymity_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(count(*) OVER (PARTITION BY lang, source,
+                           n_chars // {KANON_NC_BUCKET}) AS BIGINT) AS grp_n,
+       count(*) OVER (PARTITION BY lang, source,
+                      n_chars // {KANON_NC_BUCKET}) < {KANON_K} AS risky
+FROM documents"""
+
+
+# --- lang x source mutual information ---------------------------------------
+
+
+def lang_source_mi(sf_dir: str):
+    """Pointwise mutual-information map of the (lang, source) contingency
+    table — the corpus-composition diagnostic behind "which feeds are
+    language-skewed": each observed cell annotated with its count and an
+    exact integer micro-nat PMI contribution
+
+        mi_u = floor((1e6 * c_ls) * ln((c_ls * N) / (c_l * c_s)))
+
+    (the dsir/entropy quantization playbook: one double division + one
+    ln + one multiply in the SAME association order on both engines, then
+    floor — total corpus MI is sum(mi_u) / (1e6 * N) up to per-cell
+    quantization).
+
+    Scale shape: per-block (lang, source) partial counts (combiner), a
+    driver fold over the BOUNDED contingency table (|langs| x |sources|
+    cells — the same bounded-cardinality contract the stats rollups
+    declare). The corpus streams once; no shuffle at all."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (pa.table({"lang": b["lang"], "source": b["source"]})
+                .group_by(["lang", "source"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["lang", "source", "n"]))
+
+    cells = (_read(sf_dir, "documents", ["lang", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["lang", "source"], as_index=False)["n"].sum())
+    c = cells["n"].to_numpy(np.int64)
+    cl = cells.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    cs = cells.groupby("source")["n"].transform("sum").to_numpy(np.int64)
+    N = int(c.sum())
+    mi_u = np.floor(
+        (1e6 * c.astype(np.float64))
+        * np.log((c.astype(np.float64) * N)
+                 / (cl.astype(np.float64) * cs))).astype(np.int64)
+    return pa.table({"lang": pa.array(cells["lang"], pa.string()),
+                     "source": pa.array(cells["source"], pa.string()),
+                     "n": pa.array(c), "mi_u": pa.array(mi_u)})
+
+
+def lang_source_mi_sql() -> str:
+    return """
+WITH cell AS (SELECT lang, source, count(*) AS c FROM documents
+              GROUP BY lang, source),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+l AS (SELECT lang, sum(c) AS cl FROM cell GROUP BY lang),
+s AS (SELECT source, sum(c) AS cs FROM cell GROUP BY source)
+SELECT cell.lang, cell.source, CAST(c AS BIGINT) AS n,
+       CAST(floor((1000000.0 * c) *
+                  ln((CAST(c AS DOUBLE) * n) /
+                     (CAST(cl AS DOUBLE) * cs))) AS BIGINT) AS mi_u
+FROM cell JOIN l ON l.lang = cell.lang
+          JOIN s ON s.source = cell.source
+          CROSS JOIN tot"""

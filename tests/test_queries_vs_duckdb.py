@@ -220,6 +220,9 @@ SQL_QUERIES = [
     # round 5 (final): per-doc char entropy (micro-nat integer surrogate,
     # per-term floor quantization on both engines)
     "char_entropy",
+    # round 5 (final): k-anonymity audit (QI group sizes via one keyed
+    # exchange) and lang x source PMI (bounded contingency, micro-nats)
+    "k_anonymity", "lang_source_mi",
 ]
 
 
