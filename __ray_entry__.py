@@ -415,6 +415,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (final): lang x source PMI map — combiner pass over the
         # bounded contingency table, micro-nat integer contributions
         "lang_source_mi": A.lang_source_mi,
+        # round 5 (final): per-source PII/toxicity audit — raw-text match
+        # counts per scrub class, combiner pass, bounded source fold
+        "pii_audit": A.pii_audit,
+        # round 5 (final): multi-signal rank ensemble — distributed exact
+        # global row_number per signal (value-histogram offsets + tie-group
+        # exchange), Borda sum pivot; no global sort
+        "rank_ensemble": A.rank_ensemble,
+        # round 5 (final): streaming watermark late-event annotation —
+        # distributed prefix max over event-id range buckets
+        "watermark_late_events": A.watermark_late_events,
+        # round 5 (final): Heaps-law vocabulary growth by corpus decile —
+        # word-min-doc exchange collapsing to 10-row histogram partials
+        "vocab_growth": A.vocab_growth,
+        # round 5 (final): frequency-floor heavy hitters — per-block exact
+        # Misra-Gries candidates (pigeonhole guarantee), broadcast exact
+        # verify; no word-keyed shuffle
+        "heavy_hitters": A.heavy_hitters,
+        # round 5 (final): per-type hourly burst detection — cross-
+        # multiplied integer rate comparison, bounded (type x hour) fold
+        "event_rate_anomaly": A.event_rate_anomaly,
+        # round 5 (final): per-(codec, sr) storage/transcode capacity
+        # rollup — fused read, combiner, bounded grid fold
+        "audio_storage_plan": AO.audio_storage_plan,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1286,6 +1309,13 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "char_entropy": A.char_entropy_sql(),
         "k_anonymity": A.k_anonymity_sql(),
         "lang_source_mi": A.lang_source_mi_sql(),
+        "pii_audit": A.pii_audit_sql(),
+        "rank_ensemble": A.rank_ensemble_sql(),
+        "watermark_late_events": A.watermark_late_events_sql(),
+        "vocab_growth": A.vocab_growth_sql(),
+        "heavy_hitters": A.heavy_hitters_sql(),
+        "event_rate_anomaly": A.event_rate_anomaly_sql(),
+        "audio_storage_plan": AO.audio_storage_plan_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

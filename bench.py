@@ -107,6 +107,8 @@ QUERY_NAMES = [
     "triangle_count", "interval_union", "scd2_merge", "cube_rollup",
     "peak_concurrency", "source_similarity", "char_entropy",
     "k_anonymity", "lang_source_mi",
+    "pii_audit", "rank_ensemble", "watermark_late_events", "vocab_growth",
+    "heavy_hitters", "event_rate_anomaly", "audio_storage_plan",
 ]
 
 

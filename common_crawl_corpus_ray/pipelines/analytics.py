@@ -7969,3 +7969,564 @@ SELECT cell.lang, cell.source, CAST(c AS BIGINT) AS n,
 FROM cell JOIN l ON l.lang = cell.lang
           JOIN s ON s.source = cell.source
           CROSS JOIN tot"""
+
+
+# --- PII / toxicity audit -----------------------------------------------------
+
+
+def pii_audit(sf_dir: str):
+    """Per-source PII/toxicity audit — the release-gate report a scrubbed
+    corpus ships with: for every source, how many raw documents matched
+    each scrub-class pattern (email / phone / url / toxicity) and how many
+    documents carry at least one direct identifier (email or phone).
+    Counts are leftmost non-overlapping RE2 matches on the RAW text, so
+    the audit is independent of scrub-chain order; both engines count the
+    SAME spec.scrub_steps patterns (the scrub_regex parity contract), so
+    they cannot drift.
+
+    Scale shape: vectorized pc.count_substring_regex per pattern, per-block
+    (source, sums) combiner rows, driver fold over the BOUNDED source
+    table (the lang_source_mi contract). The corpus streams once; no
+    shuffle."""
+    steps = {n: p for n, p, _ in spec.scrub_steps("re2")}
+    pats = [("n_email", steps["email"]), ("n_phone", steps["phone"]),
+            ("n_url", steps["url"]), ("n_tox", steps["tox"])]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cnt = {n: pc.cast(pc.count_substring_regex(b["text"], p), pa.int64())
+               for n, p in pats}
+        has = pc.greater(pc.add(cnt["n_email"], cnt["n_phone"]), 0)
+        t = pa.table({"source": b["source"],
+                      "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+                      "docs_with_pii": pc.cast(has, pa.int64()),
+                      **cnt})
+        cols = ["n_docs", "docs_with_pii"] + [n for n, _ in pats]
+        g = t.group_by("source").aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(["source"] + cols)
+
+    cells = (_read(sf_dir, "documents", ["text", "source"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby("source", as_index=False).sum())
+    return pa.table({
+        "source": pa.array(cells["source"], pa.string()),
+        **{c: pa.array(cells[c].to_numpy(np.int64))
+           for c in ["n_docs", "docs_with_pii", "n_email", "n_phone",
+                     "n_url", "n_tox"]}})
+
+
+def pii_audit_sql() -> str:
+    steps = {n: p for n, p, _ in spec.scrub_steps("re2")}
+    n = {c: f"len(regexp_extract_all(text, '{_q(steps[c])}'))"
+         for c in ["email", "phone", "url", "tox"]}
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {n['email']} + {n['phone']} > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum({n['email']}) AS BIGINT) AS n_email,
+       CAST(sum({n['phone']}) AS BIGINT) AS n_phone,
+       CAST(sum({n['url']}) AS BIGINT) AS n_url,
+       CAST(sum({n['tox']}) AS BIGINT) AS n_tox
+FROM documents GROUP BY source"""
+
+
+# --- multi-signal rank ensemble -----------------------------------------------
+
+
+def rank_ensemble(sf_dir: str):
+    """Exact global rank of every document under two quality signals
+    (character length and word count, ascending, ties broken by doc_id)
+    plus their Borda sum — the multi-signal quality-ensembling step of a
+    curation pipeline (combine heterogeneous scores by rank, not by
+    incomparable raw values).
+
+    Scale shape — distributed ranking without a global sort:
+      1. per-block value-count combiners (one row per DISTINCT value per
+         block) fold into a per-signal value histogram on the driver; the
+         histogram is BOUNDED by the number of distinct lengths (max doc
+         length, not corpus size — the bounded-cardinality contract), and
+         its exclusive cumsum gives offset(v) = #rows with a smaller value;
+      2. one keyed exchange on hash(signal, value): each reduce holds
+         whole (signal, value) tie-groups, sorts each by doc_id, and emits
+         rank = offset + within-group position (the offsets ride once via
+         ray.put, resolved through the worker-side cached_get memo);
+      3. a second slim exchange on doc_id buckets pivots the two
+         (doc_id, signal, rank) rows per doc into one output row.
+    Nothing ever holds more than one bucket; no stage sorts the corpus."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(2 * n_docs, rows_per_bucket=2_000_000, lo=8)
+
+    def sig_cols(b: pa.Table) -> list[pa.Array]:
+        return [pc.cast(b["n_chars"], pa.int64()), nwords_arrow(b["text"])]
+
+    def val_partials(b: pa.Table) -> pa.Table:
+        sigs, vals, cnts = [], [], []
+        for s, col in enumerate(sig_cols(b)):
+            vc = pc.value_counts(col)
+            v = vc.field("values")
+            sigs.append(np.full(len(v), s, np.int64))
+            vals.append(v.to_numpy(zero_copy_only=False))
+            cnts.append(vc.field("counts").to_numpy(zero_copy_only=False))
+        return pa.table({"sig": np.concatenate(sigs),
+                         "val": np.concatenate(vals),
+                         "c": np.concatenate(cnts).astype(np.int64)})
+
+    hist = (_read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+            .map_batches(val_partials, batch_format="pyarrow")
+            .to_pandas().groupby(["sig", "val"], as_index=False)["c"].sum()
+            .sort_values(["sig", "val"]))
+    off = hist.groupby("sig")["c"].cumsum().to_numpy(np.int64) \
+        - hist["c"].to_numpy(np.int64)
+    # composite key: signal in the high bits, value below (lengths < 2^40)
+    key = (hist["sig"].to_numpy(np.int64) << 40) | hist["val"].to_numpy(np.int64)
+    off_ref = ray.put((key, off))
+
+    def rank_rows(b: pa.Table) -> pa.Table:
+        sigs = sig_cols(b)
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        for s, col in enumerate(sigs):
+            v = col.to_numpy(zero_copy_only=False)
+            k = (np.int64(s) << 40) | v
+            parts.append(pa.table({
+                "bucket": pa.array((k % nb).astype(np.int64)),
+                "key": pa.array(k), "doc_id": pa.array(doc)}))
+        return pa.concat_tables(parts)
+
+    def rank_reduce(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        ks, ds = k[order], d[order]
+        starts = np.nonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))[0]
+        grp = np.zeros(len(ks), np.int64)
+        grp[starts] = 1
+        grp = np.cumsum(grp) - 1
+        pos = np.arange(len(ks), dtype=np.int64) - starts[grp]
+        key0, off0 = cached_get(off_ref)
+        base = off0[np.searchsorted(key0, ks)]
+        return pa.table({"doc_id": pa.array(ds),
+                         "sig": pa.array((ks >> 40).astype(np.int64)),
+                         "rank": pa.array(base + pos + 1)})
+
+    empty_r = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "sig": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64())})
+    ranked = bucket_exchange_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        .map_batches(rank_rows, batch_format="pyarrow"),
+        nb, rank_reduce, empty_r)
+
+    def to_doc_bucket(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((d % nb).astype(np.int64)))
+
+    def pivot(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        s = t["sig"].to_numpy(zero_copy_only=False)
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, d))
+        d, s, r = d[order], s[order], r[order]
+        # exactly two rows (sig 0 then 1) per doc by construction
+        return pa.table({"doc_id": pa.array(d[0::2]),
+                         "r_chars": pa.array(r[0::2]),
+                         "r_words": pa.array(r[1::2]),
+                         "borda": pa.array(r[0::2] + r[1::2])})
+
+    empty_p = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "r_chars": pa.array([], pa.int64()),
+                        "r_words": pa.array([], pa.int64()),
+                        "borda": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(
+        ranked.map_batches(to_doc_bucket, batch_format="pyarrow"),
+        nb, pivot, empty_p)
+
+
+def rank_ensemble_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, n_chars, {sql_nwords('text')} AS n_words
+           FROM documents),
+r AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                 AS r_chars,
+             CAST(row_number() OVER (ORDER BY n_words, doc_id) AS BIGINT)
+                 AS r_words
+      FROM w)
+SELECT doc_id, r_chars, r_words, r_chars + r_words AS borda FROM r"""
+
+
+# --- streaming watermark / late-event annotation -------------------------------
+
+WATERMARK_LATE_S = 300       # allowed lateness behind the stream watermark
+
+
+def watermark_late_events(sf_dir: str):
+    """Watermark semantics over the event stream: events arrive in
+    event_id order; the watermark before an event is the maximum ts of
+    ALL prior arrivals, and an event is late when its ts trails that
+    watermark by more than WATERMARK_LATE_S — the drop/route decision a
+    streaming ingest makes on out-of-order data. The very first arrival
+    has no watermark and is never late.
+
+    Scale shape — a distributed prefix scan, not a global sort:
+      0. one slim pass folds per-block (min, max) event_id into range
+         buckets (contiguous id slices, scaled_buckets-many);
+      1. per-block combiners emit each bucket's max ts; the driver's
+         exclusive prefix-max over the BOUNDED bucket list gives every
+         bucket the watermark carried in from all earlier buckets;
+      2. one keyed exchange on the range bucket: each reduce sorts ONLY
+         its slice by event_id, runs a vectorized running max seeded with
+         the carried-in watermark, and emits the annotations.
+    No stage holds more than one id slice; ts rides as int64 micros so the
+    comparison is exact integer arithmetic on both engines."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_ev = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    nb = scaled_buckets(n_ev, rows_per_bucket=2_000_000, lo=8)
+
+    def id_range(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(e.min())]),
+                         "hi": pa.array([int(e.max())])})
+
+    rng = (_read(sf_dir, "events", ["event_id"])
+           .map_batches(id_range, batch_format="pyarrow").to_pandas())
+    lo, hi = int(rng["lo"].min()), int(rng["hi"].max())
+    width = max(1, (hi - lo + nb) // nb)
+
+    def bucket_of(e: np.ndarray) -> np.ndarray:
+        return np.minimum((e - lo) // width, nb - 1).astype(np.int64)
+
+    def bkt_max(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        t = pa.table({"bkt": pa.array(bucket_of(e)),
+                      "m": pa.array(ts.astype(np.int64))})
+        g = t.group_by("bkt").aggregate([("m", "max")])
+        return g.rename_columns(["bkt", "m"])
+
+    folds = (_read(sf_dir, "events", ["event_id", "ts"])
+             .map_batches(bkt_max, batch_format="pyarrow")
+             .to_pandas().groupby("bkt")["m"].max())
+    # no-watermark sentinel: -(2^62) is far below any real epoch-micros ts
+    # yet cannot wrap int64 when the lateness window is subtracted
+    no_wm = -(1 << 62)
+    carry = np.full(nb, no_wm, np.int64)
+    carry[folds.index.to_numpy()] = folds.to_numpy(np.int64)
+    # exclusive prefix max: watermark entering each bucket from the left
+    carry = np.concatenate([[no_wm], np.maximum.accumulate(carry)[:-1]])
+
+    def slim(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array(bucket_of(e)),
+                         "event_id": b["event_id"],
+                         "user_id": b["user_id"], "ts": b["ts"]})
+
+    late_us = WATERMARK_LATE_S * 1_000_000
+
+    def annotate(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(e, kind="stable")
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))[order]
+        bkt = int(t["bucket"][0].as_py())
+        wm = np.maximum.accumulate(
+            np.concatenate([[carry[bkt]], ts[:-1]]))
+        late = ts < wm - late_us    # -(2^62) sentinel can't wrap int64
+        return pa.table({
+            "event_id": pa.array(e[order]),
+            "user_id": t["user_id"].take(pa.array(order)),
+            "ts": t["ts"].take(pa.array(order)),
+            "late": pa.array(late)})
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "ts": pa.array([], pa.timestamp("us")),
+                      "late": pa.array([], pa.bool_())})
+    return bucket_exchange_dataset(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(slim, batch_format="pyarrow"),
+        nb, annotate, empty)
+
+
+def watermark_late_events_sql() -> str:
+    return f"""
+SELECT event_id, user_id, ts,
+       COALESCE(ts < max(ts) OVER (ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING)
+                     - INTERVAL {WATERMARK_LATE_S} SECOND,
+                FALSE) AS late
+FROM events"""
+
+
+# --- vocabulary growth (Heaps-law curve) ---------------------------------------
+
+
+def vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: scan the corpus in doc_id order in ten
+    equal id slices and report, per decile, how many NEVER-seen-before
+    unigram and bigram types appear and the cumulative type counts — the
+    diagnostic behind "is more data still buying new vocabulary" (bigram
+    types saturate far slower than unigrams on a closed word list, so the
+    curve stays informative even on the synthetic corpus). A type's decile
+    is floor(first_doc_id * 10 / (max_doc_id + 1)) — the same integer
+    arithmetic on both engines.
+
+    Scale shape: per-block (type, min doc_id) combiners, ONE exchange
+    keyed by type hash (each type wholly in one bucket), per-bucket exact
+    type -> first-doc fold collapsing straight to a 10-row decile
+    histogram partial, driver sums the bounded histograms and cumsums.
+    The flat token stream never shuffles — one row per distinct type per
+    block does."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    n_docs = pf.metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=100_000, lo=8)
+
+    md = (_read(sf_dir, "documents", ["doc_id"])
+          .map_batches(lambda b: pa.table(
+              {"m": pa.array([int(b["doc_id"].to_numpy(
+                  zero_copy_only=False).max())])}),
+              batch_format="pyarrow")
+          .to_pandas()["m"].max()) + 1
+
+    def partials(b: pa.Table) -> pa.Table:
+        words = words_arrow(b["text"])
+        counts = (pc.list_value_length(words)
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = pc.list_flatten(words)
+        own = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, own = flat.filter(pa.array(keep)), own[keep]
+        # bigrams: adjacent non-empty tokens of the SAME document (empties
+        # are dropped before pairing, mirroring the oracle's list_filter)
+        if len(own) >= 2:
+            same = own[:-1] == own[1:]
+            bg = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+            bg = bg.filter(pa.array(same))
+            bown = own[:-1][same]
+        else:
+            bg, bown = pa.array([], pa.string()), own[:0]
+        ku = pc.binary_join_element_wise(
+            pa.array(np.full(len(flat), "u"), pa.string()), flat, "\x1f")
+        kb = pc.binary_join_element_wise(
+            pa.array(np.full(len(bg), "b"), pa.string()), bg, "\x1f")
+        t = pa.concat_tables([
+            pa.table({"key": ku, "fd": pa.array(own)}),
+            pa.table({"key": kb, "fd": pa.array(bown)})])
+        g = t.group_by("key").aggregate([("fd", "min")])
+        g = g.rename_columns(["key", "fd"])
+        bucket = md5_i64_array(g["key"]).to_numpy() % nb
+        return g.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    def decile_hist(t: pa.Table) -> pa.Table:
+        df = t.select(["key", "fd"]).to_pandas()
+        g = df.groupby("key", sort=False)["fd"].min()
+        fd = g.to_numpy(np.int64)
+        is_uni = np.asarray(g.index.str.startswith("u"))
+        dec = fd * 10 // md
+        nw = np.bincount(dec[is_uni], minlength=10).astype(np.int64)
+        nbg = np.bincount(dec[~is_uni], minlength=10).astype(np.int64)
+        return pa.table({"decile": pa.array(np.arange(10, dtype=np.int64)),
+                         "new_words": pa.array(nw),
+                         "new_bigrams": pa.array(nbg)})
+
+    tabs = [t for t in bucket_exchange(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow"),
+        nb, decile_hist) if t.num_rows]
+    tw = np.zeros(10, np.int64)
+    tb = np.zeros(10, np.int64)
+    for t in tabs:
+        d = t["decile"].to_numpy(zero_copy_only=False)
+        tw[d] += t["new_words"].to_numpy(zero_copy_only=False)
+        tb[d] += t["new_bigrams"].to_numpy(zero_copy_only=False)
+    keep = (tw > 0) | (tb > 0)    # the oracle emits only observed deciles
+    dec = np.arange(10, dtype=np.int64)[keep]
+    return pa.table({"decile": pa.array(dec),
+                     "new_words": pa.array(tw[keep]),
+                     "new_bigrams": pa.array(tb[keep]),
+                     "vocab_words": pa.array(np.cumsum(tw)[keep]),
+                     "vocab_bigrams": pa.array(np.cumsum(tb)[keep])})
+
+
+def vocab_growth_sql() -> str:
+    return f"""
+WITH m AS (SELECT max(doc_id) + 1 AS md FROM documents),
+w AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '{SQL_WS_RE}'),
+                         x -> x != '') AS p
+      FROM documents),
+uni AS (SELECT doc_id, unnest(p) AS g FROM w),
+bg AS (SELECT doc_id, p[i] || ' ' || p[i + 1] AS g
+       FROM (SELECT doc_id, p,
+                    unnest(generate_series(1, len(p) - 1)) AS i FROM w)),
+fu AS (SELECT g, min(doc_id) AS fd FROM uni GROUP BY g),
+fb AS (SELECT g, min(doc_id) AS fd FROM bg GROUP BY g),
+du AS (SELECT fd * 10 // md AS decile, count(*) AS nw
+       FROM fu CROSS JOIN m GROUP BY 1),
+db AS (SELECT fd * 10 // md AS decile, count(*) AS nb
+       FROM fb CROSS JOIN m GROUP BY 1),
+u AS (SELECT COALESCE(du.decile, db.decile) AS decile,
+             COALESCE(nw, 0) AS new_words, COALESCE(nb, 0) AS new_bigrams
+      FROM du FULL OUTER JOIN db ON du.decile = db.decile)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(new_words AS BIGINT) AS new_words,
+       CAST(new_bigrams AS BIGINT) AS new_bigrams,
+       CAST(sum(new_words) OVER (ORDER BY decile) AS BIGINT) AS vocab_words,
+       CAST(sum(new_bigrams) OVER (ORDER BY decile) AS BIGINT)
+           AS vocab_bigrams
+FROM u"""
+
+
+# --- frequency-floor heavy hitters (Misra-Gries candidates + exact verify) -----
+
+HH_K = 200                   # frequency floor: report words with count > n/K
+
+
+def heavy_hitters(sf_dir: str):
+    """Exact phi-frequent vocabulary (every word whose corpus count
+    exceeds n_tokens / HH_K) — the frequency-FLOOR counterpart of
+    vocab_topk's top-k: the boilerplate/stopword discovery step that needs
+    a guarantee ("nothing above the floor was missed"), not a ranking.
+
+    Scale shape — NO word-keyed shuffle at all, two streaming passes:
+      1. per-block exact counts emit only words with c_block > n_block/K
+         (pigeonhole: a word with global count > n/K must clear that bar
+         in >=1 block, since the per-block thresholds sum to n/K — the
+         Misra-Gries candidate guarantee with exact block counters), plus
+         one sentinel row carrying the block's token total; candidates
+         are bounded by K per block and dedup on the driver (a tree
+         merge bounds the driver set at K at any block count; at this
+         repo's block counts the flat dedup is the simpler honest cost);
+      2. candidates broadcast once via ray.put; per-block exact counts of
+         JUST the candidate set ride back as slim partials; the driver
+         folds <=K rows and applies the exact floor c * K > n_total.
+    False candidates cost only pass-2 counting; false negatives are
+    impossible (step-1 guarantee), so the output is exactly the SQL set."""
+    import ray
+
+    def pass1(b: pa.Table) -> pa.Table:
+        w = pc.list_flatten(words_arrow(b["text"]))
+        w = w.filter(pc.not_equal(w, ""))
+        nb = len(w)
+        vc = pc.value_counts(w)
+        ws, cs = vc.field("values"), vc.field("counts").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = cs * HH_K > nb          # strict: c > nb/K without division
+        return pa.table({
+            "word": pa.concat_arrays([ws.filter(pa.array(keep)).combine_chunks()
+                                      if isinstance(ws, pa.ChunkedArray)
+                                      else ws.filter(pa.array(keep)),
+                                      pa.array([""], pa.string())]),
+            "c": pa.array(np.concatenate([cs[keep], [nb]]))})
+
+    p1 = (_read(sf_dir, "documents", ["text"])
+          .map_batches(pass1, batch_format="pyarrow").to_pandas())
+    n_total = int(p1.loc[p1["word"] == "", "c"].sum())
+    cand = p1.loc[p1["word"] != "", "word"].drop_duplicates().to_numpy()
+    if not len(cand):
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    cand_ref = ray.put(pa.array(np.sort(cand), pa.string()))
+
+    def pass2(b: pa.Table) -> pa.Table:
+        w = pc.list_flatten(words_arrow(b["text"]))
+        w = w.filter(pc.not_equal(w, ""))
+        w = w.filter(pc.is_in(w, value_set=cached_get(cand_ref)))
+        vc = pc.value_counts(w)
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = (_read(sf_dir, "documents", ["text"])
+              .map_batches(pass2, batch_format="pyarrow")
+              .to_pandas().groupby("word", as_index=False)["n"].sum())
+    counts = counts[counts["n"].to_numpy(np.int64) * HH_K > n_total]
+    counts = counts.sort_values("word").reset_index(drop=True)
+    return pa.table({"word": pa.array(counts["word"], pa.string()),
+                     "n": pa.array(counts["n"].to_numpy(np.int64))})
+
+
+def heavy_hitters_sql() -> str:
+    return f"""
+WITH tok AS (SELECT unnest(list_filter(
+                 string_split_regex(text, '{SQL_WS_RE}'), x -> x != ''))
+                 AS word
+             FROM documents),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM tok CROSS JOIN tot
+GROUP BY word, tot.n
+HAVING count(*) * {HH_K} > tot.n"""
+
+
+# --- per-type hourly burst detection -------------------------------------------
+
+BURST_FACTOR = 2             # burst: hour count > FACTOR x the type's mean
+
+
+def event_rate_anomaly(sf_dir: str):
+    """Per-event-type hourly burst detection: bucket the stream into
+    (event_type, hour) counts and flag hours whose count exceeds
+    BURST_FACTOR x that type's mean hourly rate — the traffic-anomaly
+    monitor an ingest pipeline runs. The comparison is cross-multiplied
+    (n * type_hours > FACTOR * type_total) so both engines decide in
+    exact integer arithmetic, never a float rate.
+
+    Scale shape: per-block (type, hour) count combiners, driver fold over
+    the BOUNDED (types x hours-in-range) grid (cardinality grows with the
+    time range, not the row count — the stats-rollup contract); one
+    streaming pass, no shuffle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = (b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[h]"))
+        t = pa.table({"event_type": b["event_type"],
+                      "hour": pa.array(hour.astype("datetime64[us]"))})
+        g = t.group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    h = (_read(sf_dir, "events", ["ts", "event_type"])
+         .map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["event_type", "hour"], as_index=False)["n"]
+         .sum())
+    tot = h.groupby("event_type")["n"].transform("sum").to_numpy(np.int64)
+    nh = h.groupby("event_type")["n"].transform("size").to_numpy(np.int64)
+    n = h["n"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": pa.array(h["event_type"], pa.string()),
+        "hour": pa.array(h["hour"].astype("datetime64[us]"),
+                         pa.timestamp("us")),
+        "n": pa.array(n), "type_total": pa.array(tot),
+        "type_hours": pa.array(nh),
+        "burst": pa.array(n * nh > BURST_FACTOR * tot)})
+
+
+def event_rate_anomaly_sql() -> str:
+    return f"""
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, sum(n) AS tot, count(*) AS nh
+      FROM h GROUP BY 1)
+SELECT h.event_type, hour, CAST(n AS BIGINT) AS n,
+       CAST(tot AS BIGINT) AS type_total,
+       CAST(nh AS BIGINT) AS type_hours,
+       n * nh > {BURST_FACTOR} * tot AS burst
+FROM h JOIN t ON h.event_type = t.event_type"""

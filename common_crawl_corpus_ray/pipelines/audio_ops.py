@@ -2325,3 +2325,75 @@ WITH src AS (
 )
 SELECT payload_md5, min(clip_id) AS clip_id
 FROM planted GROUP BY payload_md5"""
+
+
+# --- audio_storage_plan --------------------------------------------------------
+
+
+def audio_storage_plan(sf_dir: str):
+    """Per-(codec, sample-rate) storage/capacity rollup: clip count, total
+    encoded bytes, total samples, total clip milliseconds, and the
+    projected byte size after a pcm_s16le transcode (2 bytes/sample) —
+    the planning numbers a corpus build reads before deciding what a
+    format migration or an export shard layout costs. All exact integer
+    arithmetic (octet length // bytes-per-sample), so the SQL oracle is
+    bit-identical.
+
+    Scale shape: fused read + per-block combiner (one row per (codec, sr)
+    per block), driver fold over the BOUNDED codec x rate grid. Payload
+    bytes are read once for their length and never shuffled."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ds = rd.read_parquet(uri, columns=["bytes", "sr_hz", "dur_ms", "codec"])
+    bps_map = dict(codecs.BYTES_PER_SAMPLE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        nbytes = pc.cast(pc.binary_length(b["bytes"]), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cods = b["codec"].to_pylist()
+        bps = np.fromiter((bps_map[c] for c in cods), np.int64,
+                          count=len(cods))
+        t = pa.table({
+            "codec": b["codec"],
+            "sr_hz": pc.cast(b["sr_hz"], pa.int64()),
+            "n_clips": pa.array(np.ones(b.num_rows, np.int64)),
+            "total_bytes": pa.array(nbytes),
+            "total_samples": pa.array(nbytes // bps),
+            "total_ms": pc.cast(b["dur_ms"], pa.int64())})
+        cols = ["n_clips", "total_bytes", "total_samples", "total_ms"]
+        g = t.group_by(["codec", "sr_hz"]).aggregate(
+            [(c, "sum") for c in cols])
+        return g.rename_columns(["codec", "sr_hz"] + cols)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .to_pandas().groupby(["codec", "sr_hz"], as_index=False).sum())
+    samples = cells["total_samples"].to_numpy(np.int64)
+    return pa.table({
+        "codec": pa.array(cells["codec"], pa.string()),
+        "sr_hz": pa.array(cells["sr_hz"].to_numpy(np.int64)),
+        **{c: pa.array(cells[c].to_numpy(np.int64))
+           for c in ["n_clips", "total_bytes", "total_samples", "total_ms"]},
+        "pcm16_bytes": pa.array(samples * 2)})
+
+
+def audio_storage_plan_sql() -> str:
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    per_sample = " ".join(
+        f"WHEN '{c}' THEN {n}" for c, n in codecs.BYTES_PER_SAMPLE.items())
+    return f"""
+SELECT codec, CAST(sr_hz AS BIGINT) AS sr_hz,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+       CAST(sum(octet_length(bytes)
+                // (CASE codec {per_sample} END)) AS BIGINT)
+           AS total_samples,
+       CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+       CAST(sum(octet_length(bytes)
+                // (CASE codec {per_sample} END)) * 2 AS BIGINT)
+           AS pcm16_bytes
+FROM read_parquet('{uri}/*.parquet')
+GROUP BY codec, sr_hz"""

@@ -223,6 +223,16 @@ SQL_QUERIES = [
     # round 5 (final): k-anonymity audit (QI group sizes via one keyed
     # exchange) and lang x source PMI (bounded contingency, micro-nats)
     "k_anonymity", "lang_source_mi",
+    # round 5 (final session): per-source PII/toxicity audit (raw-text
+    # match counts per scrub class), multi-signal Borda rank ensemble
+    # (distributed exact row_number, no global sort), streaming watermark
+    # late-event annotation (distributed prefix max), and Heaps-law
+    # vocabulary growth by corpus decile
+    "pii_audit", "rank_ensemble", "watermark_late_events", "vocab_growth",
+    # round 5 (final session): frequency-floor heavy hitters (exact
+    # Misra-Gries candidates + broadcast verify, no word shuffle) and
+    # per-type hourly burst detection (cross-multiplied integer rates)
+    "heavy_hitters", "event_rate_anomaly",
 ]
 
 
@@ -279,6 +289,8 @@ CLIPS_FIXTURE_QUERIES = [
     # round 5: exact-detector evolution twin on the audio axis (survivor
     # payload digests appended as version 2)
     "payload_index_evolution",
+    # round 5 (final session): per-(codec, sr) storage/transcode plan
+    "audio_storage_plan",
 ]
 
 
