@@ -438,6 +438,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (final): per-(codec, sr) storage/transcode capacity
         # rollup — fused read, combiner, bounded grid fold
         "audio_storage_plan": AO.audio_storage_plan,
+        # round 5 (final): mixed-script (CJK x Latin) confusion flag —
+        # shared spec.CJK_RANGES rendering, stateless map
+        "script_mix": A.script_mix,
+        # round 5 (final): TPC-H-Q4-shaped EXISTS semi-join aggregate —
+        # distinct-key combiner + one orderkey exchange, no row multiply
+        "tpch_q4": A.tpch_q4,
+        # round 5 (final): week-over-week event trend — Monday-truncated
+        # combiner counts, bounded-grid lag fold
+        "weekly_trend": A.weekly_trend,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1316,6 +1325,9 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "heavy_hitters": A.heavy_hitters_sql(),
         "event_rate_anomaly": A.event_rate_anomaly_sql(),
         "audio_storage_plan": AO.audio_storage_plan_sql(),
+        "script_mix": A.script_mix_sql(),
+        "tpch_q4": A.tpch_q4_sql(),
+        "weekly_trend": A.weekly_trend_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -109,6 +109,7 @@ QUERY_NAMES = [
     "k_anonymity", "lang_source_mi",
     "pii_audit", "rank_ensemble", "watermark_late_events", "vocab_growth",
     "heavy_hitters", "event_rate_anomaly", "audio_storage_plan",
+    "script_mix", "tpch_q4", "weekly_trend",
 ]
 
 

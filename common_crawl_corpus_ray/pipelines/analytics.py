@@ -8530,3 +8530,195 @@ SELECT h.event_type, hour, CAST(n AS BIGINT) AS n,
        CAST(nh AS BIGINT) AS type_hours,
        n * nh > {BURST_FACTOR} * tot AS burst
 FROM h JOIN t ON h.event_type = t.event_type"""
+
+
+# --- mixed-script detection -----------------------------------------------------
+
+_LATIN_CLASS = "[A-Za-z]"
+
+
+def script_mix(sf_dir: str):
+    """Mixed-script detection — the script-confusion signal a multilingual
+    quality filter cuts on (CJK characters embedded in a Latin document,
+    or vice versa, is the classic spam/mojibake symptom the reference's
+    CJK-aware length rule, cc_corpus.py:276-284, only half-sees): per doc,
+    the CJK and Latin codepoint counts and a mixed flag when both scripts
+    are present. The CJK class is the SAME spec.CJK_RANGES rendering both
+    engines use everywhere else (scrub/heuristic parity), so a block-range
+    drift is impossible.
+
+    Scale shape: two vectorized RE2 single-char class counts per batch;
+    stateless map, no shuffle."""
+    cjk = spec.render_class(spec.CJK_RANGES, "re2")
+
+    def f(b: pa.Table) -> pa.Table:
+        n_cjk = pc.cast(pc.count_substring_regex(b["text"], cjk), pa.int64())
+        n_lat = pc.cast(pc.count_substring_regex(b["text"], _LATIN_CLASS),
+                        pa.int64())
+        return pa.table({
+            "doc_id": b["doc_id"], "n_cjk": n_cjk, "n_latin": n_lat,
+            "mixed": pc.and_(pc.greater(n_cjk, 0), pc.greater(n_lat, 0))})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def script_mix_sql() -> str:
+    cjk = _q(spec.render_class(spec.CJK_RANGES, "re2"))
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{cjk}')) AS BIGINT) AS n_cjk,
+       CAST(len(regexp_extract_all(text, '{_LATIN_CLASS}')) AS BIGINT)
+           AS n_latin,
+       len(regexp_extract_all(text, '{cjk}')) > 0
+           AND len(regexp_extract_all(text, '{_LATIN_CLASS}')) > 0 AS mixed
+FROM documents"""
+
+
+# --- TPC-H Q4-shaped EXISTS semi-join aggregate ---------------------------------
+
+_Q4_LO = "1996-01-01"
+_Q4_HI = "1997-01-01"
+
+
+def tpch_q4(sf_dir: str):
+    """TPC-H-Q4-shaped priority report: count 1996 orders that have AT
+    LEAST ONE returned line item (EXISTS semi-join — the fixture lineitem
+    carries no commit/receipt dates, so l_returnflag = 'R' stands in for
+    Q4's late-delivery predicate), grouped by order priority. The pattern
+    the join family still lacked: a large-large EXISTS that must NOT
+    multiply rows (an order with five returned lines counts once).
+
+    Scale shape: lineitem pre-collapses to per-block DISTINCT returned
+    orderkeys (combiner — the semi side never ships line-level rows);
+    filtered orders and those keys co-partition through ONE orderkey
+    exchange; each reduce semi-probes and emits per-priority count
+    partials; the driver folds the BOUNDED priority table. No row
+    multiplication anywhere, both sides stream."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    nb = scaled_buckets(
+        pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows,
+        rows_per_bucket=2_000_000, lo=_JOIN_BUCKETS)
+    lo = np.datetime64(_Q4_LO, "us")
+    hi = np.datetime64(_Q4_HI, "us")
+
+    mix = pa.schema([("bucket", pa.int64()), ("okey", pa.int64()),
+                     ("oprio", pa.string())])
+
+    def _m(nrows: int, **cols) -> pa.Table:
+        return pa.table({f.name: cols.get(f.name, pa.nulls(nrows, f.type))
+                         for f in mix}, schema=mix)
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        k = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return _m(len(k), bucket=pa.array(k % nb, pa.int64()),
+                  okey=pa.array(k, pa.int64()))
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        od = pc.cast(b["o_orderdate"], pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(od, pa.scalar(lo, pa.timestamp("us"))),
+                       pc.less(od, pa.scalar(hi, pa.timestamp("us"))))
+        t = b.filter(keep)
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return _m(len(k), bucket=pa.array(k % nb, pa.int64()),
+                  okey=pa.array(k, pa.int64()),
+                  oprio=t["o_orderpriority"].combine_chunks())
+
+    def semi_count(t: pa.Table) -> pa.Table | None:
+        is_o = pc.is_valid(t["oprio"])
+        rk = np.unique(t.filter(pc.invert(is_o))["okey"]
+                       .to_numpy(zero_copy_only=False))
+        o = t.filter(is_o)
+        if not rk.size or o.num_rows == 0:
+            return None
+        ok = o["okey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(rk, ok), 0, rk.size - 1)
+        hit = o.filter(pa.array(rk[pos] == ok))
+        g = (pa.table({"o_orderpriority": hit["oprio"]})
+             .group_by("o_orderpriority").aggregate([([], "count_all")]))
+        return g.rename_columns(["o_orderpriority", "order_count"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]
+               ).map_batches(li_rows, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                   ).map_batches(o_rows, batch_format="pyarrow")
+    tabs = [t for t in bucket_exchange(li.union(orders), nb, semi_count)
+            if t is not None and t.num_rows]
+    if not tabs:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "order_count": pa.array([], pa.int64())})
+    out = (pa.concat_tables(tabs).to_pandas()
+           .groupby("o_orderpriority", as_index=False)["order_count"].sum()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    return pa.table({
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        "order_count": pa.array(out["order_count"].to_numpy(np.int64))})
+
+
+def tpch_q4_sql() -> str:
+    return f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q4_LO}'
+  AND o_orderdate < TIMESTAMP '{_Q4_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority"""
+
+
+# --- week-over-week event trend --------------------------------------------------
+
+
+def weekly_trend(sf_dir: str):
+    """Week-over-week event-volume trend per type: Monday-truncated weekly
+    counts, the previous OBSERVED week's count (0 for a type's first
+    week), and the delta — the growth report a stream dashboard shows.
+    numpy's datetime64[W] truncates to epoch-aligned THURSDAYS, so the
+    Monday truncation is spelled explicitly ((days + 3) % 7 day-of-week,
+    1970-01-01 being a Thursday) to match DuckDB's date_trunc('week').
+
+    Scale shape: per-block (type, week) count combiners, driver fold +
+    lag over the BOUNDED type x week grid (grows with the time range,
+    not the row count); one streaming pass, no shuffle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = (b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]"))
+        dow = (days.astype(np.int64) + 3) % 7       # Monday -> 0
+        week = (days - dow).astype("datetime64[us]")
+        t = pa.table({"event_type": b["event_type"],
+                      "week": pa.array(week)})
+        g = t.group_by(["event_type", "week"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "week", "n"])
+
+    h = (_read(sf_dir, "events", ["ts", "event_type"])
+         .map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["event_type", "week"], as_index=False)["n"]
+         .sum().sort_values(["event_type", "week"]))
+    prev = h.groupby("event_type")["n"].shift(1).fillna(0).to_numpy(np.int64)
+    n = h["n"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": pa.array(h["event_type"], pa.string()),
+        "week": pa.array(h["week"].astype("datetime64[us]"),
+                         pa.timestamp("us")),
+        "n": pa.array(n), "prev_n": pa.array(prev),
+        "delta": pa.array(n - prev)})
+
+
+def weekly_trend_sql() -> str:
+    return """
+WITH w AS (SELECT event_type, date_trunc('week', ts) AS week,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, CAST(week AS TIMESTAMP) AS week, n,
+       CAST(COALESCE(lag(n) OVER (PARTITION BY event_type ORDER BY week),
+                     0) AS BIGINT) AS prev_n,
+       CAST(n - COALESCE(lag(n) OVER (PARTITION BY event_type
+                                      ORDER BY week), 0) AS BIGINT) AS delta
+FROM w"""

@@ -233,6 +233,11 @@ SQL_QUERIES = [
     # Misra-Gries candidates + broadcast verify, no word shuffle) and
     # per-type hourly burst detection (cross-multiplied integer rates)
     "heavy_hitters", "event_rate_anomaly",
+    # round 5 (final session): mixed-script confusion flag (shared CJK
+    # class), Q4-shaped EXISTS semi-join aggregate (distinct-key combiner,
+    # no row multiplication), week-over-week trend (explicit Monday
+    # truncation matching date_trunc('week'))
+    "script_mix", "tpch_q4", "weekly_trend",
 ]
 
 
