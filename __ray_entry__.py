@@ -447,6 +447,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (final): week-over-week event trend — Monday-truncated
         # combiner counts, bounded-grid lag fold
         "weekly_trend": A.weekly_trend,
+        # round 5 (final): per-source language-concentration audit —
+        # HHI + Gini in integer micro-units over the bounded grid
+        "lang_concentration": A.lang_concentration,
+        # round 5 (final): byte-exact edit-distance near-dup join —
+        # (n_chars, suffix) blocking, banded byte-DP, mutant stream
+        "edit_distance_dedup": A.edit_distance_dedup,
+        # round 5 (final): clipping/saturation QA scan — planted
+        # full-scale runs, integer-exact counts, cross-multiplied flag
+        "audio_clipping_detect": AO.audio_clipping_detect,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1328,6 +1337,9 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "script_mix": A.script_mix_sql(),
         "tpch_q4": A.tpch_q4_sql(),
         "weekly_trend": A.weekly_trend_sql(),
+        "lang_concentration": A.lang_concentration_sql(),
+        "edit_distance_dedup": A.edit_distance_dedup_sql(),
+        "audio_clipping_detect": AO.audio_clipping_detect_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

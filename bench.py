@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "pii_audit", "rank_ensemble", "watermark_late_events", "vocab_growth",
     "heavy_hitters", "event_rate_anomaly", "audio_storage_plan",
     "script_mix", "tpch_q4", "weekly_trend",
+    "lang_concentration", "edit_distance_dedup", "audio_clipping_detect",
 ]
 
 

@@ -8722,3 +8722,211 @@ SELECT event_type, CAST(week AS TIMESTAMP) AS week, n,
        CAST(n - COALESCE(lag(n) OVER (PARTITION BY event_type
                                       ORDER BY week), 0) AS BIGINT) AS delta
 FROM w"""
+
+
+# --- per-source language concentration (HHI + Gini) -----------------------------
+
+
+def lang_concentration(sf_dir: str):
+    """Per-source language-concentration audit: how skewed is each feed's
+    language mix — the curation dashboard number behind "is src7 really
+    multilingual or 95% English". Emits per source the doc total, the
+    number of languages, a Herfindahl-Hirschman index and a Gini
+    coefficient, both as floor-scaled integer micro-units
+    (``(1e6 * num) // den``) so no float division crosses engines. The
+    Gini rank weights use the textbook sorted form
+    ``sum((2i - k - 1) * x_i) / (k * T)`` with ties ordered by (n, lang);
+    within a tie block the coefficient sum is permutation-invariant, so
+    the spelling is deterministic on both engines.
+
+    Scale shape: per-block (source, lang) count combiners; the driver
+    folds the BOUNDED source x language grid (configuration-sized, the
+    same contract every broadcast-lookup join here declares) and does the
+    integer arithmetic in numpy. One streaming pass, no shuffle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({"source": b["source"], "lang": b["lang"]})
+             .group_by(["source", "lang"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["source", "lang", "n"])
+
+    df = (_read(sf_dir, "documents", ["source", "lang"])
+          .map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby(["source", "lang"], as_index=False)["n"]
+          .sum())
+    srcs, tots, ks, hhis, ginis = [], [], [], [], []
+    for src, grp in df.groupby("source"):
+        grp = grp.sort_values(["n", "lang"])
+        x = grp["n"].to_numpy(np.int64)
+        k, tot = len(x), int(x.sum())
+        i = np.arange(1, k + 1, dtype=np.int64)
+        gnum = int(((2 * i - k - 1) * x).sum())
+        srcs.append(src)
+        tots.append(tot)
+        ks.append(k)
+        hhis.append((1_000_000 * int((x * x).sum())) // (tot * tot))
+        ginis.append((1_000_000 * gnum) // (k * tot))
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array(tots, pa.int64()),
+        "n_langs": pa.array(ks, pa.int64()),
+        "hhi_micro": pa.array(hhis, pa.int64()),
+        "gini_micro": pa.array(ginis, pa.int64())})
+
+
+def lang_concentration_sql() -> str:
+    return """
+WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT source, sum(n) AS tot, count(*) AS k, sum(n * n) AS ss
+      FROM c GROUP BY 1),
+r AS (SELECT source, n,
+             row_number() OVER (PARTITION BY source ORDER BY n, lang) AS i
+      FROM c),
+g AS (SELECT r.source, sum((2 * r.i - t.k - 1) * r.n) AS gnum
+      FROM r JOIN t ON t.source = r.source GROUP BY r.source)
+SELECT t.source, CAST(t.tot AS BIGINT) AS n_docs,
+       CAST(t.k AS BIGINT) AS n_langs,
+       CAST((1000000 * t.ss) // (t.tot * t.tot) AS BIGINT) AS hhi_micro,
+       CAST((1000000 * g.gnum) // (t.k * t.tot) AS BIGINT) AS gini_micro
+FROM t JOIN g ON g.source = t.source"""
+
+
+# --- byte-exact edit-distance near-dup join --------------------------------------
+
+_EDIT_MIN_CHARS = 64     # mutant stream eligibility (keeps the suffix block
+                         # key outside the edit window)
+_EDIT_MOD = 3            # every 3rd doc re-enters as a mutated copy
+_EDIT_MAX = 3            # pair threshold; a CJK->ascii substitution costs
+                         # 3 UTF-8 bytes, so planted single-char edits on
+                         # any script stay within it
+_EDIT_SUFFIX = 16        # block key: (n_chars, last 16 codepoints)
+
+
+def _lev_bytes(a: bytes, b: bytes, cap: int) -> int:
+    """Levenshtein over UTF-8 BYTES with an early-out cap. Byte-level on
+    purpose: DuckDB's levenshtein() is byte-based (levenshtein('café',
+    'cafe') = 2), so the kernel matches the oracle's unit exactly. Row DP
+    vectorized over the second string; the left-to-right insertion chain
+    cur[j] = min(t[j], cur[j-1]+1) folds to one np.minimum.accumulate via
+    min_k<=j (t[k] + (j-k)) = j + min_k<=j (t[k] - k)."""
+    if a == b:
+        return 0
+    A = np.frombuffer(a, np.uint8)
+    B = np.frombuffer(b, np.uint8)
+    if abs(len(A) - len(B)) > cap:
+        return cap + 1
+    ar = np.arange(len(B) + 1, dtype=np.int64)
+    prev = ar.copy()
+    t = np.empty(len(B) + 1, np.int64)
+    for i in range(1, len(A) + 1):
+        cost = (B != A[i - 1]).astype(np.int64)
+        t[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=t[1:])
+        prev = np.minimum.accumulate(t - ar) + ar
+        if prev.min() > cap:
+            return cap + 1
+    return int(prev[-1])
+
+
+def edit_distance_dedup(sf_dir: str):
+    """Edit-distance near-dup join — the fuzzy-match detector the hash
+    family cannot express (minhash/simhash see token sets; a one-character
+    typo inside a token is invisible to both, reference deduplication.py's
+    exact-hash columns even more so). A mutated re-crawl stream is derived
+    in-query (the sentence_dedup mutated-fixture precedent): every
+    _EDIT_MOD-th doc with n_chars >= 64 re-enters with codepoint
+    33 + doc_id % 16 substituted by 'q'. Candidates block on
+    (n_chars, last-16-codepoints) — the edit window never touches the
+    suffix — and each co-blocked cross pair is scored with a byte-exact
+    banded Levenshtein; pairs at distance <= _EDIT_MAX are emitted as
+    (doc_id, cand_id, dist).
+
+    Scale shape: both streams key one bucket exchange by the block key's
+    md5; texts move exactly once, and only pairs leave the reduce. Block
+    groups are typo-blocking-sized (same length AND same 16-char tail);
+    the known hot key is an exact-dup flood sharing one text — at
+    production scale pre-collapse exact dups first (dedup_family's star
+    precedent). The DP early-outs at cap+1, so a non-pair costs
+    O(cap * len) not O(len^2)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = scaled_buckets(n_docs, rows_per_bucket=200_000, lo=8)
+
+    def keyed(texts: list[str], ids: np.ndarray, side: int) -> pa.Table:
+        n_chars = np.fromiter((len(t) for t in texts), np.int64,
+                              count=len(texts))
+        key = [f"{n}|{t[-_EDIT_SUFFIX:]}" for n, t in zip(n_chars, texts)]
+        ka = pa.array(key, pa.string())
+        return pa.table({
+            "bucket": pa.array(md5_i64_array(ka).to_numpy() % nb, pa.int64()),
+            "key": ka,
+            "side": pa.array(np.full(len(texts), side, np.int8)),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string())})
+
+    def a_rows(b: pa.Table) -> pa.Table:
+        return keyed(b["text"].to_pylist(),
+                     b["doc_id"].to_numpy(zero_copy_only=False), 0)
+
+    def b_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        out_ids, out_txt = [], []
+        for i, t in zip(ids, texts):
+            if i % _EDIT_MOD == 0 and len(t) >= _EDIT_MIN_CHARS:
+                p = 33 + int(i) % 16
+                out_ids.append(int(i))
+                out_txt.append(t[:p - 1] + "q" + t[p:])
+        return keyed(out_txt, np.asarray(out_ids, np.int64), 1)
+
+    def pair_reduce(t: pa.Table) -> pa.Table | None:
+        df = t.to_pandas()
+        out_a, out_b, out_d = [], [], []
+        for _, grp in df.groupby("key", sort=False):
+            av = grp[grp["side"] == 0]
+            bv = grp[grp["side"] == 1]
+            if not len(av) or not len(bv):
+                continue
+            for aid, atx in zip(av["doc_id"], av["text"]):
+                ab = atx.encode()
+                for bid, btx in zip(bv["doc_id"], bv["text"]):
+                    d = _lev_bytes(ab, btx.encode(), _EDIT_MAX)
+                    if d <= _EDIT_MAX:
+                        out_a.append(int(aid))
+                        out_b.append(int(bid))
+                        out_d.append(d)
+        if not out_a:
+            return None
+        return pa.table({"doc_id": pa.array(out_a, pa.int64()),
+                         "cand_id": pa.array(out_b, pa.int64()),
+                         "dist": pa.array(out_d, pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    mix = (ds.map_batches(a_rows, batch_format="pyarrow")
+           .union(ds.map_batches(b_rows, batch_format="pyarrow")))
+    tabs = [t for t in bucket_exchange(mix, nb, pair_reduce) if t is not None]
+    if not tabs:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cand_id": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    return pa.concat_tables(tabs)
+
+
+def edit_distance_dedup_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT doc_id AS cand_id, n_chars,
+         substr(text, 1, 32 + doc_id % 16) || 'q' ||
+         substr(text, 34 + doc_id % 16) AS text
+  FROM documents
+  WHERE doc_id % {_EDIT_MOD} = 0 AND n_chars >= {_EDIT_MIN_CHARS})
+SELECT a.doc_id, b.cand_id,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM documents a JOIN b
+  ON a.n_chars = b.n_chars
+ AND right(a.text, {_EDIT_SUFFIX}) = right(b.text, {_EDIT_SUFFIX})
+WHERE levenshtein(a.text, b.text) <= {_EDIT_MAX}"""

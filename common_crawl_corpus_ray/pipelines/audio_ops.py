@@ -2397,3 +2397,79 @@ SELECT codec, CAST(sr_hz AS BIGINT) AS sr_hz,
            AS pcm16_bytes
 FROM read_parquet('{uri}/*.parquet')
 GROUP BY codec, sr_hz"""
+
+
+# --- audio_clipping_detect -------------------------------------------------------
+
+CLIP_THRESH = 0.999      # |sample| at/above this counts as saturated; the
+                         # fixture signal peaks below 0.58 (0.35+0.2 sines
+                         # + 0.004*randn), so only PLANTED full-scale
+                         # samples can cross it — a >70-sigma noise event
+                         # would be needed otherwise
+CLIP_PLANT_MOD = 50      # clip i gets its first (i % 50) ms overwritten
+CLIP_PCT = 1             # flag a clip when saturated% >= 1
+
+
+def _clipping_batch(b: pa.Table) -> pa.Table:
+    idx = _clip_indices(b)
+    srs = b["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cods = b["codec"].to_pylist()
+    payloads = b["bytes"].combine_chunks()
+    n_out = np.empty(b.num_rows, np.int64)
+    c_out = np.empty(b.num_rows, np.int64)
+    for r in range(b.num_rows):
+        x = np.array(codecs.decode(payloads[r].as_buffer(), cods[r]),
+                     dtype=np.float64)
+        k = (int(idx[r]) % CLIP_PLANT_MOD) * int(srs[r]) // 1000
+        x[:k] = 1.0                       # planted saturation run
+        n_out[r] = len(x)
+        c_out[r] = int(np.count_nonzero(np.abs(x) >= CLIP_THRESH))
+    flag = c_out * 100 >= CLIP_PCT * n_out
+    return pa.table({
+        "clip_id": b["clip_id"],
+        "n_samples": pa.array(n_out),
+        "n_clipped": pa.array(c_out),
+        "clipped": pa.array(flag),
+    })
+
+
+def audio_clipping_detect(sf_dir: str):
+    """Clipping / saturation QA filter: decode each clip and count samples
+    at or above full scale (|x| >= CLIP_THRESH), flagging clips whose
+    saturated fraction reaches CLIP_PCT% — the standard audio-ingest
+    health gate (a clipped mic or a hot transcode) the reference's
+    text-only rules have no analog for. The fixture's clips never clip
+    (signal peak < 0.58), so the query PLANTS saturation
+    deterministically (silence_trim precedent): clip i gets its first
+    i % 50 milliseconds of samples overwritten with +1.0 after decode,
+    making the counts pure integer arithmetic an oracle states verbatim,
+    while the operator runs the real threshold scan over decoded PCM.
+    The flag compare is cross-multiplied (n_clipped*100 >= n_samples),
+    never a float ratio.
+
+    Scale shape: fused read + per-clip numpy scan, slim (id + 2 ints +
+    bool) output; payload bytes never shuffle."""
+    import ray.data as rd
+    uri = ensure_clips(sf_dir, with_audio=True)
+    ds = rd.read_parquet(uri, columns=["clip_id", "bytes", "sr_hz", "codec"])
+    return ds.map_batches(_clipping_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def audio_clipping_detect_sql() -> str:
+    uri = ensure_clips(ORACLE_SF, with_audio=True)
+    per_sample = " ".join(
+        f"WHEN '{c}' THEN {n}" for c, n in codecs.BYTES_PER_SAMPLE.items())
+    return f"""
+WITH c AS (
+  SELECT clip_id,
+         CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) AS i,
+         CAST(sr_hz AS BIGINT) AS sr,
+         octet_length(bytes) // (CASE codec {per_sample} END) AS n
+  FROM read_parquet('{uri}/*.parquet')
+)
+SELECT clip_id, n AS n_samples,
+       (i % {CLIP_PLANT_MOD}) * sr // 1000 AS n_clipped,
+       ((i % {CLIP_PLANT_MOD}) * sr // 1000) * 100 >= {CLIP_PCT} * n
+           AS clipped
+FROM c"""

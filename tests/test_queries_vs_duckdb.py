@@ -238,6 +238,10 @@ SQL_QUERIES = [
     # no row multiplication), week-over-week trend (explicit Monday
     # truncation matching date_trunc('week'))
     "script_mix", "tpch_q4", "weekly_trend",
+    # round 5 (final session): per-source HHI/Gini concentration in
+    # integer micro-units, and a byte-exact edit-distance near-dup join
+    # (DuckDB levenshtein is byte-based; the Ray DP matches that unit)
+    "lang_concentration", "edit_distance_dedup",
 ]
 
 
@@ -296,6 +300,9 @@ CLIPS_FIXTURE_QUERIES = [
     "payload_index_evolution",
     # round 5 (final session): per-(codec, sr) storage/transcode plan
     "audio_storage_plan",
+    # round 5 (final session): planted-saturation clipping detection —
+    # real threshold scan over decoded PCM, integer-exact counts
+    "audio_clipping_detect",
 ]
 
 
