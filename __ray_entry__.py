@@ -160,6 +160,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "doc_id", "text", threshold=0.7, detector="minhash",
             n_rows=_table_rows(sf_dir, "documents") + 50)
 
+    def minhash_sim(sf_dir: str):
+        # estimated-similarity JOIN: banded candidates scored by matching
+        # signature positions (texts never touched after signing)
+        ds = C.mutated_docs(sf_dir)
+        return dedup_family.minhash_sim_join_pairs(ds, "doc_id", "text")
+
     def minhash_exactdups(sf_dir: str):
         # pins the exact-dup collapse semantics under the driver's hash
         # gate: byte-identical texts star on their min id, near-dups pair
@@ -244,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_first": A.exact_dedup_first,
         "exact_dedup_none": A.exact_dedup_none,
         "minhash_dedup": minhash,
+        # round 5 (final): estimated-similarity join — n_match of 64
+        # signature positions, integer milli-Jaccard estimate
+        "minhash_sim_join": minhash_sim,
         "simhash_dedup": simhash,
         "ngram_jaccard_dedup": ngram_jaccard,
         "minhash_dedup_exactdups": minhash_exactdups,
@@ -456,6 +465,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (final): clipping/saturation QA scan — planted
         # full-scale runs, integer-exact counts, cross-multiplied flag
         "audio_clipping_detect": AO.audio_clipping_detect,
+        # round 5 (final): per-language exact p50/p90/p99 without a sort
+        # (bounded value-domain histogram combiners)
+        "lang_length_quantiles": A.lang_length_quantiles,
+        # round 5 (final): bloom-pruned exact semi join — fixed-size
+        # bitset broadcast + keyed exact verify of bloom passers
+        "bloom_semi_join": A.bloom_semi_join,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -800,6 +815,50 @@ SELECT c0.id_a, c0.id_b,
 FROM co c0 JOIN cnt ca ON ca.doc_id = c0.id_a
            JOIN cnt cb ON cb.doc_id = c0.id_b
 WHERE c0.co * 1.0 / (ca.c + cb.c - c0.co) >= 0.7"""
+
+    # minhash_sim_join: same frozen signature spelling, but candidates are
+    # scored by MATCHING signature positions (the unbiased Jaccard
+    # estimator), with byte-identical texts collapsed to star edges first
+    # (grp/stars/reps — the exactdups oracle's spelling), mirroring
+    # dedup_family.minhash_sim_join_pairs exactly.
+    minhash_simjoin_sql = mutated_docs_cte + f""", grp AS (
+  SELECT text, min(doc_id) AS rep FROM docs GROUP BY text
+), stars AS (
+  SELECT g.rep AS id_a, d.doc_id AS id_b
+  FROM docs d JOIN grp g ON g.text = d.text WHERE d.doc_id != g.rep
+), t AS (
+  SELECT rep AS doc_id, CASE WHEN length(text) < 5
+                      THEN text || repeat(' ', 5 - length(text))
+                      ELSE text END AS txt
+  FROM grp
+), sh AS (
+  SELECT DISTINCT doc_id, ({mh_shingle}) % {_MERSENNE} AS h
+  FROM (SELECT doc_id, txt,
+               unnest(generate_series(1, length(txt) - 4)) AS i FROM t)
+), perm(r, pa, pb) AS (VALUES {perm_rows}
+), sig AS (
+  SELECT doc_id, r, min((pa * h + pb) % 18446744073709551616) AS s
+  FROM sh CROSS JOIN perm GROUP BY 1, 2
+), band AS (
+  SELECT doc_id, r // 8 AS band, SUM(s) % 18446744073709551616 AS bh
+  FROM sig GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), m AS (
+  SELECT c.id_a, c.id_b, count(*) FILTER (WHERE sa.s = sb.s) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.r = sa.r
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(n_match AS BIGINT) AS n_match,
+       CAST(1000 * n_match // 64 AS BIGINT) AS est_milli
+FROM m
+UNION ALL
+SELECT id_a, id_b, CAST(64 AS BIGINT) AS n_match,
+       CAST(1000 AS BIGINT) AS est_milli
+FROM stars"""
 
     # exact-dup collapse semantics under the driver's hash gate: on a
     # fixture with planted byte-identical copies, the pair output is the
@@ -1340,6 +1399,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "lang_concentration": A.lang_concentration_sql(),
         "edit_distance_dedup": A.edit_distance_dedup_sql(),
         "audio_clipping_detect": AO.audio_clipping_detect_sql(),
+        "lang_length_quantiles": A.lang_length_quantiles_sql(),
+        "bloom_semi_join": A.bloom_semi_join_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),
@@ -1373,6 +1434,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "embedding_dup_clusters": embed_clusters_sql,
         "simhash_dedup": simhash_sql,
         "minhash_dedup": minhash_sql,
+        "minhash_sim_join": minhash_simjoin_sql,
         "minhash_dedup_exactdups": exactdups_sql,
         # codec_validity is pure payload-length arithmetic over the
         # deterministic derived clips fixture — the SQL reads the same

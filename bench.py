@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "heavy_hitters", "event_rate_anomaly", "audio_storage_plan",
     "script_mix", "tpch_q4", "weekly_trend",
     "lang_concentration", "edit_distance_dedup", "audio_clipping_detect",
+    "minhash_sim_join", "lang_length_quantiles", "bloom_semi_join",
 ]
 
 

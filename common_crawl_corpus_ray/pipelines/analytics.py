@@ -8930,3 +8930,185 @@ FROM documents a JOIN b
   ON a.n_chars = b.n_chars
  AND right(a.text, {_EDIT_SUFFIX}) = right(b.text, {_EDIT_SUFFIX})
 WHERE levenshtein(a.text, b.text) <= {_EDIT_MAX}"""
+
+
+# --- per-language exact length quantiles ------------------------------------------
+
+_LLQ_PCTS = (50, 90, 99)
+
+
+def lang_length_quantiles(sf_dir: str):
+    """Exact per-language p50/p90/p99 of document length WITHOUT a
+    distributed sort (the per-group spelling of global_percentiles'
+    shuffle-free histogram trick): n_chars has a bounded value domain, so
+    per-block (lang, n_chars) value-count partials merge associatively
+    and the driver resolves each group's percentiles from the tiny
+    cumulative histogram. Rank rule, stated so the SQL oracle can say the
+    same thing: the p-th percentile is the smallest value whose
+    cumulative count reaches ceil(p * n / 100).
+
+    Scale shape: one streaming pass, combiner output bounded by
+    langs x distinct lengths (value-domain-sized, not row-count-sized),
+    no shuffle; the fold is a driver-side O(grid) groupby."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({"lang": b["lang"],
+                       "v": pc.cast(b["n_chars"], pa.int64())})
+             .group_by(["lang", "v"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["lang", "v", "c"])
+
+    df = (_read(sf_dir, "documents", ["lang", "n_chars"])
+          .map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby(["lang", "v"], as_index=False)["c"].sum())
+    langs, pcts, vals = [], [], []
+    for lang, grp in df.groupby("lang"):
+        grp = grp.sort_values("v")
+        cum = grp["c"].cumsum().to_numpy(np.int64)
+        v = grp["v"].to_numpy(np.int64)
+        n = int(cum[-1])
+        for p in _LLQ_PCTS:
+            rank = (p * n + 99) // 100
+            langs.append(lang)
+            pcts.append(p)
+            vals.append(int(v[int(np.searchsorted(cum, rank))]))
+    return pa.table({"lang": pa.array(langs, pa.string()),
+                     "pct": pa.array(pcts, pa.int64()),
+                     "n_chars": pa.array(vals, pa.int64())})
+
+
+def lang_length_quantiles_sql() -> str:
+    vals = ", ".join(f"({p})" for p in _LLQ_PCTS)
+    return f"""
+WITH o AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, CAST(p.pct AS BIGINT) AS pct,
+       CAST(min(n_chars) AS BIGINT) AS n_chars
+FROM o CROSS JOIN (VALUES {vals}) p(pct)
+WHERE rn >= (p.pct * n + 99) // 100
+GROUP BY lang, p.pct"""
+
+
+# --- bloom-filter-pruned exact semi join ------------------------------------------
+
+_BLOOM_BITS = 1 << 20    # 128 KiB bitset — the fixed-size broadcast that
+                         # replaces shipping the key set to every task
+_BLOOM_K = 4
+_BLOOM_PRIO = "1-URGENT"
+
+
+def _bloom_pos(keys: np.ndarray) -> np.ndarray:
+    """k hash positions per key: splitmix64 finalizer, then 4 disjoint
+    16+-bit windows of the mixed word, each reduced mod the bit count.
+    Vectorized over the key array; shape (len, _BLOOM_K)."""
+    h = keys.astype(np.uint64).copy()
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    shifts = np.array([0, 16, 32, 44], dtype=np.uint64)
+    return ((h[:, None] >> shifts[None, :]) %
+            np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def bloom_semi_join(sf_dir: str):
+    """Bloom-pruned exact semi join: lineitem rows kept iff their order is
+    URGENT-priority, counted per order — but the build side never ships
+    its key set to the probe tasks. Each probe task tests keys against a
+    broadcast 128 KiB Bloom bitset (built by OR-folding per-block
+    bitmaps, so the driver never holds the keys either), and only
+    bloom-PASSING candidates take the one keyed exchange where true keys
+    exact-verify them — false positives cost exchange rows, never output
+    rows, so the result is deterministic and equal to the plain semi
+    join. This is the scale pattern for a semi join whose filter side is
+    too big to broadcast exactly but whose hit rate is low: exchange
+    volume drops from O(probe) to O(hits + eps * probe).
+
+    Scale shape: probe side pre-aggregates (okey, n) per block before the
+    exchange (combiner), the bitset is ray.put once and read per actor,
+    and the verify reduce is a sorted searchsorted probe."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    nb = scaled_buckets(
+        pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows,
+        rows_per_bucket=2_000_000, lo=_JOIN_BUCKETS)
+
+    def key_bitmap(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderpriority"], _BLOOM_PRIO))
+        k = np.unique(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        bits = np.zeros(_BLOOM_BITS, np.bool_)
+        bits[_bloom_pos(k).ravel()] = True
+        return pa.table({"bm": pa.array([np.packbits(bits).tobytes()],
+                                        pa.binary())})
+
+    parts = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+             .map_batches(key_bitmap, batch_format="pyarrow")
+             .take_all())
+    bloom = np.zeros(_BLOOM_BITS // 8, np.uint8)
+    for row in parts:
+        bloom |= np.frombuffer(row["bm"], np.uint8)
+    bloom_ref = ray.put(np.unpackbits(bloom).astype(bool))
+
+    mix = pa.schema([("bucket", pa.int64()), ("okey", pa.int64()),
+                     ("n", pa.int64()), ("is_key", pa.bool_())])
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderpriority"], _BLOOM_PRIO))
+        k = np.unique(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"bucket": pa.array(k % nb, pa.int64()),
+                         "okey": pa.array(k, pa.int64()),
+                         "n": pa.array(np.zeros(k.size, np.int64)),
+                         "is_key": pa.array(np.ones(k.size, bool))},
+                        schema=mix)
+
+    def probe_rows(b: pa.Table) -> pa.Table:
+        bits = cached_get(bloom_ref)
+        k, cnt = np.unique(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                           return_counts=True)
+        hit = bits[_bloom_pos(k)].all(axis=1)
+        k, cnt = k[hit], cnt[hit]
+        return pa.table({"bucket": pa.array(k % nb, pa.int64()),
+                         "okey": pa.array(k, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "is_key": pa.array(np.zeros(k.size, bool))},
+                        schema=mix)
+
+    def verify(t: pa.Table) -> pa.Table | None:
+        is_k = t["is_key"].to_numpy(zero_copy_only=False)
+        keys = np.unique(t["okey"].to_numpy(zero_copy_only=False)[is_k])
+        cand = t.filter(pc.invert(t["is_key"]))
+        ck = cand["okey"].to_numpy(zero_copy_only=False)
+        if not keys.size or not ck.size:
+            return None
+        pos = np.clip(np.searchsorted(keys, ck), 0, keys.size - 1)
+        hit = cand.filter(pa.array(keys[pos] == ck))
+        g = (pa.table({"l_orderkey": hit["okey"], "n": hit["n"]})
+             .group_by("l_orderkey").aggregate([("n", "sum")]))
+        return g.rename_columns(["l_orderkey", "n_lines"])
+
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+              .map_batches(key_rows, batch_format="pyarrow"))
+    li = (_read(sf_dir, "lineitem", ["l_orderkey"])
+          .map_batches(probe_rows, batch_format="pyarrow"))
+    tabs = [t for t in bucket_exchange(orders.union(li), nb, verify)
+            if t is not None and t.num_rows]
+    if not tabs:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "n_lines": pa.array([], pa.int64())})
+    return pa.concat_tables(tabs)
+
+
+def bloom_semi_join_sql() -> str:
+    return f"""
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '{_BLOOM_PRIO}')
+GROUP BY l_orderkey"""

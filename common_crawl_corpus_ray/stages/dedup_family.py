@@ -1345,3 +1345,157 @@ def dedup_keep_best(ds, id_col: str, text_col: str, n: int = 3,
     return bucket_exchange_dataset(
         members.map_batches(bucketize, batch_format="pyarrow"),
         nb, best, empty)
+
+
+# --- estimated-similarity join (matching-signature-position count) ----------
+
+
+def minhash_sim_join_pairs(ds, id_col: str, text_col: str,
+                           num_perm: int = 64, bands: int = 8):
+    """Similarity JOIN, not dedup: every banded LSH candidate pair is
+    scored by the count of MATCHING signature positions — the unbiased
+    minhash estimator of Jaccard (E[n_match/num_perm] = J) — and emitted
+    with an integer milli-estimate ``1000 * n_match // num_perm``. This is
+    the scale path when exact-verify is too expensive: after signing, the
+    texts (and their shingle sets) are never touched again; the verify
+    payload is the fixed-width signature (num_perm * 8 bytes per doc)
+    instead of an O(len) shingle array.
+
+    Byte-identical texts ride the star collapse (:func:`_collapse_and_pair`)
+    and skip the exchanges with n_match = num_perm by construction;
+    candidate pairs form over per-text representatives, exactly the
+    semantics the exactdups oracle spells in SQL (grp/stars/reps CTEs).
+
+    Scale shape mirrors :func:`minhash_dedup_pairs`: two id-hash-keyed
+    bucket exchanges (attach sig(a), re-bucket by b, score), per-task
+    memory one bucket's signatures, result returned as a driver table of
+    slim (id, id, 2 ints) rows."""
+    import pyarrow.compute as pc
+
+    from .decide import scaled_buckets
+    from .exchange import bucket_exchange, bucket_exchange_refs, refs_to_dataset
+
+    ds = ds.select_columns([id_col, text_col]).materialize()
+    n_docs = ds.count()
+    nb = scaled_buckets(n_docs, rows_per_bucket=200_000,
+                        lo=_VERIFY_BUCKETS, hi=1024)
+    id_type = ds.schema().base_schema.field(id_col).type
+    a, b = _perm_params(num_perm, 42)
+    pairs_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands,
+                                       nbuckets=_pair_buckets(n_docs))
+
+    import ray
+
+    out_schema = pa.schema([("id_a", id_type), ("id_b", id_type),
+                            ("n_match", pa.int64()),
+                            ("est_milli", pa.int64())])
+
+    @ray.remote
+    def _exact_block(blk: pa.Table) -> pa.Table:
+        t = blk.filter(blk["exact"].combine_chunks())
+        n = t.num_rows
+        return pa.table({
+            "id_a": t["a"].combine_chunks().cast(id_type),
+            "id_b": t["b"].combine_chunks().cast(id_type),
+            "n_match": pa.array(np.full(n, num_perm, np.int64)),
+            "est_milli": pa.array(np.full(n, 1000, np.int64))},
+            schema=out_schema)
+
+    def cand_only(blk: pa.Table) -> pa.Table:
+        return (blk.filter(pc.invert(blk["exact"].combine_chunks()))
+                .drop_columns(["exact"]))
+
+    pair_refs = pairs_ds.to_arrow_refs()
+    exact_ds = refs_to_dataset([_exact_block.remote(r) for r in pair_refs],
+                               out_schema.empty_table())
+    cands = pairs_ds.map_batches(cand_only, batch_format="pyarrow")
+
+    mix_schema = pa.schema([
+        ("bucket", pa.int64()),
+        ("a", id_type), ("b", id_type),
+        ("sig_a", pa.list_(pa.uint64())),
+        ("doc", id_type), ("sig", pa.list_(pa.uint64())),
+    ])
+
+    def _mix(n: int, **cols) -> pa.Table:
+        return pa.table({f.name: cols.get(f.name, pa.nulls(n, f.type))
+                         for f in mix_schema}, schema=mix_schema)
+
+    def _sig_list(m: np.ndarray) -> pa.ListArray:
+        offs = pa.array(np.arange(m.shape[0] + 1, dtype=np.int32) *
+                        np.int32(num_perm), pa.int32())
+        return pa.ListArray.from_arrays(offs,
+                                        pa.array(m.reshape(-1), pa.uint64()))
+
+    def _sig_mat(col, n: int) -> np.ndarray:
+        arr = col.combine_chunks()
+        flat = np.asarray(arr.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.uint64)
+        return flat.reshape(n, num_perm)
+
+    def to_sigs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = minhash_signatures_batch(batch[text_col].to_pylist(), a, b)
+        return _mix(len(ids),
+                    bucket=pa.array(_id_bucket(ids, nb), pa.int64()),
+                    doc=batch[id_col].combine_chunks().cast(id_type),
+                    sig=_sig_list(sigs))
+
+    sig_ds = ds.map_batches(to_sigs, batch_format="pyarrow").materialize()
+
+    def pair_bucket_a(blk: pa.Table) -> pa.Table:
+        av = blk["a"].to_numpy(zero_copy_only=False)
+        return _mix(blk.num_rows,
+                    bucket=pa.array(_id_bucket(av, nb), pa.int64()),
+                    a=blk["a"].combine_chunks().cast(id_type),
+                    b=blk["b"].combine_chunks().cast(id_type))
+
+    pairs_a = cands.map_batches(pair_bucket_a, batch_format="pyarrow")
+
+    def join_a(t: pa.Table) -> pa.Table | None:
+        is_pair = pc.is_valid(t["a"])
+        if not pc.any(is_pair).as_py():
+            return None
+        pairs = (t.filter(is_pair).select(["a", "b"])
+                 .group_by(["a", "b"]).aggregate([]))   # cross-band dedup
+        docs = t.filter(pc.invert(is_pair))
+        mat = _sig_mat(docs["sig"], docs.num_rows)
+        row = {d: i for i, d in enumerate(docs["doc"].to_pylist())}
+        ix = np.fromiter((row[x] for x in pairs["a"].to_pylist()),
+                         np.int64, count=pairs.num_rows)
+        bv = pairs["b"].to_numpy(zero_copy_only=False)
+        return _mix(pairs.num_rows,
+                    bucket=pa.array(_id_bucket(bv, nb), pa.int64()),
+                    a=pairs["a"].combine_chunks(),
+                    b=pairs["b"].combine_chunks(),
+                    sig_a=_sig_list(mat[ix]))
+
+    round1 = refs_to_dataset(
+        bucket_exchange_refs(pairs_a.union(sig_ds), nb, join_a),
+        mix_schema.empty_table())
+
+    def join_b(t: pa.Table) -> pa.Table | None:
+        is_pair = pc.is_valid(t["a"])
+        if not pc.any(is_pair).as_py():
+            return None
+        pairs = t.filter(is_pair)
+        docs = t.filter(pc.invert(is_pair))
+        mat = _sig_mat(docs["sig"], docs.num_rows)
+        row = {d: i for i, d in enumerate(docs["doc"].to_pylist())}
+        ix = np.fromiter((row[y] for y in pairs["b"].to_pylist()),
+                         np.int64, count=pairs.num_rows)
+        sa = _sig_mat(pairs["sig_a"], pairs.num_rows)
+        n_match = (sa == mat[ix]).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "id_a": pairs["a"].combine_chunks(),
+            "id_b": pairs["b"].combine_chunks(),
+            "n_match": pa.array(n_match),
+            "est_milli": pa.array(1000 * n_match // num_perm)},
+            schema=out_schema)
+
+    scored = [t for t in bucket_exchange(round1.union(sig_ds), nb, join_b)
+              if t.num_rows]
+    scored += [t for t in ray.get(exact_ds.to_arrow_refs()) if t.num_rows]
+    if not scored:
+        return out_schema.empty_table()
+    return pa.concat_tables(scored, promote_options="default")

@@ -242,6 +242,11 @@ SQL_QUERIES = [
     # integer micro-units, and a byte-exact edit-distance near-dup join
     # (DuckDB levenshtein is byte-based; the Ray DP matches that unit)
     "lang_concentration", "edit_distance_dedup",
+    # round 5 (final session): estimated-similarity join (matching
+    # signature positions over banded candidates, star-collapsed),
+    # per-language exact quantiles without a sort, and a bloom-pruned
+    # exact semi join (bitset broadcast + keyed verify)
+    "minhash_sim_join", "lang_length_quantiles", "bloom_semi_join",
 ]
 
 
