@@ -471,6 +471,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (final): bloom-pruned exact semi join — fixed-size
         # bitset broadcast + keyed exact verify of bloom passers
         "bloom_semi_join": A.bloom_semi_join,
+        # round 5 (final): Gopher dup-5-gram char fraction — exact
+        # interval union over the token stream, planted footers
+        "dup_ngram_chars": A.dup_ngram_chars,
+        # round 5 (final): corpus-derived stop-word fraction — top-K
+        # combiner pass + broadcast membership pass, integer milli
+        "stopword_coverage": A.stopword_coverage,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1401,6 +1407,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "audio_clipping_detect": AO.audio_clipping_detect_sql(),
         "lang_length_quantiles": A.lang_length_quantiles_sql(),
         "bloom_semi_join": A.bloom_semi_join_sql(),
+        "dup_ngram_chars": A.dup_ngram_chars_sql(),
+        "stopword_coverage": A.stopword_coverage_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

@@ -112,6 +112,7 @@ QUERY_NAMES = [
     "script_mix", "tpch_q4", "weekly_trend",
     "lang_concentration", "edit_distance_dedup", "audio_clipping_detect",
     "minhash_sim_join", "lang_length_quantiles", "bloom_semi_join",
+    "dup_ngram_chars", "stopword_coverage",
 ]
 
 

@@ -9112,3 +9112,212 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '{_BLOOM_PRIO}')
 GROUP BY l_orderkey"""
+
+
+# --- Gopher duplicate-n-gram character fraction -----------------------------------
+
+_DNG_N = 5               # word-gram width (the Gopher "dup 5-gram" rule)
+
+
+def dup_ngram_chars(sf_dir: str):
+    """Gopher-style repetition rule the per-word features (repetition_score)
+    cannot see: the fraction of the tokenized character stream covered by
+    word 5-grams that occur MORE THAN ONCE within the document — boilerplate
+    paragraphs repeated mid-doc light this up even when no single word
+    dominates. Coverage is an exact interval UNION (overlapping duplicate
+    grams never double-count): gram i spans [start_i, start_{i+4} +
+    len(w_{i+4})) over the single-space-joined token stream; since starts
+    are strictly increasing, union length folds left-to-right as
+    max(0, e_i - max(s_i, running_max_prev(e))) — the same running-max
+    spelling the SQL oracle states with a window function. Emitted as
+    integer milli-fraction (1000 * covered // stream_len), never a float.
+
+    The fixture corpus has no intra-doc repetition, so the query PLANTS
+    it deterministically on the TOKEN stream (the silence_trim/clipping
+    precedent, applied to text): every doc_id % 6 == 1 document with >= 8
+    words gets its first 8 words appended twice — a repeated boilerplate
+    footer — before gram extraction, on both engines identically.
+
+    Scale shape: stateless per-doc numpy map (hash 5-grams with 64-bit
+    FNV over the joined bytes — the repetition_score precedent — count,
+    mask, one accumulate), no shuffle."""
+    from ..functions.hll import fnv1a64_batch
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        T = len(texts)
+        cov = np.zeros(T, np.int64)
+        slen = np.zeros(T, np.int64)
+        for r, t in enumerate(texts):
+            ws = t.split()
+            if int(ids[r]) % 6 == 1 and len(ws) >= 8:
+                ws = ws + ws[:8] + ws[:8]       # planted footer
+            nw = len(ws)
+            L = np.fromiter((len(w) for w in ws), np.int64, count=nw)
+            slen[r] = int(L.sum()) + max(0, nw - 1)
+            if nw < _DNG_N:
+                continue
+            starts = np.zeros(nw, np.int64)
+            starts[1:] = np.cumsum(L + 1)[:-1]
+            grams = [" ".join(ws[i:i + _DNG_N]) for i in range(nw - _DNG_N + 1)]
+            h = fnv1a64_batch([g.encode() for g in grams])
+            _, inv, cnt = np.unique(h, return_inverse=True,
+                                    return_counts=True)
+            dup = cnt[inv] >= 2
+            if not dup.any():
+                continue
+            s = starts[:nw - _DNG_N + 1][dup]
+            e = (starts[_DNG_N - 1:] + L[_DNG_N - 1:])[dup]
+            prev = np.zeros(s.size, np.int64)
+            prev[1:] = np.maximum.accumulate(e)[:-1]
+            cov[r] = int(np.maximum(0, e - np.maximum(s, prev)).sum())
+        milli = np.where(slen > 0, 1000 * cov // np.maximum(slen, 1), 0)
+        return pa.table({"doc_id": b["doc_id"],
+                         "covered": pa.array(cov),
+                         "stream_len": pa.array(slen),
+                         "dup_milli": pa.array(milli.astype(np.int64))})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def dup_ngram_chars_sql() -> str:
+    n = _DNG_N
+    return rf"""
+WITH wt0 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), wt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 1 AND len(w) >= 8
+              THEN list_concat(list_concat(w, w[1:8]), w[1:8])
+              ELSE w END AS w
+  FROM wt0
+), flat AS (
+  SELECT doc_id, i, w[i] AS word
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM wt)
+), pos AS (
+  SELECT doc_id, i, word,
+         COALESCE(sum(length(word) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM flat
+), g AS (
+  SELECT wt.doc_id, ps.i, array_to_string(wt.w[ps.i:ps.i + {n - 1}], ' ')
+             AS gram,
+         ps.s AS s, pe.s + length(pe.word) AS e
+  FROM wt
+  JOIN pos ps ON ps.doc_id = wt.doc_id AND ps.i <= len(wt.w) - {n - 1}
+  JOIN pos pe ON pe.doc_id = wt.doc_id AND pe.i = ps.i + {n - 1}
+), dup AS (
+  SELECT doc_id, gram FROM g GROUP BY 1, 2 HAVING count(*) >= 2
+), iv AS (
+  SELECT g.doc_id, g.s, g.e FROM g JOIN dup
+    ON dup.doc_id = g.doc_id AND dup.gram = g.gram
+), cv AS (
+  SELECT doc_id,
+         greatest(0, e - greatest(s, COALESCE(max(e) OVER (
+             PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s))) AS c
+  FROM iv
+), tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS covered FROM cv GROUP BY 1
+), den AS (
+  SELECT doc_id,
+         CAST(length(array_to_string(w, ' ')) AS BIGINT) AS stream_len
+  FROM wt
+)
+SELECT den.doc_id, COALESCE(tot.covered, 0) AS covered, den.stream_len,
+       CASE WHEN den.stream_len > 0
+            THEN 1000 * COALESCE(tot.covered, 0) // den.stream_len
+            ELSE 0 END AS dup_milli
+FROM den LEFT JOIN tot ON tot.doc_id = den.doc_id"""
+
+
+# --- corpus-derived stopword coverage ---------------------------------------------
+
+_SWC_K = 20              # corpus top-K words form the stopword set
+
+
+def stopword_coverage(sf_dir: str):
+    """Stop-word fraction per document — the C4/Gopher quality feature
+    ("too few stop words = word salad / navigation boilerplate") — with
+    the stopword list DERIVED FROM THE CORPUS ITSELF: pass 1 computes the
+    global top-K words (count DESC, word ASC tie-break, both engines
+    spell the same rank rule), pass 2 broadcasts that K-word set and
+    scores every doc's member-token count. Emitted as integer milli
+    (1000 * n_stop // n_tokens), never a float.
+
+    Scale shape: pass 1 is per-block word-count combiners folded on the
+    driver (vocabulary-bounded, the vocab_topk contract); the K-word set
+    is ray.put once and read per task; pass 2 is a stateless vectorized
+    membership map (pc.is_in + reduceat over list offsets), no shuffle."""
+    import ray
+
+    def wc(b: pa.Table) -> pa.Table:
+        w = pc.list_flatten(words_arrow(b["text"]))
+        t = (pa.table({"word": w}).filter(pc.not_equal(w, ""))
+             .group_by("word").aggregate([([], "count_all")]))
+        return t.rename_columns(["word", "n"])
+
+    df = (_read(sf_dir, "documents", ["text"])
+          .map_batches(wc, batch_format="pyarrow")
+          .to_pandas().groupby("word", as_index=False)["n"].sum())
+    df = df.sort_values(["n", "word"], ascending=[False, True],
+                        kind="mergesort").head(_SWC_K)
+    stop_ref = ray.put(pa.array(df["word"].tolist(), pa.string()))
+
+    def f(b: pa.Table) -> pa.Table:
+        stop = cached_get(stop_ref)
+        w = words_arrow(b["text"])
+        flat = pc.list_flatten(w)
+        nonempty = pc.not_equal(flat, "")
+        is_stop = pc.and_(pc.is_in(flat, value_set=stop), nonempty)
+        offs = np.zeros(b.num_rows + 1, np.int64)
+        offs[1:] = np.cumsum(
+            pc.list_value_length(w).to_numpy(zero_copy_only=False))
+        stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_np = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_stop = np.add.reduceat(stop_np, offs[:-1]) \
+            if len(stop_np) else np.zeros(b.num_rows, np.int64)
+        n_tok = np.add.reduceat(tok_np, offs[:-1]) \
+            if len(tok_np) else np.zeros(b.num_rows, np.int64)
+        # reduceat quirk: offs[i] == offs[i+1] (empty doc) repeats the next
+        # segment's first element — zero those docs explicitly
+        empty = offs[:-1] == offs[1:]
+        n_stop[empty] = 0
+        n_tok[empty] = 0
+        milli = np.where(n_tok > 0, 1000 * n_stop // np.maximum(n_tok, 1), 0)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_stop": pa.array(n_stop.astype(np.int64)),
+                         "n_tokens": pa.array(n_tok.astype(np.int64)),
+                         "stop_milli": pa.array(milli.astype(np.int64))})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def stopword_coverage_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '{SQL_WS_RE}'),
+                              x -> x != '')) AS word
+    FROM documents)
+), top AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS n FROM w GROUP BY word
+    ORDER BY n DESC, word LIMIT {_SWC_K})
+), per AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (WHERE word IN (SELECT word FROM top))
+              AS BIGINT) AS n_stop,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(per.n_stop, 0) AS n_stop,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       CASE WHEN COALESCE(per.n_tokens, 0) > 0
+            THEN 1000 * per.n_stop // per.n_tokens ELSE 0 END AS stop_milli
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"""

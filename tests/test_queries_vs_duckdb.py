@@ -247,6 +247,10 @@ SQL_QUERIES = [
     # per-language exact quantiles without a sort, and a bloom-pruned
     # exact semi join (bitset broadcast + keyed verify)
     "minhash_sim_join", "lang_length_quantiles", "bloom_semi_join",
+    # round 5 (final session): Gopher dup-5-gram char fraction (exact
+    # interval union, planted boilerplate footers) and corpus-derived
+    # stop-word fraction (top-K broadcast-back, integer milli)
+    "dup_ngram_chars", "stopword_coverage",
 ]
 
 
