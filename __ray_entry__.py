@@ -477,6 +477,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (final): corpus-derived stop-word fraction — top-K
         # combiner pass + broadcast membership pass, integer milli
         "stopword_coverage": A.stopword_coverage,
+        # round 5 (final): NFC normalize-before-hash audit — planted
+        # combining sequences, normalized-md5 dedup keys
+        "nfc_normalize_scan": A.nfc_normalize_scan,
+        # round 5 (final): hash-partition skew diagnostic over the SAME
+        # md5 key hash the keyed exchanges route by
+        "partition_skew": A.partition_skew,
         # round 5: distributed exact prefix-sum quota cuts (training-mix
         # corpus balancing — per-lang char budget / per-codec audio ms)
         "corpus_balance": A.corpus_balance,
@@ -1409,6 +1415,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "bloom_semi_join": A.bloom_semi_join_sql(),
         "dup_ngram_chars": A.dup_ngram_chars_sql(),
         "stopword_coverage": A.stopword_coverage_sql(),
+        "nfc_normalize_scan": A.nfc_normalize_scan_sql(),
+        "partition_skew": A.partition_skew_sql(),
         "pack_sequences": A.pack_sequences_sql(),
         "tpch_q1": A.tpch_q1_sql(),
         "hash_join": A.hash_join_sql(),

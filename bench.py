@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "lang_concentration", "edit_distance_dedup", "audio_clipping_detect",
     "minhash_sim_join", "lang_length_quantiles", "bloom_semi_join",
     "dup_ngram_chars", "stopword_coverage",
+    "nfc_normalize_scan", "partition_skew",
 ]
 
 

@@ -9321,3 +9321,116 @@ SELECT d.doc_id, COALESCE(per.n_stop, 0) AS n_stop,
        CASE WHEN COALESCE(per.n_tokens, 0) > 0
             THEN 1000 * per.n_stop // per.n_tokens ELSE 0 END AS stop_milli
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"""
+
+
+# --- NFC normalization scan --------------------------------------------------------
+
+
+def nfc_normalize_scan(sf_dir: str):
+    """Unicode-NFC normalization audit — the hash-dedup prep step the
+    reference's byte-level hash columns silently need (two visually
+    identical texts whose accents differ only in composed-vs-combining
+    form hash apart; NFC-normalize-before-hash closes that): per doc the
+    codepoint length before and after NFC, a changed flag, and the md5 of
+    the NORMALIZED text (the dedup key a production epoch would store).
+    The fixture corpus is pure ASCII (NFC-invariant), so the query PLANTS
+    decomposed sequences deterministically: every doc_id % 4 == 1 doc
+    gets ' nfc cafe' + U+0301 appended — composing to 'café' — on both
+    engines identically. Python unicodedata and DuckDB's utf8proc agree
+    on NFC for any assigned codepoint (both track the stable Unicode
+    normalization tables; the planted sequence is Unicode-1.1 stable).
+
+    Scale shape: stateless per-doc map (normalize + hash), no shuffle."""
+    import hashlib
+    import unicodedata
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        raw_len = np.empty(len(texts), np.int64)
+        nfc_len = np.empty(len(texts), np.int64)
+        digests = []
+        for r, t in enumerate(texts):
+            if int(ids[r]) % 4 == 1:
+                t = t + " nfc café"
+            raw_len[r] = len(t)
+            n = unicodedata.normalize("NFC", t)
+            nfc_len[r] = len(n)
+            digests.append(hashlib.md5(n.encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "raw_len": pa.array(raw_len),
+            "nfc_len": pa.array(nfc_len),
+            "changed": pa.array(raw_len != nfc_len),
+            "nfc_md5": pa.array(digests, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def nfc_normalize_scan_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1
+              THEN text || ' nfc cafe' || chr(769) ELSE text END AS t
+  FROM documents)
+SELECT doc_id, CAST(length(t) AS BIGINT) AS raw_len,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS nfc_len,
+       length(t) != length(nfc_normalize(t)) AS changed,
+       md5(nfc_normalize(t)) AS nfc_md5
+FROM t"""
+
+
+# --- hash-partition skew diagnostics ----------------------------------------------
+
+_SKEW_NB = 16
+
+
+def partition_skew(sf_dir: str):
+    """Partition-skew diagnostic — the planning query behind every keyed
+    exchange in this repo ("will hash(source) % nb balance, or does one
+    feed dominate a reducer"): rows and distinct keys per hash bucket of
+    the `source` key, plus each bucket's integer milli share scaled by
+    the bucket count (1000 = perfectly balanced, 16000 = one bucket owns
+    everything at nb=16). Uses the SAME md5->int64 key hash the keyed
+    exchanges use (functions.hashing.md5_i64), so the diagnosis applies
+    verbatim to the production routing.
+
+    Scale shape: per-block (bucket, source) count combiners, driver fold
+    over the bounded bucket x source grid; one pass, no shuffle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = md5_i64_array(b["source"]).to_numpy()
+        g = (pa.table({"bucket": pa.array(h % _SKEW_NB, pa.int64()),
+                       "source": b["source"]})
+             .group_by(["bucket", "source"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["bucket", "source", "n"])
+
+    df = (_read(sf_dir, "documents", ["source"])
+          .map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby(["bucket", "source"], as_index=False)["n"]
+          .sum())
+    total = int(df["n"].sum())
+    g = df.groupby("bucket").agg(n_rows=("n", "sum"),
+                                 n_keys=("source", "nunique")).reset_index()
+    n_rows = g["n_rows"].to_numpy(np.int64)
+    return pa.table({
+        "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+        "n_rows": pa.array(n_rows),
+        "n_keys": pa.array(g["n_keys"].to_numpy(np.int64)),
+        "share_milli": pa.array(1000 * _SKEW_NB * n_rows // total)})
+
+
+def partition_skew_sql() -> str:
+    h = sql_md5_i64("source")
+    return f"""
+WITH b AS (
+  SELECT ({h}) % {_SKEW_NB} AS bucket, source, count(*) AS n
+  FROM documents GROUP BY 1, 2
+), t AS (SELECT sum(n) AS total FROM b)
+SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_keys,
+       CAST(1000 * {_SKEW_NB} * sum(n) // (SELECT total FROM t) AS BIGINT)
+           AS share_milli
+FROM b GROUP BY bucket"""

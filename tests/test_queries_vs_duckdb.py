@@ -251,6 +251,10 @@ SQL_QUERIES = [
     # interval union, planted boilerplate footers) and corpus-derived
     # stop-word fraction (top-K broadcast-back, integer milli)
     "dup_ngram_chars", "stopword_coverage",
+    # round 5 (final session): NFC normalize-before-hash audit (planted
+    # combining sequences; unicodedata == utf8proc on stable NFC) and
+    # hash-partition skew diagnostics over the exchanges' md5 key hash
+    "nfc_normalize_scan", "partition_skew",
 ]
 
 
