@@ -138,6 +138,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "doc_id", "text", n=3, threshold=0.5,
             n_rows=_table_rows(sf_dir, "documents") + 50)
 
+    def split_leak_purge(sf_dir: str):
+        ds = C.mutated_docs(sf_dir)
+        members = dedup_family.dedup_clusters(
+            ds, "doc_id", "text", threshold=0.7, detector="minhash",
+            n_rows=_table_rows(sf_dir, "documents") + 50)
+        return members.map_batches(A.cluster_split_batch,
+                                   batch_format="pyarrow")
+
     def clusters_simhash(sf_dir: str):
         ds = C.mutated_docs(sf_dir)
         return dedup_family.dedup_clusters(
@@ -491,6 +499,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: deterministic stratified holdout split (exact
         # per-language ceil quotas in stable-hash order)
         "train_val_split": A.train_val_split,
+        # round 5 (cont. session): leakage-safe holdout split — the split
+        # is a pure function of the minhash near-dup CLUSTER id, so no
+        # near-dup pair can straddle the train/val boundary
+        "split_leak_purge": split_leak_purge,
+        # round 5 (cont. session): TPC-H Q5 six-table regional revenue
+        # (the join whose filter is an equality between two different
+        # dimension annotations — customer nation == supplier nation)
+        "tpch_q5": A.tpch_q5,
+        # round 5 (cont. session): per-dimension embedding moments
+        # (shuffle-free columnwise partials, floor-micro quantization)
+        "embedding_dim_stats": A.embedding_dim_stats,
+        # round 5 (cont. session): top-k ordered behavioral paths
+        # (ordered string aggregation through two keyed exchanges)
+        "event_paths": A.event_paths,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -1435,6 +1457,15 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "dedup_clusters": dedup_clusters_sql,
         "dedup_clusters_minhash": mh_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
+        # leakage-safe split = the minhash cluster closure + the shared
+        # hash-of-cluster CASE rule (both engines derive from A.LEAK_*)
+        "split_leak_purge": mh_cluster_ctes
+        + "\nSELECT doc_id, cluster, "
+        + A.leak_split_case_sql("cluster")
+        + " AS split FROM clusters",
+        "tpch_q5": A.tpch_q5_sql(),
+        "embedding_dim_stats": A.embedding_dim_stats_sql(),
+        "event_paths": A.event_paths_sql(),
         "dedup_clusters_simhash": sim_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
         "dedup_keep_best_simhash": dedup_keep_best_simhash_sql,

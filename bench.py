@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "minhash_sim_join", "lang_length_quantiles", "bloom_semi_join",
     "dup_ngram_chars", "stopword_coverage",
     "nfc_normalize_scan", "partition_skew",
+    "tpch_q5", "embedding_dim_stats", "event_paths", "split_leak_purge",
 ]
 
 

@@ -9434,3 +9434,427 @@ SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
        CAST(1000 * {_SKEW_NB} * sum(n) // (SELECT total FROM t) AS BIGINT)
            AS share_milli
 FROM b GROUP BY bucket"""
+
+
+# --- TPC-H Q5 (six-table regional-revenue join) ------------------------------
+
+_Q5_REGION = "EUROPE"            # 4 member nations in the fixture —
+_Q5_LO = "1996-01-01"            # the widest regional spread
+_Q5_HI = "1998-01-01"
+
+
+def tpch_q5(sf_dir: str):
+    """TPC-H-Q5-shaped regional revenue: the one classic join shape still
+    missing after hash_join (one exchange), tpch_q3 (chained exchanges)
+    and star_profit (broadcast star) — a join whose FILTER is an equality
+    between two different dimension annotations (customer's nation must
+    equal the line's supplier nation), so neither side alone can apply it.
+
+    Composition of the repo's two join scale patterns:
+
+    1. Broadcast dims once: region⨝nation pins the {_Q5_REGION} nation-key
+       set; supplier (probed against it) ships as a sorted
+       (s_suppkey -> s_nationkey) array — both are dimension-sized.
+    2. custkey exchange: region-member customers (carrying c_nationkey)
+       co-partition with date-filtered orders; the per-bucket reduce is a
+       vectorized searchsorted join emitting slim (okey, cnat) rows.
+       Neither customers nor orders is broadcast — both are fact-scale.
+    3. orderkey exchange: lineitem pre-aggregates integer-micro revenue
+       per (l_orderkey, supplier nation) per block AFTER the broadcast
+       supplier-nation probe (rows of non-member suppliers drop before
+       the exchange); the reduce joins the two slim sides on okey, keeps
+       rows where cnat == snat (the Q5 predicate), and emits per-nation
+       partials — the driver folds O(nb x nations) rows, never the join.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange, bucket_exchange_dataset
+
+    lo = np.datetime64(_Q5_LO, "us")
+    hi = np.datetime64(_Q5_HI, "us")
+    nb1 = scaled_buckets(
+        pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows,
+        rows_per_bucket=2_000_000, lo=_JOIN_BUCKETS)
+    nb2 = scaled_buckets(
+        pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows,
+        rows_per_bucket=2_000_000, lo=_JOIN_BUCKETS)
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    reg = reg.filter(pc.equal(reg["r_name"], _Q5_REGION))
+    rkey = reg["r_regionkey"][0].as_py()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    nat = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    nkeys = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nkeys)
+    nkeys = nkeys[order]
+    nnames = np.asarray(nat["n_name"].to_pylist(), dtype=object)[order]
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    member = np.isin(sn, nkeys)
+    sk, sn = sk[member], sn[member]
+    sorder = np.argsort(sk)
+    sk, sn = sk[sorder], sn[sorder]
+    dims_ref = ray.put((nkeys, sk, sn))
+
+    mix1 = pa.schema([("bucket", pa.int64()), ("ckey", pa.int64()),
+                      ("cnat", pa.int64()), ("okey", pa.int64())])
+
+    def _m1(nrows: int, **cols) -> pa.Table:
+        return pa.table({f.name: cols.get(f.name, pa.nulls(nrows, f.type))
+                         for f in mix1}, schema=mix1)
+
+    def c_rows(b: pa.Table, _ref=dims_ref) -> pa.Table:
+        nk, _, _ = cached_get(_ref)
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(np.isin(cn, nk)))
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return _m1(len(k), bucket=pa.array(k % nb1, pa.int64()),
+                   ckey=pa.array(k, pa.int64()),
+                   cnat=pc.cast(t["c_nationkey"], pa.int64()))
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        od = pc.cast(b["o_orderdate"], pa.timestamp("us"))
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(od, pa.scalar(hi, pa.timestamp("us"))))
+        t = b.filter(keep)
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return _m1(len(k), bucket=pa.array(k % nb1, pa.int64()),
+                   ckey=pa.array(k, pa.int64()),
+                   okey=t["o_orderkey"].combine_chunks())
+
+    def join1(t: pa.Table) -> pa.Table | None:
+        is_o = pc.is_valid(t["okey"])
+        c = t.filter(pc.invert(is_o))
+        o = t.filter(is_o)
+        if c.num_rows == 0 or o.num_rows == 0:
+            return None
+        ck = c["ckey"].to_numpy(zero_copy_only=False)
+        cn = c["cnat"].to_numpy(zero_copy_only=False)
+        corder = np.argsort(ck)
+        ck, cn = ck[corder], cn[corder]
+        ok = o["ckey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck, ok), 0, ck.size - 1)
+        hit = ck[pos] == ok
+        oo = o.filter(pa.array(hit))
+        return pa.table({"okey": oo["okey"].cast(pa.int64()),
+                         "cnat": pa.array(cn[pos[hit]], pa.int64())})
+
+    j1_empty = pa.table({"okey": pa.array([], pa.int64()),
+                         "cnat": pa.array([], pa.int64())})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]
+                 ).map_batches(c_rows, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"]
+                   ).map_batches(o_rows, batch_format="pyarrow")
+    onat = bucket_exchange_dataset(cust.union(orders), nb1, join1, j1_empty)
+
+    mix2 = pa.schema([("bucket", pa.int64()), ("okey", pa.int64()),
+                      ("nat", pa.int64()), ("rev", pa.int64())])
+
+    def _m2(nrows: int, **cols) -> pa.Table:
+        return pa.table({f.name: cols.get(f.name, pa.nulls(nrows, f.type))
+                         for f in mix2}, schema=mix2)
+
+    def o2_rows(b: pa.Table) -> pa.Table:
+        k = b["okey"].to_numpy(zero_copy_only=False)
+        return _m2(len(k), bucket=pa.array(k % nb2, pa.int64()),
+                   okey=b["okey"].combine_chunks(),
+                   nat=b["cnat"].combine_chunks())
+
+    def l_rows(b: pa.Table, _ref=dims_ref) -> pa.Table:
+        _, skk, snn = cached_get(_ref)
+        ls = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = (np.clip(np.searchsorted(skk, ls), 0, max(skk.size - 1, 0))
+               if skk.size else np.zeros(len(ls), np.int64))
+        hit = skk[pos] == ls if skk.size else np.zeros(len(ls), bool)
+        if not hit.any():
+            return _m2(0)
+        t = b.filter(pa.array(hit))
+        price_c = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "okey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "nat": snn[pos[hit]],
+            "rev": price_c * (100 - disc_c)})
+        g = df.groupby(["okey", "nat"], sort=False)["rev"].sum().reset_index()
+        kk = g["okey"].to_numpy(np.int64)
+        return _m2(len(kk), bucket=pa.array(kk % nb2, pa.int64()),
+                   okey=pa.array(kk, pa.int64()),
+                   nat=pa.array(g["nat"].to_numpy(np.int64)),
+                   rev=pa.array(g["rev"].to_numpy(np.int64)))
+
+    def join2(t: pa.Table) -> pa.Table | None:
+        is_l = pc.is_valid(t["rev"])
+        li = (t.filter(is_l).select(["okey", "nat", "rev"]).to_pandas()
+              .groupby(["okey", "nat"], sort=False)["rev"].sum()
+              .reset_index())
+        od = (t.filter(pc.invert(is_l)).select(["okey", "nat"]).to_pandas()
+              .drop_duplicates("okey").rename(columns={"nat": "cnat"}))
+        m = od.merge(li, on="okey")
+        m = m[m["cnat"] == m["nat"]]
+        if m.empty:
+            return None
+        g = m.groupby("nat", sort=False)["rev"].sum().reset_index()
+        return pa.table({"nat": pa.array(g["nat"].to_numpy(np.int64)),
+                         "rev": pa.array(g["rev"].to_numpy(np.int64))})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+               ).map_batches(l_rows, batch_format="pyarrow")
+    tabs = [t for t in bucket_exchange(
+        onat.map_batches(o2_rows, batch_format="pyarrow").union(li),
+        nb2, join2) if t is not None and t.num_rows]
+    if not tabs:
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "revenue_micro": pd.Series([], dtype="int64")})
+    fold = (pa.concat_tables(tabs).to_pandas()
+            .groupby("nat", sort=False)["rev"].sum().reset_index())
+    pos = np.searchsorted(nkeys, fold["nat"].to_numpy(np.int64))
+    out = pd.DataFrame({"n_name": nnames[pos],
+                        "revenue_micro": fold["rev"].to_numpy(np.int64)})
+    return (out.sort_values(["revenue_micro", "n_name"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def tpch_q5_sql() -> str:
+    rev = ("CAST(round(l_extendedprice * 100) AS BIGINT) * "
+           "(100 - CAST(round(l_discount * 100) AS BIGINT))")
+    return f"""
+SELECT n_name, CAST(SUM({rev}) AS BIGINT) AS revenue_micro
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_Q5_LO} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{_Q5_HI} 00:00:00'
+GROUP BY n_name"""
+
+
+# --- per-dimension embedding moments -----------------------------------------
+
+_DIM_SCALE = 1_000_000        # floor(v * 1e6) — float32 -> double is exact,
+                              # the double multiply is IEEE-identical in
+                              # numpy and DuckDB, and floor (unlike round's
+                              # ties) has no engine-dependent edge
+
+
+def embedding_dim_stats(sf_dir: str):
+    """Per-dimension moments of the embedding column — the feature-scaling
+    prepass (normalize / clip / whitening diagnostics) every embedding
+    pipeline runs before ANN or k-means: for each of the d list positions,
+    exact n / sum / min / max over floor-quantized micro-unit values.
+
+    Scale shape: the only shuffle-free aggregation spelling — each block
+    renders its (rows x d) matrix once (the `_embed_matrix` zero-copy
+    flatten), reduces it columnwise to ONE d-row partial, and the driver
+    folds O(blocks x d) rows. Quantizing to int64 micro-units first makes
+    the partial sums associative and bit-identical to SQL regardless of
+    block boundaries — the `_cents` rule applied to the vector modality."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _embed_matrix(b["embedding"])
+        q = np.floor(m * _DIM_SCALE).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, q.shape[0], np.int64)),
+            "sum_q": pa.array(q.sum(axis=0, dtype=np.int64)),
+            "min_q": pa.array(q.min(axis=0)),
+            "max_q": pa.array(q.max(axis=0))})
+
+    df = (_read(sf_dir, "embeddings", ["embedding"])
+          .map_batches(partial, batch_format="pyarrow")
+          .to_pandas())
+    g = df.groupby("dim", as_index=False).agg(
+        n=("n", "sum"), sum_q=("sum_q", "sum"),
+        min_q=("min_q", "min"), max_q=("max_q", "max"))
+    return pa.table({
+        "dim": pa.array(g["dim"].to_numpy(np.int64)),
+        "n": pa.array(g["n"].to_numpy(np.int64)),
+        "sum_q": pa.array(g["sum_q"].to_numpy(np.int64)),
+        "min_q": pa.array(g["min_q"].to_numpy(np.int64)),
+        "max_q": pa.array(g["max_q"].to_numpy(np.int64))})
+
+
+def embedding_dim_stats_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT unnest(embedding) AS v, unnest(range(len(embedding))) AS d
+  FROM embeddings
+), q AS (
+  SELECT d, CAST(floor(CAST(v AS DOUBLE) * {_DIM_SCALE}) AS BIGINT) AS q
+  FROM u)
+SELECT CAST(d AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(min(q) AS BIGINT) AS min_q,
+       CAST(max(q) AS BIGINT) AS max_q
+FROM q GROUP BY d"""
+
+
+# --- leakage-safe split (near-dup clusters never straddle a split) -----------
+
+LEAK_MOD = 10                 # md5(cluster) % 10: 0-7 train, 8 val, 9 test
+LEAK_TRAIN_LT = 8
+LEAK_VAL_LT = 9
+_LEAK_NAMES = np.array(["train", "val", "test"])
+_LEAK_SCHEMA = pa.schema([("doc_id", pa.int64()), ("cluster", pa.int64()),
+                          ("split", pa.string())])
+
+
+def cluster_split_batch(b: pa.Table) -> pa.Table:
+    """Split assignment as a pure function of the near-dup CLUSTER id (not
+    the doc id): every member of a component hashes to the same split, so
+    no near-duplicate pair can straddle the train/val boundary — the
+    leakage property a plain per-doc hash split (train_val_split) cannot
+    give. Deterministic, partitioning-independent, resumable; the quota
+    is approximate (hash-proportional) by construction, which is the
+    standard trade a leakage-safe split makes."""
+    h = md5_i64_array([str(v) for v in b["cluster"].to_pylist()]).to_numpy(
+        zero_copy_only=False)
+    m = h % LEAK_MOD
+    stat = np.where(m < LEAK_TRAIN_LT, 0, np.where(m < LEAK_VAL_LT, 1, 2))
+    return pa.table({
+        "doc_id": b["doc_id"].cast(pa.int64()),
+        "cluster": b["cluster"].cast(pa.int64()),
+        "split": pa.array(_LEAK_NAMES[stat], pa.string()),
+    }, schema=_LEAK_SCHEMA)
+
+
+def leak_split_case_sql(cluster_col: str) -> str:
+    """The SAME hash rule as :func:`cluster_split_batch`, spelled for the
+    oracle — both engines derive from LEAK_* so they cannot drift."""
+    h = sql_md5_i64(f"CAST({cluster_col} AS VARCHAR)")
+    return (f"CASE WHEN ({h}) % {LEAK_MOD} < {LEAK_TRAIN_LT} THEN 'train' "
+            f"WHEN ({h}) % {LEAK_MOD} < {LEAK_VAL_LT} THEN 'val' "
+            f"ELSE 'test' END")
+
+
+# --- top-k ordered behavioral paths -------------------------------------------
+
+_PATH_PREFIX = 8              # first K events of each user's stream
+_PATH_TOP = 20
+
+
+def event_paths(sf_dir: str):
+    """Sequential-pattern mining: each user's first {_PATH_PREFIX} events
+    in (ts, event_id) order joined into a '>' path string, then the
+    global top-{_PATH_TOP} paths by user count — the onboarding-funnel /
+    bot-signature query that needs ORDERED aggregation, not just counts.
+
+    Scale shape, two exchanges with nothing wide between them:
+
+    1. user-keyed: slim (user, type idx, ts, event_id) rows co-locate per
+       user; each bucket lexsorts once, ranks within user by boundary
+       subtraction, truncates to the prefix, builds path strings with one
+       pandas ordered-concat groupby, and emits PRE-COUNTED (path, n)
+       partials — users never straddle buckets, so each partial count is
+       already exact per (bucket, path).
+    2. path-keyed: partials co-locate per path (md5 bucket); the reduce
+       sums and emits only its LOCAL top-{_PATH_TOP} (n DESC, path ASC) —
+       correct globally because a path lives in exactly one bucket; the
+       driver merges nb x {_PATH_TOP} rows, never the path table."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange, bucket_exchange_dataset
+
+    n_ev = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    nb1 = scaled_buckets(n_ev, rows_per_bucket=500_000, lo=8)
+    nb2 = scaled_buckets(n_ev, rows_per_bucket=500_000, lo=8)
+    types = _PIVOT_TYPES
+    tidx = {t: i for i, t in enumerate(types)}
+
+    def slim(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = b["event_type"].to_pylist()
+        return pa.table({
+            "bucket": pa.array(uid % nb1),
+            "u": pa.array(uid),
+            "ti": pa.array(np.fromiter((tidx[x] for x in et), np.int64,
+                                       len(et))),
+            "t": pa.array(pc.cast(b["ts"], pa.int64())
+                          .to_numpy(zero_copy_only=False)),
+            "eid": pa.array(b["event_id"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64))})
+
+    names = np.asarray(types, dtype=object)
+
+    def paths(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        uid = t["u"].to_numpy(zero_copy_only=False)
+        ti = t["ti"].to_numpy(zero_copy_only=False)
+        ts = t["t"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ti = uid[order], ti[order]
+        new = np.empty(len(uid), bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(uid)))
+        rank = np.arange(len(uid)) - np.repeat(starts, sizes)
+        keep = rank < _PATH_PREFIX
+        df = pd.DataFrame({"u": uid[keep], "w": names[ti[keep]]})
+        p = df.groupby("u", sort=False)["w"].agg(">".join)
+        cnt = p.value_counts()
+        pth = cnt.index.to_numpy(object)
+        h = md5_i64_array(pth.tolist()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(h % nb2, pa.int64()),
+            "path": pa.array(pth, pa.string()),
+            "n": pa.array(cnt.to_numpy(np.int64))})
+
+    def topk(t: pa.Table) -> pa.Table | None:
+        df = (t.select(["path", "n"]).to_pandas()
+              .groupby("path", sort=False)["n"].sum().reset_index())
+        if df.empty:
+            return None
+        df = (df.sort_values(["n", "path"], ascending=[False, True])
+              .head(_PATH_TOP))
+        return pa.table({"path": pa.array(df["path"], pa.string()),
+                         "n_users": pa.array(df["n"].to_numpy(np.int64))})
+
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "path": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    partials = bucket_exchange_dataset(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+        .map_batches(slim, batch_format="pyarrow"),
+        nb1, paths, empty)
+    tabs = [t for t in bucket_exchange(partials, nb2, topk)
+            if t is not None and t.num_rows]
+    if not tabs:
+        return pd.DataFrame({"path": pd.Series([], dtype=object),
+                             "n_users": pd.Series([], dtype="int64")})
+    out = pa.concat_tables(tabs).to_pandas()
+    return (out.sort_values(["n_users", "path"], ascending=[False, True])
+            .head(_PATH_TOP).reset_index(drop=True))
+
+
+def event_paths_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM o WHERE rn <= {_PATH_PREFIX} GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {_PATH_TOP}"""

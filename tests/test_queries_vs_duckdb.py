@@ -255,6 +255,12 @@ SQL_QUERIES = [
     # combining sequences; unicodedata == utf8proc on stable NFC) and
     # hash-partition skew diagnostics over the exchanges' md5 key hash
     "nfc_normalize_scan", "partition_skew",
+    # round 5 (cont. session): TPC-H Q5 six-table regional revenue (the
+    # c_nationkey == s_nationkey cross-side predicate), per-dimension
+    # embedding moments (floor-micro int64, shuffle-free partials), top-k
+    # ordered behavioral paths (ordered string_agg through two keyed
+    # exchanges), and the leakage-safe cluster-hash holdout split
+    "tpch_q5", "embedding_dim_stats", "event_paths", "split_leak_purge",
 ]
 
 
