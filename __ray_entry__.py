@@ -513,6 +513,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (cont. session): top-k ordered behavioral paths
         # (ordered string aggregation through two keyed exchanges)
         "event_paths": A.event_paths,
+        # round 5 (cont. session): quality-gate threshold sweep (one
+        # corpus pass prices every candidate cutoff; cross-multiplied
+        # integer compares, bounded combiner, no shuffle)
+        "filter_sweep": A.filter_sweep,
+        # round 5 (cont. session): deterministic contrastive negative
+        # sampling (pure hash function of (doc_id, j, N) — reproducible
+        # across runs/partitionings, never self-paired)
+        "negative_samples": A.negative_samples,
+        # round 5 (cont. session): session-grain conversion KPI (gap
+        # sessionization + per-session any-purchase, one keyed exchange)
+        "session_conversion": A.session_conversion,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -1466,6 +1477,9 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "tpch_q5": A.tpch_q5_sql(),
         "embedding_dim_stats": A.embedding_dim_stats_sql(),
         "event_paths": A.event_paths_sql(),
+        "filter_sweep": A.filter_sweep_sql(),
+        "negative_samples": A.negative_samples_sql(),
+        "session_conversion": A.session_conversion_sql(),
         "dedup_clusters_simhash": sim_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
         "dedup_keep_best_simhash": dedup_keep_best_simhash_sql,

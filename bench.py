@@ -115,6 +115,7 @@ QUERY_NAMES = [
     "dup_ngram_chars", "stopword_coverage",
     "nfc_normalize_scan", "partition_skew",
     "tpch_q5", "embedding_dim_stats", "event_paths", "split_leak_purge",
+    "filter_sweep", "negative_samples", "session_conversion",
 ]
 
 

@@ -9858,3 +9858,198 @@ SELECT path, CAST(count(*) AS BIGINT) AS n_users
 FROM p GROUP BY path
 ORDER BY n_users DESC, path
 LIMIT {_PATH_TOP}"""
+
+
+# --- quality-filter threshold sweep -------------------------------------------
+
+_SWEEP_TS = list(range(0, 50, 5))      # stop-hit milli-density thresholds
+
+
+def filter_sweep(sf_dir: str):
+    """Filter-threshold sweep — the planning query behind every quality
+    gate: for each candidate threshold t (stopword hits per 1000 chars,
+    the C4-style "enough common words" rule), how many documents and how
+    many characters survive ``hits * 1000 >= t * n_chars``? Run ONCE
+    before committing a cutoff instead of re-running the corpus per
+    candidate. The compare is cross-multiplied integers (never a float
+    ratio), so partial sums are associative and bit-identical to SQL.
+
+    Scale shape: one streaming pass; each block reduces to a
+    {len(_SWEEP_TS)}-row (thr, n_kept, chars_kept) partial via one
+    regex-count vectorized over the block and a boolean mask per
+    threshold; the driver folds O(blocks x thresholds) rows. No shuffle —
+    the sweep axis is a constant, not a key."""
+    ts = np.asarray(_SWEEP_TS, np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        hits = pc.count_substring_regex(text, _STOP_PAT).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ln = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        keep = hits[None, :] * 1000 >= ts[:, None] * ln[None, :]
+        return pa.table({
+            "thr_milli": pa.array(ts),
+            "n_kept": pa.array(keep.sum(axis=1).astype(np.int64)),
+            "chars_kept": pa.array((keep * ln[None, :]).sum(axis=1)
+                                   .astype(np.int64))})
+
+    df = (_read(sf_dir, "documents", ["text"])
+          .map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby("thr_milli", as_index=False).sum())
+    return pa.table({
+        "thr_milli": pa.array(df["thr_milli"].to_numpy(np.int64)),
+        "n_kept": pa.array(df["n_kept"].to_numpy(np.int64)),
+        "chars_kept": pa.array(df["chars_kept"].to_numpy(np.int64))})
+
+
+def filter_sweep_sql() -> str:
+    vals = ", ".join(f"({t})" for t in _SWEEP_TS)
+    return f"""
+WITH s AS (
+  SELECT len(regexp_extract_all(text, '{_q(_STOP_PAT)}')) AS h,
+         length(text) AS ln
+  FROM documents)
+SELECT CAST(t.thr AS BIGINT) AS thr_milli,
+       CAST(count(*) FILTER (h * 1000 >= t.thr * ln) AS BIGINT) AS n_kept,
+       CAST(COALESCE(sum(ln) FILTER (h * 1000 >= t.thr * ln), 0) AS BIGINT)
+           AS chars_kept
+FROM s CROSS JOIN (VALUES {vals}) t(thr)
+GROUP BY t.thr"""
+
+
+# --- deterministic contrastive negative sampling -------------------------------
+
+NEG_K = 3                     # negatives per anchor document
+
+
+def negative_samples(sf_dir: str):
+    """Deterministic negative sampling for contrastive training pairs:
+    anchor doc i gets {NEG_K} pseudo-random partners
+    ``(i + 1 + md5(i·j) % (N-1)) % N`` — never itself (the offset lives in
+    [1, N-1]), uniform over the corpus, and a pure function of
+    (doc_id, j, N), so a re-run, a resume, or a differently-partitioned
+    cluster reproduces the identical pair set (the property
+    random.choice-per-worker cannot give; the seeded-hash-order rule
+    shard_assign / train_val_split already use). N rides in as cheap
+    parquet metadata — doc ids are dense [0, N), the fixture contract.
+
+    Scale shape: stateless vectorized map, {NEG_K} slim output rows per
+    doc, no shuffle, no broadcast beyond one int."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def expand(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        for j in range(1, NEG_K + 1):
+            h = md5_i64_array([f"{d}#{j}" for d in ids]).to_numpy(
+                zero_copy_only=False)
+            neg = (ids + 1 + h % (n - 1)) % n
+            outs.append(pa.table({
+                "doc_id": pa.array(ids),
+                "j": pa.array(np.full(len(ids), j, np.int64)),
+                "neg_id": pa.array(neg)}))
+        return pa.concat_tables(outs)
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        expand, batch_format="pyarrow")
+
+
+def negative_samples_sql() -> str:
+    h = sql_md5_i64("CAST(doc_id AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    js = ", ".join(f"({j})" for j in range(1, NEG_K + 1))
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, CAST(j.j AS BIGINT) AS j,
+       (doc_id + 1 + ({h}) % (n.n - 1)) % n.n AS neg_id
+FROM documents CROSS JOIN (VALUES {js}) j(j) CROSS JOIN n"""
+
+
+# --- per-user session conversion ----------------------------------------------
+
+
+def session_conversion(sf_dir: str):
+    """Session-level conversion: sessionize each user's stream (the
+    {SESSION_GAP_S}-second gap rule sessionize uses) and report, per
+    user, total sessions and sessions containing at least one purchase —
+    the funnel KPI computed at SESSION grain, which needs the gap
+    segmentation event_funnel's fixed windows don't express.
+
+    Scale shape: slim (user, ts, event_id, is_purchase) rows through one
+    user-keyed exchange (users never straddle buckets); each bucket
+    lexsorts once, derives session ids by boundary cumsum, folds
+    (user, session) -> any-purchase with one pandas two-level groupby,
+    and emits exact per-user rows. No second pass, no driver fold."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_ev = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    nb = scaled_buckets(n_ev, rows_per_bucket=500_000, lo=8)
+    gap_us = SESSION_GAP_S * 1_000_000
+
+    def slim(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(uid % nb),
+            "u": pa.array(uid),
+            "t": pa.array(pc.cast(b["ts"], pa.int64())
+                          .to_numpy(zero_copy_only=False)),
+            "eid": pa.array(b["event_id"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "buy": pc.equal(b["event_type"], "purchase")})
+
+    def fold(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        uid = t["u"].to_numpy(zero_copy_only=False)
+        ts = t["t"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        buy = t["buy"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, buy = uid[order], ts[order], buy[order]
+        new = np.empty(len(uid), bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        sess = np.cumsum(new)
+        df = pd.DataFrame({"u": uid, "s": sess, "b": buy})
+        conv = (df.groupby(["u", "s"], sort=False)["b"].any()
+                .groupby("u").agg(n_sessions="size", n_converted="sum")
+                .reset_index())
+        return pa.table({
+            "user_id": pa.array(conv["u"].to_numpy(np.int64)),
+            "n_sessions": pa.array(conv["n_sessions"].to_numpy(np.int64)),
+            "n_converted": pa.array(conv["n_converted"].to_numpy(np.int64))})
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_sessions": pa.array([], pa.int64()),
+                      "n_converted": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+        .map_batches(slim, batch_format="pyarrow"),
+        nb, fold, empty)
+
+
+def session_conversion_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch(ts - LAG(ts) OVER w) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+), c AS (
+  SELECT user_id, sess,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM s GROUP BY user_id, sess)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_converted
+FROM c GROUP BY user_id"""

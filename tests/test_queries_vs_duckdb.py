@@ -261,6 +261,11 @@ SQL_QUERIES = [
     # ordered behavioral paths (ordered string_agg through two keyed
     # exchanges), and the leakage-safe cluster-hash holdout split
     "tpch_q5", "embedding_dim_stats", "event_paths", "split_leak_purge",
+    # round 5 (cont. session): quality-gate threshold sweep (integer
+    # cross-multiplied compares, bounded combiner), deterministic
+    # contrastive negative sampling (hash function of (doc_id, j, N)),
+    # and session-grain conversion (gap sessionize + any-purchase)
+    "filter_sweep", "negative_samples", "session_conversion",
 ]
 
 
