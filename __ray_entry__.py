@@ -524,6 +524,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (cont. session): session-grain conversion KPI (gap
         # sessionization + per-session any-purchase, one keyed exchange)
         "session_conversion": A.session_conversion,
+        # round 5 (cont. session): deterministic weight-proportional
+        # sampling (integer priority u // w — the A-ES family without
+        # float exponent keys; distributed top-k, no shuffle)
+        "weighted_sample": A.weighted_sample,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -1480,6 +1484,7 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "filter_sweep": A.filter_sweep_sql(),
         "negative_samples": A.negative_samples_sql(),
         "session_conversion": A.session_conversion_sql(),
+        "weighted_sample": A.weighted_sample_sql(),
         "dedup_clusters_simhash": sim_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
         "dedup_keep_best_simhash": dedup_keep_best_simhash_sql,

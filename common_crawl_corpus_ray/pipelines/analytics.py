@@ -10053,3 +10053,57 @@ WITH o AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(conv) AS BIGINT) AS n_converted
 FROM c GROUP BY user_id"""
+
+
+# --- weighted priority sample ---------------------------------------------------
+
+WSAMPLE_K = 50
+
+
+def weighted_sample(sf_dir: str):
+    """Deterministic weight-proportional sampling (the A-ES / priority-
+    sampling family): every doc draws a stable uniform u = md5(doc_id) in
+    [0, 2^60) and the k docs with the SMALLEST priority u // w win — a
+    doc's chance rises with its weight (chars here: sample long docs
+    preferentially for a context-length-balanced eval slice), the draw is
+    a pure function of content, and — unlike float u^(1/w) exponent
+    keys — the priority is integer arithmetic both engines state
+    identically, ties fully broken by doc_id.
+
+    Scale shape: the distributed-top-k contract (top_longest / tpch_q3's
+    rule): each block emits only its local top-{WSAMPLE_K} by
+    (priority, doc_id), the driver merges O(blocks x k) rows, the corpus
+    never shuffles or sorts globally."""
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(
+            b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        u = md5_i64_array([str(d) for d in ids]).to_numpy(
+            zero_copy_only=False)
+        pri = u // w
+        order = np.lexsort((ids, pri))[:WSAMPLE_K]
+        return pa.table({
+            "doc_id": pa.array(ids[order]),
+            "n_chars": pa.array(w[order]),
+            "priority": pa.array(pri[order])})
+
+    df = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+          .map_batches(local_topk, batch_format="pyarrow")
+          .to_pandas())
+    df = (df.sort_values(["priority", "doc_id"]).head(WSAMPLE_K)
+          .reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+        "n_chars": pa.array(df["n_chars"].to_numpy(np.int64)),
+        "priority": pa.array(df["priority"].to_numpy(np.int64))})
+
+
+def weighted_sample_sql() -> str:
+    h = sql_md5_i64("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, CAST(GREATEST(n_chars, 1) AS BIGINT) AS n_chars,
+       ({h}) // GREATEST(n_chars, 1) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {WSAMPLE_K}"""

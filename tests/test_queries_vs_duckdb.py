@@ -266,6 +266,9 @@ SQL_QUERIES = [
     # contrastive negative sampling (hash function of (doc_id, j, N)),
     # and session-grain conversion (gap sessionize + any-purchase)
     "filter_sweep", "negative_samples", "session_conversion",
+    # round 5 (cont. session): weight-proportional priority sample
+    # (integer u // w keys, distributed top-k)
+    "weighted_sample",
 ]
 
 
