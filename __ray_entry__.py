@@ -528,6 +528,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling (integer priority u // w — the A-ES family without
         # float exponent keys; distributed top-k, no shuffle)
         "weighted_sample": A.weighted_sample,
+        # round 5 (cont. session): bounded-depth BFS over the co-purchase
+        # graph (multi-round frontier traversal; edge derivation shared
+        # with triangle_count via copurchase_edges)
+        "graph_distance": A.graph_distance,
+        # round 5 (cont. session): two-sample KS drift statistic in
+        # exact cross-multiplied integers (distribution-shift gate)
+        "ks_drift": A.ks_drift,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -1485,6 +1492,8 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "negative_samples": A.negative_samples_sql(),
         "session_conversion": A.session_conversion_sql(),
         "weighted_sample": A.weighted_sample_sql(),
+        "graph_distance": A.graph_distance_sql(),
+        "ks_drift": A.ks_drift_sql(),
         "dedup_clusters_simhash": sim_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
         "dedup_keep_best_simhash": dedup_keep_best_simhash_sql,

@@ -116,7 +116,7 @@ QUERY_NAMES = [
     "nfc_normalize_scan", "partition_skew",
     "tpch_q5", "embedding_dim_stats", "event_paths", "split_leak_purge",
     "filter_sweep", "negative_samples", "session_conversion",
-    "weighted_sample",
+    "weighted_sample", "graph_distance", "ks_drift",
 ]
 
 

@@ -6967,6 +6967,65 @@ def _pairs_within_runs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return left, right
 
 
+def copurchase_edges(sf_dir: str, nb: int):
+    """Support-pruned co-purchase edge set (u < v part pairs sharing >=
+    TRI_SUPPORT distinct orders) as a materialized slim Dataset — the
+    graph both triangle_count and graph_distance traverse, factored so
+    the derivation is stated once. Two keyed exchanges: per-order pair
+    generation (orders hash-bucketed, in-run pairs vectorized via
+    :func:`_pairs_within_runs`), then per-(u, v) support sum + threshold
+    INSIDE the second reduce — a Ray groupby here is a sort shuffle that
+    measured 23.5 s on 1.2M slim pair rows at sf0.1 (the exchange.py
+    rationale)."""
+    from ..stages.exchange import bucket_exchange_dataset
+
+    def slim_li(b: pa.Table) -> pa.Table:
+        o = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array(o % nb), "o": pa.array(o),
+                         "p": pa.array(p)})
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        o = t["o"].to_numpy(zero_copy_only=False)
+        p = t["p"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(len(o), bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        starts = np.nonzero(np.concatenate([[True], o[1:] != o[:-1]]))[0]
+        counts = np.diff(np.concatenate([starts, [len(o)]]))
+        li, ri = _pairs_within_runs(counts)
+        # within a run p is strictly increasing (deduped), so u < v holds;
+        # partials are mostly-unique (pairs rarely repeat within one order
+        # bucket), so skip a per-bucket pre-aggregate and re-key straight
+        # into the support exchange
+        u, v = p[li], p[ri]
+        return pa.table({"bucket": pa.array((u + v * 1000003) % nb),
+                         "u": pa.array(u), "v": pa.array(v),
+                         "n": np.ones(len(u), np.int64)})
+
+    def support_cut(t: pa.Table) -> pa.Table:
+        g = (t.select(["u", "v", "n"]).group_by(["u", "v"])
+             .aggregate([("n", "sum")]))
+        return g.filter(pc.greater_equal(g["n_sum"], TRI_SUPPORT)).select(
+            ["u", "v"])
+
+    empty_pair = pa.table({"bucket": pa.array([], pa.int64()),
+                           "u": pa.array([], pa.int64()),
+                           "v": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+    empty_uv = pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+    return (bucket_exchange_dataset(
+        bucket_exchange_dataset(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+            .map_batches(slim_li, batch_format="pyarrow"),
+            nb, pair_partials, empty_pair),
+        nb, support_cut, empty_uv)
+        .materialize())
+
+
 def triangle_count(sf_dir: str):
     """Distributed triangle counting over the co-purchase graph — the graph
     motif census behind community/collusion detection: nodes are parts,
@@ -7011,56 +7070,8 @@ def triangle_count(sf_dir: str):
     n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
     nb = scaled_buckets(n_li, rows_per_bucket=2_000_000, lo=8)
 
-    def slim_li(b: pa.Table) -> pa.Table:
-        o = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"bucket": pa.array(o % nb), "o": pa.array(o),
-                         "p": pa.array(p)})
-
-    def pair_partials(t: pa.Table) -> pa.Table:
-        o = t["o"].to_numpy(zero_copy_only=False)
-        p = t["p"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((p, o))
-        o, p = o[order], p[order]
-        keep = np.ones(len(o), bool)
-        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
-        o, p = o[keep], p[keep]
-        starts = np.nonzero(np.concatenate([[True], o[1:] != o[:-1]]))[0]
-        counts = np.diff(np.concatenate([starts, [len(o)]]))
-        li, ri = _pairs_within_runs(counts)
-        # within a run p is strictly increasing (deduped), so u < v holds;
-        # partials are mostly-unique (pairs rarely repeat within one order
-        # bucket), so skip a per-bucket pre-aggregate and re-key straight
-        # into the support exchange
-        u, v = p[li], p[ri]
-        return pa.table({"bucket": pa.array((u + v * 1000003) % nb),
-                         "u": pa.array(u), "v": pa.array(v),
-                         "n": np.ones(len(u), np.int64)})
-
-    def support_cut(t: pa.Table) -> pa.Table:
-        # per-(u, v) support sum + threshold INSIDE the exchange reduce —
-        # a ray groupby here is a sort shuffle that measured 23.5 s on
-        # 1.2M slim pair rows at sf0.1 (the exchange.py rationale, re-hit)
-        g = (t.select(["u", "v", "n"]).group_by(["u", "v"])
-             .aggregate([("n", "sum")]))
-        return g.filter(pc.greater_equal(g["n_sum"], TRI_SUPPORT)).select(
-            ["u", "v"])
-
-    empty_pair = pa.table({"bucket": pa.array([], pa.int64()),
-                           "u": pa.array([], pa.int64()),
-                           "v": pa.array([], pa.int64()),
-                           "n": pa.array([], pa.int64())})
-    empty_uv = pa.table({"u": pa.array([], pa.int64()),
-                         "v": pa.array([], pa.int64())})
-
     # slim, support-pruned edge set; consumed by 3 downstream stages
-    edges = (bucket_exchange_dataset(
-        bucket_exchange_dataset(
-            _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-            .map_batches(slim_li, batch_format="pyarrow"),
-            nb, pair_partials, empty_pair),
-        nb, support_cut, empty_uv)
-        .materialize())
+    edges = copurchase_edges(sf_dir, nb)
 
     def deg_partials(b: pa.Table) -> pa.Table:
         node = np.concatenate([
@@ -10107,3 +10118,210 @@ SELECT doc_id, CAST(GREATEST(n_chars, 1) AS BIGINT) AS n_chars,
 FROM documents
 ORDER BY priority, doc_id
 LIMIT {WSAMPLE_K}"""
+
+
+# --- bounded-depth BFS over the co-purchase graph ------------------------------
+
+BFS_SEED_MOD = 20             # seeds = part keys divisible by this
+BFS_MAX_DEPTH = 3
+
+
+def graph_distance(sf_dir: str):
+    """Bounded-depth BFS — multi-round frontier traversal, the graph
+    primitive connected_components' monotone label propagation and
+    pagerank's fixed-iteration averaging don't express: exact hop
+    distance (<= {BFS_MAX_DEPTH}) from a seed set over the co-purchase
+    graph (recall/blast-radius queries: "everything within 3 hops of a
+    recalled part"). Seeds are part keys divisible by {BFS_SEED_MOD};
+    distance is min-hop, so a node found in round r is final — BFS's
+    invariant makes the visited set append-only and each round's work
+    proportional to the FRONTIER, not the graph.
+
+    Scale shape, per round (x{BFS_MAX_DEPTH}): undirected edge rows and
+    frontier marks co-partition on the SOURCE node (reduce emits the
+    frontier's out-neighbors, deduped in-bucket); candidates and visited
+    marks co-partition on the CANDIDATE node (reduce drops already-
+    visited nodes). Both exchanges move slim int64 rows; the edge set is
+    derived once (:func:`copurchase_edges`, shared with triangle_count)
+    and re-read per round from its materialized slim projection; the
+    driver never holds nodes — each round's new frontier is a Dataset
+    the next round consumes."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    nb = scaled_buckets(n_li, rows_per_bucket=2_000_000, lo=8)
+    edges = copurchase_edges(sf_dir, nb)
+
+    # ONE shared schema per exchange (the hash_join block-hash rule)
+    mix_a = pa.schema([("bucket", pa.int64()), ("node", pa.int64()),
+                       ("dst", pa.int64())])          # dst null = frontier
+    mix_b = pa.schema([("bucket", pa.int64()), ("node", pa.int64()),
+                       ("seen", pa.bool_())])         # seen null = candidate
+
+    def und_rows(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        s = np.concatenate([u, v])
+        d = np.concatenate([v, u])
+        return pa.table({"bucket": pa.array(s % nb), "node": pa.array(s),
+                         "dst": pa.array(d)}, schema=mix_a)
+
+    def frontier_marks(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array(n % nb), "node": pa.array(n),
+                         "dst": pa.nulls(len(n), pa.int64())}, schema=mix_a)
+
+    def neighbors(t: pa.Table) -> pa.Table | None:
+        is_f = pc.is_null(t["dst"])
+        f = np.unique(t.filter(is_f)["node"].to_numpy(zero_copy_only=False))
+        e = t.filter(pc.invert(is_f))
+        if not f.size or e.num_rows == 0:
+            return None
+        src = e["node"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(f, src), 0, f.size - 1)
+        hit = f[pos] == src
+        out = np.unique(e.filter(pa.array(hit))["dst"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"bucket": pa.array(out % nb),
+                         "node": pa.array(out),
+                         "seen": pa.nulls(len(out), pa.bool_())},
+                        schema=mix_b)
+
+    def visited_marks(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array(n % nb), "node": pa.array(n),
+                         "seen": pa.array(np.ones(len(n), bool))},
+                        schema=mix_b)
+
+    def unseen(t: pa.Table) -> pa.Table | None:
+        is_v = pc.is_valid(t["seen"])
+        v = np.unique(t.filter(is_v)["node"].to_numpy(zero_copy_only=False))
+        c = np.unique(t.filter(pc.invert(is_v))["node"].to_numpy(
+            zero_copy_only=False))
+        if not c.size:
+            return None
+        if v.size:
+            pos = np.clip(np.searchsorted(v, c), 0, v.size - 1)
+            c = c[v[pos] != c]
+        if not c.size:
+            return None
+        return pa.table({"node": pa.array(c)})
+
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    seeds = pa.table({"node": pa.array(np.unique(pk[pk % BFS_SEED_MOD == 0]))})
+    empty_a = mix_a.empty_table()
+    empty_node = pa.table({"node": pa.array([], pa.int64())})
+
+    levels = [rd.from_arrow(seeds)]
+    visited = rd.from_arrow(seeds)
+    frontier = levels[0]
+    for _ in range(1, BFS_MAX_DEPTH + 1):
+        cand = bucket_exchange_dataset(
+            edges.map_batches(und_rows, batch_format="pyarrow").union(
+                frontier.map_batches(frontier_marks,
+                                     batch_format="pyarrow")),
+            nb, neighbors, mix_b.empty_table())
+        new = bucket_exchange_dataset(
+            cand.union(visited.map_batches(visited_marks,
+                                           batch_format="pyarrow")),
+            nb, unseen, empty_node).materialize()
+        if new.count() == 0:
+            break
+        levels.append(new)
+        visited = visited.union(new)
+        frontier = new
+
+    def with_dist(r: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["node"].cast(pa.int64()),
+                "dist": pa.array(np.full(b.num_rows, r, np.int64))})
+        return f
+
+    out = levels[0].map_batches(with_dist(0), batch_format="pyarrow")
+    for r, lv in enumerate(levels[1:], start=1):
+        out = out.union(lv.map_batches(with_dist(r), batch_format="pyarrow"))
+    return out
+
+
+def graph_distance_sql() -> str:
+    seeds = f"SELECT p_partkey AS n FROM part WHERE p_partkey % {BFS_SEED_MOD} = 0"
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_SUPPORT}),
+und AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+d0 AS ({seeds}),
+d1 AS (SELECT DISTINCT und.d AS n FROM und JOIN d0 ON und.s = d0.n
+       WHERE und.d NOT IN (SELECT n FROM d0)),
+d2 AS (SELECT DISTINCT und.d AS n FROM und JOIN d1 ON und.s = d1.n
+       WHERE und.d NOT IN (SELECT n FROM d0 UNION ALL SELECT n FROM d1)),
+d3 AS (SELECT DISTINCT und.d AS n FROM und JOIN d2 ON und.s = d2.n
+       WHERE und.d NOT IN (SELECT n FROM d0 UNION ALL SELECT n FROM d1
+                           UNION ALL SELECT n FROM d2))
+SELECT CAST(n AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist FROM d0
+UNION ALL SELECT n, 1 FROM d1
+UNION ALL SELECT n, 2 FROM d2
+UNION ALL SELECT n, 3 FROM d3"""
+
+
+# --- two-sample KS drift test ----------------------------------------------------
+
+
+def ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the length
+    distributions of two corpus halves (doc_id parity stands in for
+    "crawl A vs crawl B") — the distribution-shift gate a pipeline runs
+    before mixing a new crawl into a training set. The statistic is
+    computed in EXACT cross-multiplied integers: D = max over values of
+    |CA * nb - CB * na| (the CDF difference scaled by na*nb), so both
+    engines state the same number with no float CDF arithmetic.
+
+    Scale shape: n_chars has a bounded value domain, so per-(side, value)
+    counts fold through the same shuffle-free combiner path as
+    lang_length_quantiles / global_percentiles; the driver resolves the
+    max over the tiny cumulative grid."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({"side": pc.cast(
+                 pc.bit_wise_and(b["doc_id"], 1), pa.int64()),
+                       "v": pc.cast(b["n_chars"], pa.int64())})
+             .group_by(["side", "v"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["side", "v", "c"])
+
+    df = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+          .map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby(["side", "v"], as_index=False)["c"].sum())
+    pv = df.pivot_table(index="v", columns="side", values="c",
+                        aggfunc="sum", fill_value=0).sort_index()
+    ca = pv.get(0, pd.Series(0, index=pv.index)).to_numpy(np.int64).cumsum()
+    cb = pv.get(1, pd.Series(0, index=pv.index)).to_numpy(np.int64).cumsum()
+    na, nb_ = int(ca[-1]), int(cb[-1])
+    ks_num = int(np.abs(ca * nb_ - cb * na).max())
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb_], pa.int64()),
+        "ks_num": pa.array([ks_num], pa.int64()),
+        "ks_milli": pa.array([1000 * ks_num // (na * nb_)], pa.int64())})
+
+
+def ks_drift_sql() -> str:
+    return """
+WITH s AS (SELECT n_chars AS v, doc_id % 2 AS side FROM documents),
+n AS (SELECT count(*) FILTER (side = 0) AS na,
+             count(*) FILTER (side = 1) AS nb FROM s),
+c AS (SELECT v, count(*) FILTER (side = 0) AS ca,
+             count(*) FILTER (side = 1) AS cb FROM s GROUP BY v),
+cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS CA,
+               SUM(cb) OVER (ORDER BY v) AS CB FROM c)
+SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+       CAST(max(abs(CA * n.nb - CB * n.na)) AS BIGINT) AS ks_num,
+       CAST(1000 * max(abs(CA * n.nb - CB * n.na)) // (n.na * n.nb)
+            AS BIGINT) AS ks_milli
+FROM cum, n GROUP BY n.na, n.nb"""

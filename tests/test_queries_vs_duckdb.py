@@ -269,6 +269,9 @@ SQL_QUERIES = [
     # round 5 (cont. session): weight-proportional priority sample
     # (integer u // w keys, distributed top-k)
     "weighted_sample",
+    # round 5 (cont. session): bounded-depth BFS hop distances (chained
+    # frontier CTE oracle) and the exact-integer two-sample KS drift test
+    "graph_distance", "ks_drift",
 ]
 
 
