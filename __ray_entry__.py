@@ -146,6 +146,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return members.map_batches(A.cluster_split_batch,
                                    batch_format="pyarrow")
 
+    def dup_cluster_hist(sf_dir: str):
+        ds = C.mutated_docs(sf_dir)
+        members = dedup_family.dedup_clusters(
+            ds, "doc_id", "text", threshold=0.7, detector="minhash",
+            n_rows=_table_rows(sf_dir, "documents") + 50)
+        return A.cluster_size_hist(
+            members, n_rows=_table_rows(sf_dir, "documents") + 50)
+
     def clusters_simhash(sf_dir: str):
         ds = C.mutated_docs(sf_dir)
         return dedup_family.dedup_clusters(
@@ -535,6 +543,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (cont. session): two-sample KS drift statistic in
         # exact cross-multiplied integers (distribution-shift gate)
         "ks_drift": A.ks_drift,
+        # round 5 (cont. session): near-dup cluster-size histogram — the
+        # dedup report (singletons/pairs/hubs) + hub-cap skew diagnostic
+        "dup_cluster_hist": dup_cluster_hist,
+        # round 5 (cont. session): bloom-pruned incremental dedup —
+        # identical output to dedup_incremental, exchange volume
+        # O(dups + eps*new) instead of O(new)
+        "dedup_incremental_bloom": A.dedup_incremental_bloom,
+        # round 5 (cont. session): rolling 7-day distinct active users —
+        # the sliding DISTINCT aggregate (per-user run merge -> +1/-1
+        # boundary diffs; no day x user cross)
+        "active_users_window": A.active_users_window,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -1494,6 +1513,16 @@ SELECT cluster, doc_id, n_chars, n_members FROM (
         "weighted_sample": A.weighted_sample_sql(),
         "graph_distance": A.graph_distance_sql(),
         "ks_drift": A.ks_drift_sql(),
+        # cluster-size histogram over the same minhash closure
+        "dup_cluster_hist": mh_cluster_ctes + """
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT cluster, count(*) AS sz FROM clusters GROUP BY cluster)
+GROUP BY sz""",
+        # bloom prefilter changes the exchange volume, not the result —
+        # the exact incremental-dedup SQL is its oracle verbatim
+        "dedup_incremental_bloom": A.dedup_incremental_sql(),
+        "active_users_window": A.active_users_window_sql(),
         "dedup_clusters_simhash": sim_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
         "dedup_keep_best_simhash": dedup_keep_best_simhash_sql,

@@ -117,6 +117,8 @@ QUERY_NAMES = [
     "tpch_q5", "embedding_dim_stats", "event_paths", "split_leak_purge",
     "filter_sweep", "negative_samples", "session_conversion",
     "weighted_sample", "graph_distance", "ks_drift",
+    "dup_cluster_hist", "dedup_incremental_bloom",
+    "active_users_window",
 ]
 
 

@@ -9025,6 +9025,27 @@ def _bloom_pos(keys: np.ndarray) -> np.ndarray:
             np.uint64(_BLOOM_BITS)).astype(np.int64)
 
 
+def _bloom_or_fold(bitmaps_ds) -> np.ndarray:
+    """OR-fold a Dataset of packed bitmap rows into one boolean bitset
+    WITHOUT landing O(blocks) 128 KiB rows on the driver: an intermediate
+    map_batches stage ORs up to 64 bitmaps per task (the tree-combine
+    level), so the driver folds only O(blocks / 64) rows. Shared by
+    bloom_semi_join and dedup_incremental_bloom."""
+
+    def or_merge(b: pa.Table) -> pa.Table:
+        acc = np.zeros(_BLOOM_BITS // 8, np.uint8)
+        for buf in b["bm"].to_pylist():
+            acc |= np.frombuffer(buf, np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = (bitmaps_ds.map_batches(or_merge, batch_format="pyarrow",
+                                    batch_size=64).take_all())
+    acc = np.zeros(_BLOOM_BITS // 8, np.uint8)
+    for row in parts:
+        acc |= np.frombuffer(row["bm"], np.uint8)
+    return np.unpackbits(acc).astype(bool)
+
+
 def bloom_semi_join(sf_dir: str):
     """Bloom-pruned exact semi join: lineitem rows kept iff their order is
     URGENT-priority, counted per order — but the build side never ships
@@ -9059,13 +9080,9 @@ def bloom_semi_join(sf_dir: str):
         return pa.table({"bm": pa.array([np.packbits(bits).tobytes()],
                                         pa.binary())})
 
-    parts = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-             .map_batches(key_bitmap, batch_format="pyarrow")
-             .take_all())
-    bloom = np.zeros(_BLOOM_BITS // 8, np.uint8)
-    for row in parts:
-        bloom |= np.frombuffer(row["bm"], np.uint8)
-    bloom_ref = ray.put(np.unpackbits(bloom).astype(bool))
+    bloom_ref = ray.put(_bloom_or_fold(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(key_bitmap, batch_format="pyarrow")))
 
     mix = pa.schema([("bucket", pa.int64()), ("okey", pa.int64()),
                      ("n", pa.int64()), ("is_key", pa.bool_())])
@@ -10325,3 +10342,227 @@ SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
        CAST(1000 * max(abs(CA * n.nb - CB * n.na)) // (n.na * n.nb)
             AS BIGINT) AS ks_milli
 FROM cum, n GROUP BY n.na, n.nb"""
+
+
+# --- near-dup cluster-size histogram --------------------------------------------
+
+
+def cluster_size_hist(members, n_rows: int | None = None):
+    """Cluster-size histogram over a (doc_id, cluster) membership Dataset —
+    the one-line report every dedup run prints ("how much of the corpus
+    is singletons / pairs / hubs?") and the skew diagnostic that decides
+    whether keep-best reduces need a hub cap. One cluster-keyed exchange
+    sums per-cluster member counts from per-block partials; each reduce
+    emits its bucket's (size, n_clusters) marginal (bounded by distinct
+    sizes, not clusters), and the driver folds the tiny histogram."""
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    nb = scaled_buckets(n_rows, rows_per_bucket=2_000_000, lo=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({"cluster": b["cluster"]})
+             .group_by("cluster").aggregate([([], "count_all")])
+             .rename_columns(["cluster", "n"]))
+        return g.add_column(
+            0, "bucket",
+            pa.array(g["cluster"].to_numpy(zero_copy_only=False) % nb))
+
+    def hist(t: pa.Table) -> pa.Table | None:
+        sz = (t.select(["cluster", "n"]).to_pandas()
+              .groupby("cluster", sort=False)["n"].sum().value_counts())
+        if sz.empty:
+            return None
+        return pa.table({
+            "cluster_size": pa.array(sz.index.to_numpy(np.int64)),
+            "n_clusters": pa.array(sz.to_numpy(np.int64))})
+
+    tabs = [t for t in bucket_exchange(
+        members.map_batches(partial, batch_format="pyarrow"), nb, hist)
+        if t is not None and t.num_rows]
+    if not tabs:
+        return pa.table({"cluster_size": pa.array([], pa.int64()),
+                         "n_clusters": pa.array([], pa.int64())})
+    df = (pa.concat_tables(tabs).to_pandas()
+          .groupby("cluster_size", as_index=False)["n_clusters"].sum())
+    return pa.table({
+        "cluster_size": pa.array(df["cluster_size"].to_numpy(np.int64)),
+        "n_clusters": pa.array(df["n_clusters"].to_numpy(np.int64))})
+
+
+# --- bloom-pruned incremental dedup ---------------------------------------------
+
+
+def dedup_incremental_bloom(sf_dir: str):
+    """:func:`dedup_incremental` with a Bloom prefilter — identical output
+    (bloom has no false negatives), different scale shape: the prior
+    corpus rides to every probe task as a fixed 128 KiB bitset
+    (bloom_semi_join's OR-folded per-block bitmaps over the persisted
+    hash index), so hash-MISSING new docs — the overwhelming majority at
+    real dup rates — skip the range sort and the keyed anti-probe
+    entirely. Only bloom-positives (true dups + ~eps false positives)
+    take the sorted actor-pool probe that exact-verifies them against
+    the keyed index. Per-increment exchange volume drops from O(new) to
+    O(dups + eps * new); correctness is unchanged because every kept row
+    was either bloom-negative (provably absent from the prior) or
+    exact-verified. The within-stream keep-first runs on the UNION of
+    both branches (a dup pair shares its hash, so both copies route to
+    the same branch — but the global groupby never assumed that)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..sources import lancelite
+    from ..sources.keyed import KeyedFragmentIndex
+
+    uri = _hash_prior_uri(sf_dir)
+
+    def key_bitmap(b: pa.Table) -> pa.Table:
+        k = np.unique(b["text_hash"].to_numpy(zero_copy_only=False))
+        bits = np.zeros(_BLOOM_BITS, np.bool_)
+        bits[_bloom_pos(k).ravel()] = True
+        return pa.table({"bm": pa.array([np.packbits(bits).tobytes()],
+                                        pa.binary())})
+
+    bloom_ref = ray.put(_bloom_or_fold(
+        lancelite.read(uri, columns=["text_hash"], version=1)
+        .map_batches(key_bitmap, batch_format="pyarrow")))
+
+    def h_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "text_hash": md5_i64_array(b["text"])})
+
+    hashed = incremental_docs(sf_dir).map_batches(
+        h_rows, batch_format="pyarrow")
+
+    def bloom_side(hit: bool):
+        def f(b: pa.Table, _ref=bloom_ref) -> pa.Table:
+            bl = cached_get(_ref)
+            h = b["text_hash"].to_numpy(zero_copy_only=False)
+            is_hit = bl[_bloom_pos(h)].all(axis=1)
+            return b.filter(pa.array(is_hit if hit else ~is_hit))
+        return f
+
+    candidates = (hashed.map_batches(bloom_side(True),
+                                     batch_format="pyarrow")
+                  .sort("text_hash")
+                  .map_batches(_AntiProbe, batch_format="pyarrow",
+                               batch_size=4096,
+                               fn_constructor_args=(
+                                   KeyedFragmentIndex(uri, "text_hash",
+                                                      version=1),),
+                               concurrency=(1, 4), num_cpus=1))
+    novel = hashed.map_batches(bloom_side(False), batch_format="pyarrow")
+
+    def partials(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["min_id", "text_hash"])
+
+    return (candidates.union(novel)
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("text_hash")
+            .aggregate(Min("min_id", alias_name="doc_id")))
+
+
+# --- sliding-window distinct active users --------------------------------------
+
+_DAY_US = 86_400_000_000
+AU_WINDOW = 7                 # trailing window length in days
+
+
+def active_users_window(sf_dir: str):
+    """Rolling {AU_WINDOW}-day distinct active users per day — the DAU/WAU
+    panel query whose COUNT(DISTINCT ... ) OVER RANGE window no engine
+    (DuckDB included) runs directly, and the canonical example of a
+    sliding DISTINCT aggregate: a user active on several days of one
+    window must count once.
+
+    Scale shape — distinct-ness is resolved per USER, then the count
+    becomes an additive interval problem: slim (user, epoch-day) presence
+    rows co-partition per user in one keyed exchange; each bucket merges
+    every user's day list into maximal runs with gaps <= {AU_WINDOW}-1
+    (all contribution intervals have the same length, so a run's
+    coverage is [first_day, last_day + {AU_WINDOW} - 1]) and emits ONE
+    +1/-1 boundary-diff pair per run — the interval_union trick applied
+    to count-distinct. The driver cumsums the bounded per-day diff grid
+    and clips to the observed day range; no (day x user) cross ever
+    materializes."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange
+
+    n_ev = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    nb = scaled_buckets(n_ev, rows_per_bucket=500_000, lo=8)
+    w = AU_WINDOW
+
+    def slim(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+               // _DAY_US)
+        t = pa.table({"bucket": pa.array(uid % nb), "u": pa.array(uid),
+                      "day": pa.array(day)})
+        # per-block presence dedup — the combiner that keeps exchange
+        # volume at O(distinct (user, day)) rows
+        return (t.group_by(["bucket", "u", "day"]).aggregate([])
+                .select(["bucket", "u", "day"]))
+
+    def run_diffs(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        u = t["u"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.ones(len(u), bool)      # cross-block presence dedup
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        new_run = np.ones(len(u), bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > w - 1)
+        starts = d[new_run]
+        # a run's last (= max, d ascending) day sits just before the next
+        # run's first row; the final run ends at the last row
+        bounds = np.flatnonzero(new_run)
+        ends = d[np.append(bounds[1:] - 1, len(d) - 1)]
+        lo = np.concatenate([starts, ends + w])      # +1 at run start,
+        sign = np.concatenate([np.ones(starts.size, np.int64),  # -1 past
+                               -np.ones(starts.size, np.int64)])  # cover
+        g = (pa.table({"day": pa.array(lo), "diff": pa.array(sign)})
+             .group_by("day").aggregate([("diff", "sum")]))
+        return g.rename_columns(["day", "diff"])
+
+    # observed day range rides the same partials (min/max fold)
+    tabs = [t for t in bucket_exchange(
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(slim, batch_format="pyarrow"), nb, run_diffs)
+        if t is not None and t.num_rows]
+    if not tabs:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "n_active": pa.array([], pa.int64())})
+    df = (pa.concat_tables(tabs).to_pandas()
+          .groupby("day", as_index=False)["diff"].sum()
+          .sort_values("day"))
+    days = df["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())      # hi = last end+w bound
+    grid = np.zeros(hi - lo + 1, np.int64)
+    grid[days - lo] = df["diff"].to_numpy(np.int64)
+    counts = np.cumsum(grid)
+    # clip to the observed presence range: first day = lo (first run
+    # start), last day = hi - w (the max last-day across runs)
+    out_days = np.arange(lo, hi - w + 1, dtype=np.int64)
+    return pa.table({
+        "day": pa.array(out_days),
+        "n_active": pa.array(counts[: out_days.size])})
+
+
+def active_users_window_sql() -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+), span AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM ud
+), days AS (
+  SELECT unnest(range(lo, hi + 1)) AS d FROM span
+)
+SELECT CAST(d AS BIGINT) AS day,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+FROM days JOIN ud ON ud.day BETWEEN d - {AU_WINDOW - 1} AND d
+GROUP BY d"""

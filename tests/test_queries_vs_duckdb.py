@@ -272,6 +272,13 @@ SQL_QUERIES = [
     # round 5 (cont. session): bounded-depth BFS hop distances (chained
     # frontier CTE oracle) and the exact-integer two-sample KS drift test
     "graph_distance", "ks_drift",
+    # round 5 (cont. session): dedup cluster-size histogram (closure +
+    # GROUP BY size) and bloom-pruned incremental dedup (same output as
+    # dedup_incremental — the exact SQL is its oracle verbatim)
+    "dup_cluster_hist", "dedup_incremental_bloom",
+    # round 5 (cont. session): rolling 7-day distinct active users
+    # (sliding DISTINCT via per-user run merge + boundary diffs)
+    "active_users_window",
 ]
 
 
