@@ -554,6 +554,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the sliding DISTINCT aggregate (per-user run merge -> +1/-1
         # boundary diffs; no day x user cross)
         "active_users_window": A.active_users_window,
+        # round 5 (cont. session): Count-Min sketch point queries — the
+        # sketch family's missing member, estimates + collision error
+        # pinned bit-exactly against the same md5 bucket windows in SQL
+        "countmin_words": A.countmin_words,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -1523,6 +1527,7 @@ GROUP BY sz""",
         # the exact incremental-dedup SQL is its oracle verbatim
         "dedup_incremental_bloom": A.dedup_incremental_sql(),
         "active_users_window": A.active_users_window_sql(),
+        "countmin_words": A.countmin_words_sql(),
         "dedup_clusters_simhash": sim_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
         "dedup_keep_best_simhash": dedup_keep_best_simhash_sql,

@@ -10566,3 +10566,97 @@ SELECT CAST(d AS BIGINT) AS day,
        CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
 FROM days JOIN ud ON ud.day BETWEEN d - {AU_WINDOW - 1} AND d
 GROUP BY d"""
+
+
+# --- Count-Min sketch point queries ---------------------------------------------
+
+_CMS_D = 4                    # hash rows (disjoint 10-bit windows of md5)
+_CMS_W = 1024                 # counters per row (2^10, matches the window)
+_CMS_QUERY_WORDS = sorted({*STOPWORDS, "slow", "column", "never"})
+
+
+def countmin_words(sf_dir: str):
+    """Count-Min sketch word-frequency point queries — the sketch family's
+    missing member next to HLL (distinct), KLL (quantiles), MinHash/SimHash
+    (similarity), Bloom (membership) and Misra-Gries (heavy hitters): a
+    {_CMS_D}x{_CMS_W} counter grid answers "how often does word w occur"
+    with a one-sided overestimate, in O(grid) memory regardless of
+    vocabulary size. Both the sketch build and the estimates are pure
+    integer arithmetic on the SAME md5-derived bucket windows, so the SQL
+    oracle reproduces every counter and every estimate bit-for-bit —
+    including the collision overestimates (query words 'slow'/'column'/
+    'never' never occur; any nonzero estimate for them is measured
+    collision error, pinned exactly, next to exact_n = 0).
+
+    Scale shape: per-block word counts fold into a BOUNDED (d x w) grid
+    partial — vocabulary never shuffles, blocks x grid rows reach the
+    driver (the value-histogram combiner path); the exact counts of the
+    fixed query set ride the same pass as a second bounded partial."""
+    qw = _CMS_QUERY_WORDS
+    qh = md5_i64_array(qw).to_numpy(zero_copy_only=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = pc.list_flatten(words_arrow(b["text"]))
+        w = w.filter(pc.not_equal(w, ""))
+        vc = pc.value_counts(w)
+        words = vc.field("values")
+        cs = vc.field("counts").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        h = md5_i64_array(words).to_numpy(zero_copy_only=False)
+        rows = []
+        for j in range(_CMS_D):
+            bkt = (h >> (10 * j)) % _CMS_W
+            g = (pa.table({"cell": bkt + j * _CMS_W, "c": cs})
+                 .group_by("cell").aggregate([("c", "sum")]))
+            rows.append(g.rename_columns(["cell", "c"]))
+        # exact counts of the query set ride as sentinel cells (offset
+        # past the grid; one bounded row per present query word)
+        pos = np.clip(np.searchsorted(np.sort(qh), h), 0, len(qh) - 1)
+        sq = np.sort(qh)
+        hit = sq[pos] == h
+        if hit.any():
+            order = np.argsort(qh)
+            qpos = order[pos[hit]]
+            rows.append(pa.table({
+                "cell": pa.array(_CMS_D * _CMS_W + qpos, pa.int64()),
+                "c": pa.array(cs[hit])}))
+        return pa.concat_tables(rows)
+
+    df = (_read(sf_dir, "documents", ["text"])
+          .map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby("cell", as_index=False)["c"].sum())
+    grid = np.zeros(_CMS_D * _CMS_W + len(qw), np.int64)
+    grid[df["cell"].to_numpy(np.int64)] = df["c"].to_numpy(np.int64)
+    est = np.min(np.stack([
+        grid[(qh >> (10 * j)) % _CMS_W + j * _CMS_W]
+        for j in range(_CMS_D)]), axis=0)
+    return pa.table({
+        "word": pa.array(qw, pa.string()),
+        "exact_n": pa.array(grid[_CMS_D * _CMS_W:]),
+        "cms_est": pa.array(est)})
+
+
+def countmin_words_sql() -> str:
+    h = sql_md5_i64("word")
+    words = ", ".join(f"'{w}'" for w in _CMS_QUERY_WORDS)
+    return f"""
+WITH tok AS (SELECT unnest(list_filter(
+                 string_split_regex(text, '{SQL_WS_RE}'), x -> x != ''))
+                 AS word
+             FROM documents),
+rows_ AS (SELECT unnest(range({_CMS_D})) AS j),
+cell AS (SELECT j.j, ({h} // (1 << (10 * CAST(j.j AS INT)))) % {_CMS_W} AS b,
+                count(*) AS c
+         FROM tok CROSS JOIN rows_ j GROUP BY 1, 2),
+q AS (SELECT unnest([{words}]) AS word),
+qb AS (SELECT q.word, j.j,
+              ({h} // (1 << (10 * CAST(j.j AS INT)))) % {_CMS_W} AS b
+       FROM q CROSS JOIN rows_ j),
+est AS (SELECT qb.word, min(COALESCE(cell.c, 0)) AS cms_est
+        FROM qb LEFT JOIN cell ON cell.j = qb.j AND cell.b = qb.b
+        GROUP BY qb.word),
+ex AS (SELECT q.word, count(tok.word) AS exact_n
+       FROM q LEFT JOIN tok ON tok.word = q.word GROUP BY q.word)
+SELECT ex.word, CAST(ex.exact_n AS BIGINT) AS exact_n,
+       CAST(est.cms_est AS BIGINT) AS cms_est
+FROM ex JOIN est USING (word)"""

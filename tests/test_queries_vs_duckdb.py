@@ -279,6 +279,9 @@ SQL_QUERIES = [
     # round 5 (cont. session): rolling 7-day distinct active users
     # (sliding DISTINCT via per-user run merge + boundary diffs)
     "active_users_window",
+    # round 5 (cont. session): Count-Min sketch point queries (grid and
+    # collision overestimates pinned bit-exactly in SQL)
+    "countmin_words",
 ]
 
 
