@@ -558,6 +558,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch family's missing member, estimates + collision error
         # pinned bit-exactly against the same md5 bucket windows in SQL
         "countmin_words": A.countmin_words,
+        # round 5 (cont. session): time-bounded stream-stream join —
+        # per-purchase preceding-hour click counts (asof takes ONE row,
+        # events_window is fixed tumbling; this is the sliding per-row
+        # bound, two searchsorted probes per bucket)
+        "stream_window_join": A.stream_window_join,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -1528,6 +1533,7 @@ GROUP BY sz""",
         "dedup_incremental_bloom": A.dedup_incremental_sql(),
         "active_users_window": A.active_users_window_sql(),
         "countmin_words": A.countmin_words_sql(),
+        "stream_window_join": A.stream_window_join_sql(),
         "dedup_clusters_simhash": sim_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
         "dedup_keep_best_simhash": dedup_keep_best_simhash_sql,

@@ -118,7 +118,7 @@ QUERY_NAMES = [
     "filter_sweep", "negative_samples", "session_conversion",
     "weighted_sample", "graph_distance", "ks_drift",
     "dup_cluster_hist", "dedup_incremental_bloom",
-    "active_users_window", "countmin_words",
+    "active_users_window", "countmin_words", "stream_window_join",
 ]
 
 

@@ -10660,3 +10660,88 @@ ex AS (SELECT q.word, count(tok.word) AS exact_n
 SELECT ex.word, CAST(ex.exact_n AS BIGINT) AS exact_n,
        CAST(est.cms_est AS BIGINT) AS cms_est
 FROM ex JOIN est USING (word)"""
+
+
+# --- time-bounded stream-stream join --------------------------------------------
+
+_SWJ_WINDOW_US = 3_600_000_000       # 1 hour, microseconds
+
+
+def stream_window_join(sf_dir: str):
+    """Time-bounded stream-stream join: for every purchase, the count of
+    the same user's clicks in the strictly-preceding hour — attribution's
+    basic join, and the streaming class the family still lacked: asof_join
+    takes the nearest ONE row, events_window buckets into FIXED tumbling
+    windows; this aggregates ALL partner rows inside a PER-ROW sliding
+    bound.
+
+    Scale shape: slim (user, ts, event_id, is_click/is_purchase) rows
+    co-partition per user in one keyed exchange; each bucket sorts its
+    click stream once and answers every purchase with two vectorized
+    searchsorted probes over a composite (dense user, relative ts) int64
+    key — no per-user Python loop, no row pairing materialized. Key
+    packing bound, stated so the partitioning assumption is explicit:
+    dense user ids are bucket-local (<= bucket rows <= 500k << 2^21) and
+    relative timestamps span < 2^42 us (139 years), so the packed key is
+    collision-free int64."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decide import scaled_buckets
+    from ..stages.exchange import bucket_exchange_dataset
+
+    n_ev = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    nb = scaled_buckets(n_ev, rows_per_bucket=500_000, lo=8)
+
+    def slim(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        t = b.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(uid % nb),
+            "u": pa.array(uid),
+            "t": pa.array(pc.cast(t["ts"], pa.int64())
+                          .to_numpy(zero_copy_only=False)),
+            "eid": pa.array(t["event_id"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "buy": pc.equal(t["event_type"], "purchase")})
+
+    def window_counts(t: pa.Table) -> pa.Table | None:
+        if t.num_rows == 0:
+            return None
+        u = t["u"].to_numpy(zero_copy_only=False)
+        ts = t["t"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        buy = t["buy"].to_numpy(zero_copy_only=False)
+        uu, dense = np.unique(u, return_inverse=True)
+        rel = ts - ts.min()
+        key = (dense.astype(np.int64) << np.int64(42)) | rel
+        cm = ~buy
+        ckey = np.sort(key[cm])
+        pk, peid = key[buy], eid[buy]
+        lo = np.searchsorted(ckey, pk - _SWJ_WINDOW_US)
+        hi = np.searchsorted(ckey, pk)     # strict: click ts < purchase ts
+        # clamp the window's low edge to the purchase's own user segment
+        ustart = np.searchsorted(ckey, (key[buy] >> np.int64(42)) << np.int64(42))
+        lo = np.maximum(lo, ustart)
+        return pa.table({
+            "event_id": pa.array(peid),
+            "n_clicks": pa.array((hi - lo).astype(np.int64))})
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "n_clicks": pa.array([], pa.int64())})
+    return bucket_exchange_dataset(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+        .map_batches(slim, batch_format="pyarrow"),
+        nb, window_counts, empty)
+
+
+def stream_window_join_sql() -> str:
+    return f"""
+SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - {_SWJ_WINDOW_US}
+ AND epoch_us(c.ts) < epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id"""

@@ -282,6 +282,9 @@ SQL_QUERIES = [
     # round 5 (cont. session): Count-Min sketch point queries (grid and
     # collision overestimates pinned bit-exactly in SQL)
     "countmin_words",
+    # round 5 (cont. session): time-bounded stream-stream join (sliding
+    # per-row window aggregate over a composite-key searchsorted)
+    "stream_window_join",
 ]
 
 
