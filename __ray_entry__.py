@@ -563,6 +563,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_window is fixed tumbling; this is the sliding per-row
         # bound, two searchsorted probes per bucket)
         "stream_window_join": A.stream_window_join,
+        # round 5 (cont. session): Z-order (Morton) clustering key — the
+        # multi-predicate file-skipping layout decision
+        "zorder_layout": A.zorder_layout,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -1534,6 +1537,7 @@ GROUP BY sz""",
         "active_users_window": A.active_users_window_sql(),
         "countmin_words": A.countmin_words_sql(),
         "stream_window_join": A.stream_window_join_sql(),
+        "zorder_layout": A.zorder_layout_sql(),
         "dedup_clusters_simhash": sim_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
         "dedup_keep_best_simhash": dedup_keep_best_simhash_sql,

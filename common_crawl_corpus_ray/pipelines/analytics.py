@@ -10745,3 +10745,55 @@ FROM events p LEFT JOIN events c
  AND epoch_us(c.ts) < epoch_us(p.ts)
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id"""
+
+
+# --- Z-order (Morton) layout key ------------------------------------------------
+
+_Z_BITS = 4                   # 4 bits per dimension -> 8-bit z, 16 buckets
+_Z_LEN_CAP = 1023
+
+
+def zorder_layout(sf_dir: str):
+    """Z-order (Morton) clustering key over two dimensions — the data-
+    layout decision behind multi-predicate file skipping at 100 TB: files
+    range-partitioned by a Z-value stay clustered in BOTH (lang-hash,
+    length-decile) dimensions, so a scan filtered on either prunes
+    fragments, where single-key partitioning prunes only its own key.
+    This op emits the layout key (doc_id, z, zbucket); the repartition /
+    rolling write it feeds is the existing S5/S6 lancelite machinery.
+    Both dimensions and the bit interleave are integer arithmetic the
+    oracle states verbatim: a = md5(lang) % 16, b = min(n_chars,
+    {_Z_LEN_CAP}) // 64, z = interleave4(a, b).
+
+    Scale shape: stateless vectorized map, no shuffle, no state."""
+
+    def f(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pylist()
+        a = md5_i64_array(langs).to_numpy(zero_copy_only=False) % 16
+        nc = np.minimum(b["n_chars"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), _Z_LEN_CAP) // 64
+        z = np.zeros(len(a), np.int64)
+        for i in range(_Z_BITS):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((nc >> i) & 1) << (2 * i)
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "z": pa.array(z),
+            "zbucket": pa.array(z >> _Z_BITS)})
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]
+                 ).map_batches(f, batch_format="pyarrow")
+
+
+def zorder_layout_sql() -> str:
+    h = sql_md5_i64("lang")
+    a = f"(({h}) % 16)"
+    b = f"(LEAST(n_chars, {_Z_LEN_CAP}) // 64)"
+    terms = " + ".join(
+        f"((({a} // {1 << i}) % 2) * {1 << (2 * i + 1)}) + "
+        f"((({b} // {1 << i}) % 2) * {1 << (2 * i)})"
+        for i in range(_Z_BITS))
+    return f"""
+SELECT doc_id, CAST({terms} AS BIGINT) AS z,
+       CAST(({terms}) // {1 << _Z_BITS} AS BIGINT) AS zbucket
+FROM documents"""

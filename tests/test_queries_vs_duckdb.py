@@ -285,6 +285,9 @@ SQL_QUERIES = [
     # round 5 (cont. session): time-bounded stream-stream join (sliding
     # per-row window aggregate over a composite-key searchsorted)
     "stream_window_join",
+    # round 5 (cont. session): Z-order clustering key (bit interleave
+    # stated verbatim in SQL)
+    "zorder_layout",
 ]
 
 
