@@ -566,6 +566,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 (cont. session): Z-order (Morton) clustering key — the
         # multi-predicate file-skipping layout decision
         "zorder_layout": A.zorder_layout,
+        # round 5 (cont. session): exact median over an unbounded value
+        # domain — two-round histogram refinement, no sort, no shuffle
+        "exact_median_price": A.exact_median_price,
         "tpch_q1": A.tpch_q1,
         "hash_join": A.hash_join,
         "group_topk": A.group_topk,
@@ -1538,6 +1541,7 @@ GROUP BY sz""",
         "countmin_words": A.countmin_words_sql(),
         "stream_window_join": A.stream_window_join_sql(),
         "zorder_layout": A.zorder_layout_sql(),
+        "exact_median_price": A.exact_median_price_sql(),
         "dedup_clusters_simhash": sim_cluster_ctes
         + "\nSELECT doc_id, cluster FROM clusters",
         "dedup_keep_best_simhash": dedup_keep_best_simhash_sql,

@@ -119,7 +119,7 @@ QUERY_NAMES = [
     "weighted_sample", "graph_distance", "ks_drift",
     "dup_cluster_hist", "dedup_incremental_bloom",
     "active_users_window", "countmin_words", "stream_window_join",
-    "zorder_layout",
+    "zorder_layout", "exact_median_price",
 ]
 
 

@@ -10797,3 +10797,84 @@ def zorder_layout_sql() -> str:
 SELECT doc_id, CAST({terms} AS BIGINT) AS z,
        CAST(({terms}) // {1 << _Z_BITS} AS BIGINT) AS zbucket
 FROM documents"""
+
+
+# --- exact median via histogram refinement --------------------------------------
+
+_EMP_BINS = 4096
+
+
+def exact_median_price(sf_dir: str):
+    """Exact median over an UNBOUNDED value domain — the selection
+    algorithm the value-counting quantile ops (global_percentiles,
+    lang_length_quantiles) can't be: their per-value histograms assume a
+    bounded domain; order prices in cents span millions of distinct
+    values, and a distributed sort for one order statistic is waste.
+    Classic two-round histogram refinement instead: round 1 folds a
+    {_EMP_BINS}-bin equal-width histogram over [min, max] (plus the
+    min/max/count bounds themselves — one fused pass of associative
+    partials) and locates the bin holding the target rank; round 2
+    value-counts ONLY inside that bin (domain ~ range / {_EMP_BINS}) and
+    resolves the exact rank rule. Rank rule, stated so the oracle says
+    the same: median = smallest value whose cumulative count reaches
+    ceil(n / 2) — the lower median, engine-neutral (DuckDB's median()
+    would average the middle pair on even n).
+
+    Scale shape: two streaming passes of bounded partials (bins + a
+    sub-bin value-count), no shuffle, no sort; driver state is O(bins)."""
+    lo_hi = (_read(sf_dir, "orders", ["o_totalprice"])
+             .map_batches(lambda b: pa.table({
+                 "lo": pa.array([int(_cents(b["o_totalprice"].to_numpy(
+                     zero_copy_only=False)).min())]),
+                 "hi": pa.array([int(_cents(b["o_totalprice"].to_numpy(
+                     zero_copy_only=False)).max())]),
+                 "n": pa.array([b.num_rows])}),
+                 batch_format="pyarrow")
+             .to_pandas())
+    lo, hi = int(lo_hi["lo"].min()), int(lo_hi["hi"].max())
+    n = int(lo_hi["n"].sum())
+    target = (n + 1) // 2
+    width = max(1, (hi - lo + _EMP_BINS) // _EMP_BINS)
+
+    def hist(b: pa.Table) -> pa.Table:
+        c = _cents(b["o_totalprice"].to_numpy(zero_copy_only=False))
+        binv = (c - lo) // width
+        u, cnt = np.unique(binv, return_counts=True)
+        return pa.table({"bin": pa.array(u.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    hdf = (_read(sf_dir, "orders", ["o_totalprice"])
+           .map_batches(hist, batch_format="pyarrow")
+           .to_pandas().groupby("bin", as_index=False)["c"].sum()
+           .sort_values("bin"))
+    cum = hdf["c"].cumsum().to_numpy(np.int64)
+    k = int(np.searchsorted(cum, target))
+    the_bin = int(hdf["bin"].iloc[k])
+    before = int(cum[k - 1]) if k else 0
+    blo, bhi = lo + the_bin * width, lo + (the_bin + 1) * width
+
+    def inbin(b: pa.Table) -> pa.Table:
+        c = _cents(b["o_totalprice"].to_numpy(zero_copy_only=False))
+        c = c[(c >= blo) & (c < bhi)]
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({"v": pa.array(u.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    vdf = (_read(sf_dir, "orders", ["o_totalprice"])
+           .map_batches(inbin, batch_format="pyarrow")
+           .to_pandas().groupby("v", as_index=False)["c"].sum()
+           .sort_values("v"))
+    vcum = before + vdf["c"].cumsum().to_numpy(np.int64)
+    med = int(vdf["v"].iloc[int(np.searchsorted(vcum, target))])
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "median_cents": pa.array([med], pa.int64())})
+
+
+def exact_median_price_sql() -> str:
+    return """
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             count(*) OVER () AS n FROM c)
+SELECT CAST(n AS BIGINT) AS n, CAST(min(v) AS BIGINT) AS median_cents
+FROM o WHERE rn >= (n + 1) // 2 GROUP BY n"""

@@ -288,6 +288,9 @@ SQL_QUERIES = [
     # round 5 (cont. session): Z-order clustering key (bit interleave
     # stated verbatim in SQL)
     "zorder_layout",
+    # round 5 (cont. session): exact median over an unbounded domain
+    # (histogram refinement; lower-median rank rule stated both engines)
+    "exact_median_price",
 ]
 
 
