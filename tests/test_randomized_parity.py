@@ -1,0 +1,139 @@
+"""Randomized cross-engine parity for the continuation-session operators.
+
+The oracle gate (test_queries_vs_duckdb) proves each op on the FIXED
+driver fixture; these tests re-derive the same Ray-vs-DuckDB parity on
+seeded RANDOM tables, so tie handling, empty groups, degenerate users,
+and boundary days are exercised beyond what one fixture draw happens to
+contain. Each case writes a throwaway table dir, runs the real
+`queries()` callable on it, and diffs against the real `oracle_sql()`
+string over a DuckDB view of the same parquet — the full contract, not
+an extracted kernel.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TYPES = ["click", "error", "purchase", "signup", "view"]
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__
+    return __ray_entry__
+
+
+def _events_dir(tmp_path, seed: int) -> str:
+    rng = np.random.default_rng(seed)
+    n = 400
+    # duplicate-heavy timestamps (second resolution over ~40 days) so
+    # (user, ts) ties occur and the event_id tiebreak actually decides
+    ts = (np.int64(820454400_000_000)
+          + rng.integers(0, 40 * 86_400, n).astype(np.int64) * 1_000_000)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(1, 13, n).astype(np.int64)),
+        "event_type": pa.array(rng.choice(TYPES, n).tolist(), pa.string()),
+        "value": pa.array(rng.random(n)),
+        "props": pa.array(['{"k": 1}'] * n, pa.string()),
+    })
+    d = str(tmp_path / f"ev{seed}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, f"{d}/events.parquet")
+    return d
+
+
+def _docs_dir(tmp_path, seed: int) -> str:
+    rng = np.random.default_rng(seed)
+    n = 300
+    words = ["the", "data", "join", "row", "fast", "slow", "alpha", "beta"]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 12)).tolist())
+             for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(rng.choice(LANGS, n).tolist(), pa.string()),
+        "source": pa.array([f"src{i % 4}" for i in range(n)], pa.string()),
+        "n_chars": pa.array(rng.integers(1, 600, n).astype(np.int64)),
+    })
+    d = str(tmp_path / f"doc{seed}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, f"{d}/documents.parquet")
+    return d
+
+
+def _orders_dir(tmp_path, seed: int) -> str:
+    rng = np.random.default_rng(seed)
+    n = 500
+    t = pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, 60, n).astype(np.int64)),
+        "o_orderstatus": pa.array(["O"] * n, pa.string()),
+        # prices with .005 cases absent (same guarantee as the fixture:
+        # 2-decimal money), spread over a wide cents domain incl. ties
+        "o_totalprice": pa.array(
+            rng.integers(100, 5_000_000, n).astype(np.float64) / 100.0),
+        "o_orderdate": pa.array(
+            np.full(n, np.datetime64("1996-01-01", "us"))),
+        "o_orderpriority": pa.array(["3-MEDIUM"] * n, pa.string()),
+    })
+    d = str(tmp_path / f"ord{seed}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, f"{d}/orders.parquet")
+    return d
+
+
+def _diff(entry_mod, name: str, sf_dir: str, tables: list[str]):
+    import ray.data
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    got = entry_mod.queries()[name](sf_dir)
+    if isinstance(got, ray.data.Dataset):
+        got = got.to_pandas()
+    elif isinstance(got, pa.Table):
+        got = got.to_pandas()
+    want = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in cols:
+        if pd.api.types.is_float_dtype(want[c]):
+            assert np.allclose(got[c].astype(float), want[c].astype(float),
+                               atol=1e-9, rtol=0), f"{name}.{c}"
+        else:
+            assert (got[c].astype(str).values
+                    == want[c].astype(str).values).all(), f"{name}.{c}"
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+@pytest.mark.parametrize("name", ["event_paths", "session_conversion",
+                                  "stream_window_join",
+                                  "active_users_window"])
+def test_event_ops_random(entry_mod, tmp_path, name, seed):
+    _diff(entry_mod, name, _events_dir(tmp_path, seed), ["events"])
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+@pytest.mark.parametrize("name", ["filter_sweep", "negative_samples",
+                                  "weighted_sample", "ks_drift",
+                                  "zorder_layout", "countmin_words"])
+def test_doc_ops_random(entry_mod, tmp_path, name, seed):
+    _diff(entry_mod, name, _docs_dir(tmp_path, seed), ["documents"])
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_exact_median_random(entry_mod, tmp_path, seed):
+    _diff(entry_mod, "exact_median_price", _orders_dir(tmp_path, seed),
+          ["orders"])
