@@ -137,3 +137,30 @@ def test_doc_ops_random(entry_mod, tmp_path, name, seed):
 def test_exact_median_random(entry_mod, tmp_path, seed):
     _diff(entry_mod, "exact_median_price", _orders_dir(tmp_path, seed),
           ["orders"])
+
+
+# Second wave: pre-existing operators re-run on random draws. Only ops
+# whose semantics are tie-robust (aggregates, or orderings that include
+# event_id / doc_id tie-breaks) qualify — event_transitions, for
+# example, orders by bare ts and is correct only under the fixture's
+# verified tie-free property, so it is deliberately absent.
+EVENT_OPS_WAVE2 = [
+    "sessionize", "events_window", "weekly_trend", "cohort_retention",
+    "event_funnel", "user_event_pivot", "interval_union",
+    "peak_concurrency", "event_rate_anomaly",
+]
+DOC_OPS_WAVE2 = [
+    "token_count", "text_hash", "fingerprint", "exact_dedup_first",
+    "vocab_topk", "stopword_coverage", "char_entropy",
+    "lang_length_quantiles", "winsorize", "partition_skew",
+]
+
+
+@pytest.mark.parametrize("name", EVENT_OPS_WAVE2)
+def test_event_ops_wave2_random(entry_mod, tmp_path, name):
+    _diff(entry_mod, name, _events_dir(tmp_path, 41), ["events"])
+
+
+@pytest.mark.parametrize("name", DOC_OPS_WAVE2)
+def test_doc_ops_wave2_random(entry_mod, tmp_path, name):
+    _diff(entry_mod, name, _docs_dir(tmp_path, 42), ["documents"])
